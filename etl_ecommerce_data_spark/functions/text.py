@@ -1,0 +1,129 @@
+"""Text-analysis column expressions (LLM-data-pipeline extension).
+
+All pure ``pyspark.sql.functions`` expressions — JVM-side, codegen'd, no
+Python in the hot path — so they run at scan speed over 100 TB of documents.
+Each has an exact ANSI-SQL twin used by the DuckDB oracle (plans/queries.py).
+
+Tokenization contract: whitespace-split on the raw text (the synthetic
+``documents.text`` is single-space separated). Downstream ops that need set
+semantics apply ``array_distinct`` themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lists for the n-gram/stopword language heuristic.
+# Deterministic and mirrored verbatim in the oracle SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "en": ["the", "a", "of", "and", "is", "to"],
+    "es": ["el", "la", "de", "que", "los", "es"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (literal single-space split, matching the corpus)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def avg_token_length(text: Column) -> Column:
+    """Mean token length = non-space chars / tokens (exact int division →
+    IEEE-identical in Spark and DuckDB)."""
+    non_space = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    return non_space.cast("double") / token_count(text)
+
+
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t))).cast("long")
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    return stopword_count(text, stopwords).cast("double") / token_count(text)
+
+
+def alpha_word_count(text: Column) -> Column:
+    """Count of purely alphabetic tokens (quality signal)."""
+    return F.size(F.filter(tokens(text), lambda t: t.rlike("^[a-zA-Z]+$"))).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1]-ish quality heuristic from exact integer counts:
+    rewards alphabetic density and a sane mean token length, penalizes
+    one-token and stopword-free degenerate docs. Every term is an exact-int
+    ratio, so Spark and DuckDB agree bitwise."""
+    n = token_count(text)
+    alpha_ratio = alpha_word_count(text).cast("double") / n
+    sw_ratio = stopword_ratio(text)
+    len_ok = F.when((avg_token_length(text) >= 2.0) & (avg_token_length(text) <= 12.0), 1.0).otherwise(0.0)
+    return (alpha_ratio * 0.5 + sw_ratio * 0.3 + len_ok * 0.2).alias("quality_score")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-token hit counts over distinct tokens."""
+    toks = F.array_distinct(tokens(text))
+    out: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t))).cast("long")
+    return out
+
+
+def detected_lang(text: Column) -> Column:
+    """Argmax language by marker hits; alphabetical tie-break; 'und'
+    (undetermined) when no marker hits at all. Deterministic by construction."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # alphabetical order makes the argmax tie-break stable
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in langs:
+        s = scores[lang]
+        take = s > best_score  # strict: earlier (alphabetical) lang wins ties
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of the raw text (md5 is identical in
+    Spark and DuckDB, so the oracle matches bit-for-bit)."""
+    return F.md5(text)
+
+
+def shingle_fingerprint(text: Column, k: int = 3) -> Column:
+    """Rolling-shingle fingerprint: min md5 over all k-token shingles —
+    a 1-permutation MinHash usable for cheap near-dup blocking.
+
+    Built with higher-order functions (sequence/transform/element_at), fully
+    JVM-side. Docs shorter than k tokens fall back to the whole-text md5.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+            )
+        ),
+    )
+    return F.when(n >= k, F.array_min(shingles)).otherwise(F.md5(text))

@@ -1,0 +1,220 @@
+"""Document deduplication operators (LLM-data-pipeline extension).
+
+Four families, all shuffle-conscious:
+
+- ``exact_dedup``     — hash-groupBy on content; map-side partial agg means the
+                        shuffle carries one row per distinct text per partition.
+- ``ngram_jaccard_pairs`` — *exact* token-set Jaccard over candidate pairs,
+                        blocked by a cheap key so the cross product never
+                        materializes globally. The oracle-checkable baseline.
+- ``minhash_lsh_pairs`` — MinHash signatures + banded LSH: the 100 TB path.
+                        Cost is O(n·perms) + a groupBy on band keys; only
+                        colliding candidates are verified with exact Jaccard.
+- ``simhash_pairs``   — 64-bit SimHash + multi-probe banding on hash chunks;
+                        near-dup = small Hamming distance.
+- ``embedding_near_dup_pairs`` — cosine near-dup over embeddings (see
+                        operators/similarity.py for the ANN machinery).
+
+Everything is DataFrame-native: hashing via ``xxhash64``/``md5``/``crc32``,
+set math via higher-order functions. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_ecommerce_data_spark.functions.text import tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one survivor (min id) per distinct text + duplicate count.
+
+    At scale, grouping by a 64-char md5 instead of the full text keeps shuffle
+    rows small; we group by the hash and keep min(id). (Output keeps the hash
+    so downstream can join back to content if needed.)
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "content_hash", "dup_count")
+    )
+
+
+def _distinct_tokens(text_col: Column) -> Column:
+    return F.array_distinct(tokens(text_col))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    block_col: str | None = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact distinct-token Jaccard similarity pairs (a < b) above threshold.
+
+    Pairs are blocked on ``block_col`` (docs in different blocks are never
+    compared) so the join is a per-block cross product — fine for moderate
+    blocks, and the exact-verification stage LSH candidates feed into. The
+    Jaccard value is a ratio of exact ints → bit-identical to the SQL oracle.
+    """
+    a = df.select(
+        F.col(id_col).alias("doc_a"),
+        _distinct_tokens(F.col(text_col)).alias("toks_a"),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("doc_b"),
+        _distinct_tokens(F.col(text_col)).alias("toks_b"),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+    pairs = a.join(b, "__blk") if block_col else a.crossJoin(b)
+    pairs = pairs.filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.filter(F.col("toks_a"), lambda t: F.array_contains(F.col("toks_b"), t))).cast("long")
+    pairs = pairs.withColumn("n_inter", inter)
+    pairs = pairs.withColumn("n_a", F.size("toks_a").cast("long")).withColumn("n_b", F.size("toks_b").cast("long"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    out = pairs.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold)
+    return out.select("doc_a", "doc_b", "n_inter", "jaccard")
+
+
+def minhash_signature(text_col: Column, num_perms: int = 64) -> Column:
+    """MinHash signature: min over token hashes for ``num_perms`` seeded
+    ``xxhash64`` permutations, as one array<long> expression (JVM-side)."""
+    toks = _distinct_tokens(text_col)
+    return F.array(
+        *[
+            F.array_min(F.transform(toks, lambda t: F.xxhash64(t, F.lit(p))))
+            for p in range(num_perms)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    num_perms: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
+
+    The scale path: signatures are computed in one pass (no shuffle), docs are
+    exploded to ``bands`` band-hash rows, grouped by band hash (the only
+    shuffle, carrying id+band only), colliding pairs are deduped and then
+    verified with exact token-set Jaccard — so output equals
+    ``ngram_jaccard_pairs`` minus LSH misses, at a fraction of the pairs.
+
+    With 64 perms / 16 bands / rows-per-band 4 the S-curve midpoint is
+    ~(1/16)^(1/4) ≈ 0.5 — good recall at threshold 0.6.
+    """
+    rows_per_band = num_perms // bands
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"),
+        _distinct_tokens(F.col(text_col)).alias("toks"),
+        minhash_signature(F.col(text_col), num_perms).alias("sig"),
+    )
+    banded = sigs.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", band * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "toks", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "toks_a", "toks_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.filter(F.col("toks_a"), lambda t: F.array_contains(F.col("toks_b"), t))).cast("long")
+    cands = cands.withColumn("n_inter", inter)
+    jac = F.col("n_inter").cast("double") / (
+        F.size("toks_a").cast("long") + F.size("toks_b").cast("long") - F.col("n_inter")
+    )
+    return (
+        cands.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash from token xxhash64 bits: per bit, sign of the sum of
+    ±1 votes across tokens. Expressed as 64 bit-count aggregations over the
+    token array — heavy-ish expression, still JVM-side and scan-parallel."""
+    toks = _distinct_tokens(text_col)
+    n = F.size(toks)
+    bit_cols = []
+    for bit in range(64):
+        ones = F.size(
+            F.filter(toks, lambda t: F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1)
+        )
+        bit_cols.append(F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << bit if bit < 63 else -(1 << 63)).cast("long"))
+    expr = bit_cols[0]
+    for c in bit_cols[1:]:
+        expr = expr + c
+    return expr
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit hash into ``bands`` 16-bit
+    chunks; any pair within Hamming distance < bands must collide on ≥1 chunk
+    (pigeonhole), so the chunk-groupBy finds all such pairs without a cross
+    join. Wider ``max_hamming`` trades recall for candidate volume."""
+    h = df.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("simhash"))
+    width = 64 // bands
+    chunks = h.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftrightunsigned("simhash", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
+    a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk")
+    b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk")
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns (LLM-data-pipeline extension).
+
+Two paths:
+
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query set
+  against the corpus, score with a JVM-side higher-order-function dot product,
+  rank per query. The correctness baseline; cost O(|queries|·|corpus|) but
+  embarrassingly parallel (no shuffle until the final per-query top-k, which
+  carries only k rows per query per partition thanks to window + filter with
+  partial pushdown via AQE).
+- ``lsh_topk`` — random-hyperplane (signed random projection) LSH: each vector
+  gets a ``num_bits`` signature from deterministic pseudo-random hyperplanes;
+  candidates are corpus vectors sharing a band with the query; exact cosine
+  re-ranks candidates only. The 100 TB path: the corpus is scored once per
+  *colliding band*, not per query.
+- ``embedding_near_dup_pairs`` — all corpus pairs above a cosine threshold,
+  via the same banding trick (self-join on band keys), for embedding-level
+  dedup.
+
+Hyperplanes are generated from ``xxhash64`` of (bit, dimension) — fully
+deterministic, no driver-side RNG state to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_ecommerce_data_spark.functions.vectors import cosine, to_double_array
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self-matches excluded).
+
+    Deterministic ranking: (cosine DESC, neighbor id ASC) — ties cannot
+    reorder across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col(query_id_col) != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .filter(F.col("cosine_sim").isNotNull())
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _signature_bits(vec_col: str, num_bits: int, dim: int) -> F.Column:
+    """Signed-random-projection signature as an array<int> of 0/1.
+
+    Hyperplane component h[bit][d] is derived from xxhash64(bit, d) mapped to
+    ±1 — deterministic, identical on every executor, no broadcast needed.
+    """
+    v = to_double_array(F.col(vec_col))
+    bits = []
+    for bit in range(num_bits):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, d: x
+                * F.when(F.xxhash64(F.lit(bit), d).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, 1).otherwise(0))
+    return F.array(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing ≥1 signature
+    band with the query; exact cosine re-ranks candidates. Recall is tuned by
+    (num_bits, bands): more bands → more candidates → higher recall."""
+    width = num_bits // bands
+
+    def banded(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        sig = _signature_bits(vecc, num_bits, dim)
+        d = df.select(F.col(idc).alias(idc), F.col(vecc).alias(vecc), sig.alias("__sig"))
+        return d.select(
+            idc,
+            vecc,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.concat_ws(
+                                "",
+                                *[F.element_at("__sig", i * width + r + 1) for r in range(width)],
+                            ).alias("bucket"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        ).select(idc, vecc, F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+
+    qb = banded(
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")),
+        query_id_col,
+        "__qvec",
+    )
+    cb = banded(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
+        "neighbor_id",
+        "__cvec",
+    )
+    cands = (
+        cb.join(qb, ["band", "bucket"])
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    scored = cands.withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec"))).filter(
+        F.col("cosine_sim").isNotNull()
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+    num_bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Pairs (a < b) with cosine ≥ threshold. ``exact=True`` does the full
+    self cross-product (oracle-checkable); ``exact=False`` uses SRP-LSH
+    banding so only band-colliding pairs are scored (the scale path)."""
+    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"))
+    if exact:
+        pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    else:
+        # Reuse SRP banding with the corpus as both sides of the self-join.
+        ab = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
+        width = num_bits // bands
+        sig = _signature_bits("__va", num_bits, dim)
+        banded = ab.select("vec_a", "__va", sig.alias("__sig")).select(
+            "vec_a",
+            "__va",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.concat_ws(
+                                "",
+                                *[F.element_at("__sig", i * width + r + 1) for r in range(width)],
+                            ).alias("bucket"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        ).select("vec_a", "__va", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+        other = banded.select(
+            F.col("vec_a").alias("vec_b"), F.col("__va").alias("__vb"), "band", "bucket"
+        )
+        pairs = (
+            banded.join(other, ["band", "bucket"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .dropDuplicates(["vec_a", "vec_b"])
+            .select("vec_a", "__va", "vec_b", "__vb")
+        )
+    return (
+        pairs.withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", "cosine_sim")
+    )

@@ -1,0 +1,916 @@
+"""The declared query registry: every capability as a named, oracle-checked query.
+
+Each entry re-expresses a reference capability (SURVEY §2: to_silver.py /
+to_gold.py semantics) or an LLM-pipeline extension over the driver's synthetic
+tables, as BOTH a Spark DataFrame builder and (where SQL-expressible) an
+equivalent DuckDB oracle SQL string.
+
+Oracle-parity arithmetic rules (see FIXTURES.md determinism notes):
+- Money/quantity sums: per-row ``CAST(x AS DECIMAL(p,s))`` then SUM, final
+  result cast back to the same decimal type on both engines → exact,
+  order-independent, bit-identical.
+- Averages: never the engine's AVG over doubles (accumulation order differs);
+  instead ``CAST(exact_sum AS DOUBLE) / count`` — both engines divide the same
+  two exact numbers, IEEE division is deterministic.
+- Day deltas: ``datediff`` on dates cast from timestamps, widened to BIGINT on
+  both sides (Spark datediff is INT, DuckDB date_diff is BIGINT).
+- Ratios over exact ints (Jaccard, text stats) are deterministic as-is.
+- Ordering: the driver's hash is order-insensitive; ORDER BY appears only
+  where it is part of the semantics (top-k).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_ecommerce_data_spark.functions import text as TX
+from etl_ecommerce_data_spark.operators import similarity as SIM
+from etl_ecommerce_data_spark.operators import dedup as DD
+from etl_ecommerce_data_spark.operators.joins import asof_join
+from etl_ecommerce_data_spark.operators.cleaning import (
+    dedup_by_key,
+    dedup_exact_rows,
+    normalize_strings,
+)
+from etl_ecommerce_data_spark.sources.registry import load_table
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    description: str
+    builder: Builder
+    oracle: str | None
+    tags: tuple[str, ...] = field(default=())
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(name: str, description: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn: Builder) -> Builder:
+        QUERIES[name] = QueryDef(name, description, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+# --- exactness helpers -------------------------------------------------------
+
+def dec(col: F.Column | str, p: int = 18, s: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+def money_sum(col: F.Column | str, p: int = 18, s: int = 2) -> F.Column:
+    """Order-independent exact sum: per-row decimal cast → SUM (exact) → one
+    deterministic cast to DOUBLE. The decimal accumulation makes the result
+    independent of partitioning/order; the final double keeps the output
+    schema unambiguous across engines (pandas/Arrow decimal handling differs
+    between Spark and DuckDB)."""
+    return F.sum(dec(col, p, s)).cast("double")
+
+
+def exact_avg(sum_col: F.Column, count_col: F.Column) -> F.Column:
+    """Deterministic mean: exact numerator / exact denominator in one IEEE op."""
+    return sum_col.cast("double") / count_col.cast("double")
+
+
+def day_diff(end: str, start: str) -> F.Column:
+    return F.datediff(F.to_date(F.col(end)), F.to_date(F.col(start))).cast("long")
+
+
+# ============================================================================
+# Gold analytics (reference to_gold.py semantics over the synthetic star)
+# ============================================================================
+
+
+@register(
+    "pricing_summary",
+    "TPC-H Q1-style pricing summary: groupBy returnflag/linestatus with exact "
+    "decimal sums + deterministic averages (flagship; widest agg surface). "
+    "Reference analog: gold group-by marts (to_gold.py:59-65).",
+    oracle="""
+WITH l AS (
+  SELECT *,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qty_d,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price_d,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS disc_price_d,
+         CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)) AS charge_d
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(qty_d) AS DOUBLE) AS sum_qty,
+       CAST(SUM(price_d) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(disc_price_d) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(charge_d) AS DOUBLE) AS sum_charge,
+       CAST(SUM(qty_d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(price_d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       COUNT(*) AS count_order
+FROM l
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("gold", "aggregation", "flagship"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            exact_avg(F.sum(dec("l_quantity")), n).alias("avg_qty"),
+            exact_avg(F.sum(dec("l_extendedprice")), n).alias("avg_price"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "daily_sales",
+    "Daily sales mart (to_gold.py:57-66 semantics incl. fan-out count: items "
+    "join orders, count order-item rows per day, never countDistinct).",
+    oracle="""
+SELECT strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       COUNT(o.o_orderkey) AS total_orders,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(o.o_orderkey) AS DOUBLE) AS avg_item_price,
+       CAST(SUM(CAST(l.l_extendedprice * l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total_discount_amt
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY strftime(o.o_orderdate, '%Y-%m-%d')
+""",
+    tags=("gold", "join", "aggregation"),
+)
+def q_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    disc_amt = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        joined.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(
+            F.count("o_orderkey").alias("total_orders"),
+            money_sum("l_extendedprice").alias("total_revenue"),
+            exact_avg(F.sum(dec("l_extendedprice")), F.count("o_orderkey")).alias("avg_item_price"),
+            F.sum(disc_amt).cast("double").alias("total_discount_amt"),
+        )
+    )
+
+
+@register(
+    "customer_metrics",
+    "Customer metrics mart (to_gold.py:69-81 semantics: window min/max "
+    "purchase dates per customer as group keys, fan-out counts, lifetime "
+    "datediff).",
+    oracle="""
+WITH joined AS (
+  SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_orderdate, l.l_extendedprice,
+         strftime(MIN(o.o_orderdate) OVER (PARTITION BY c.c_custkey), '%Y-%m-%d') AS first_purchase_date,
+         strftime(MAX(o.o_orderdate) OVER (PARTITION BY c.c_custkey), '%Y-%m-%d') AS last_purchase_date
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_custkey, c_mktsegment, first_purchase_date, last_purchase_date,
+       COUNT(o_orderkey) AS total_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(o_orderkey) AS DOUBLE) AS avg_item_value,
+       CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE), CAST(MAX(o_orderdate) AS DATE)) AS BIGINT)
+         AS customer_lifetime_days
+FROM joined
+GROUP BY c_custkey, c_mktsegment, first_purchase_date, last_purchase_date
+""",
+    tags=("gold", "join", "window", "aggregation"),
+)
+def q_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        customer, orders.o_custkey == customer.c_custkey
+    )
+    w = Window.partitionBy("c_custkey")
+    j = j.withColumn(
+        "first_purchase_date", F.date_format(F.min("o_orderdate").over(w), "yyyy-MM-dd")
+    ).withColumn(
+        "last_purchase_date", F.date_format(F.max("o_orderdate").over(w), "yyyy-MM-dd")
+    )
+    return (
+        j.groupBy("c_custkey", "c_mktsegment", "first_purchase_date", "last_purchase_date")
+        .agg(
+            F.count("o_orderkey").alias("total_items"),
+            money_sum("l_extendedprice").alias("total_spent"),
+            exact_avg(F.sum(dec("l_extendedprice")), F.count("o_orderkey")).alias("avg_item_value"),
+            F.datediff(F.to_date(F.max("o_orderdate")), F.to_date(F.min("o_orderdate")))
+            .cast("long")
+            .alias("customer_lifetime_days"),
+        )
+    )
+
+
+@register(
+    "product_performance",
+    "Product performance mart (to_gold.py:84-91 semantics over part): "
+    "items sold, quantity, revenue, deterministic avg price per part.",
+    oracle="""
+SELECT p.p_partkey, p.p_brand, p.p_type,
+       COUNT(l.l_orderkey) AS times_sold,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(l.l_orderkey) AS DOUBLE) AS avg_price
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_partkey, p.p_brand, p.p_type
+""",
+    tags=("gold", "join", "aggregation"),
+)
+def q_product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        j.groupBy("p_partkey", "p_brand", "p_type")
+        .agg(
+            F.count("l_orderkey").alias("times_sold"),
+            money_sum("l_quantity").alias("total_qty"),
+            money_sum("l_extendedprice").alias("total_revenue"),
+            exact_avg(F.sum(dec("l_extendedprice")), F.count("l_orderkey")).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "supplier_performance",
+    "Supplier performance mart (to_gold.py:94-105 semantics: items join "
+    "supplier join orders; avg ship delay via exact int sums).",
+    oracle="""
+SELECT s.s_suppkey, s.s_name,
+       COUNT(l.l_orderkey) AS total_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(l.l_orderkey) AS DOUBLE) AS avg_item_price,
+       CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))) AS DOUBLE)
+         / CAST(COUNT(l.l_orderkey) AS DOUBLE) AS avg_ship_delay_days
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY s.s_suppkey, s.s_name
+""",
+    tags=("gold", "join", "aggregation"),
+)
+def q_supplier_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey).join(
+        orders, li.l_orderkey == orders.o_orderkey
+    )
+    delay = day_diff("l_shipdate", "o_orderdate")
+    n = F.count("l_orderkey")
+    return (
+        j.groupBy("s_suppkey", "s_name")
+        .agg(
+            n.alias("total_items"),
+            money_sum("l_extendedprice").alias("total_revenue"),
+            exact_avg(F.sum(dec("l_extendedprice")), n).alias("avg_item_price"),
+            exact_avg(F.sum(delay), n).alias("avg_ship_delay_days"),
+        )
+    )
+
+
+@register(
+    "order_status_delivery",
+    "Delivery performance mart (to_gold.py:118-131 semantics: per-status "
+    "counts, avg delay, conditional late count via when/otherwise).",
+    oracle="""
+SELECT o.o_orderstatus,
+       COUNT(l.l_orderkey) AS total_items,
+       CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))) AS DOUBLE)
+         / CAST(COUNT(l.l_orderkey) AS DOUBLE) AS avg_ship_delay_days,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 60
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+    tags=("gold", "join", "aggregation", "conditional"),
+)
+def q_order_status_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    delay = day_diff("l_shipdate", "o_orderdate")
+    n = F.count("l_orderkey")
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            n.alias("total_items"),
+            exact_avg(F.sum(delay), n).alias("avg_ship_delay_days"),
+            F.sum(F.when(delay > 60, 1).otherwise(0)).cast("long").alias("late_items"),
+        )
+    )
+
+
+@register(
+    "events_by_type_day",
+    "Event stream daily mart (satisfaction-metrics analog, to_gold.py:108-115: "
+    "date-bucketed per-type counts and deterministic value averages).",
+    oracle="""
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+       COUNT(event_id) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(event_id) AS DOUBLE) AS avg_value
+FROM events
+GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+""",
+    tags=("gold", "events", "aggregation"),
+)
+def q_events_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count("event_id")
+    return (
+        ev.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .agg(
+            n.alias("n_events"),
+            money_sum("value").alias("total_value"),
+            exact_avg(F.sum(dec("value")), n).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "nation_revenue",
+    "Revenue by region/nation (TPC-H Q5-style join chain; dims broadcast).",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       COUNT(l.l_orderkey) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    tags=("gold", "join", "aggregation"),
+)
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.count("l_orderkey").alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "top_parts_per_brand",
+    "Top-3 parts by revenue within each brand (ranking window over exact "
+    "decimal revenue; deterministic tie-break on partkey).",
+    oracle="""
+WITH perf AS (
+  SELECT p.p_brand, p.p_partkey,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, p.p_partkey
+)
+SELECT p_brand, p_partkey, revenue,
+       CAST(rnk AS BIGINT) AS brand_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS rnk
+  FROM perf
+)
+WHERE rnk <= 3
+""",
+    tags=("gold", "window", "topk"),
+)
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    perf = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
+    return (
+        perf.withColumn("brand_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("brand_rank") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "brand_rank")
+    )
+
+
+@register(
+    "churned_customers",
+    "Customers active before 1999 with no orders after (left-anti join; the "
+    "engine's EXCEPT/NOT-EXISTS surface).",
+    oracle="""
+SELECT o_custkey, COUNT(o_orderkey) AS n_orders_before
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1999-01-01'
+  AND o_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY o_custkey
+""",
+    tags=("gold", "anti-join"),
+)
+def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    before = orders.filter(F.col("o_orderdate") < cutoff)
+    after = orders.filter(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
+    return (
+        before.join(after, "o_custkey", "left_anti")
+        .groupBy("o_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders_before"))
+    )
+
+
+# ============================================================================
+# Silver cleaning transforms (reference to_silver.py semantics)
+# ============================================================================
+
+
+@register(
+    "clean_orders",
+    "Silver orders cleaning (to_silver.py:46-55 semantics: full-row dedup + "
+    "null-fill of status with 'pending'). Timestamps already typed here; the "
+    "string-parsing variant is unit-tested on Olist-shape fixtures.",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       COALESCE(o_orderstatus, 'pending') AS o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM (SELECT DISTINCT * FROM orders)
+""",
+    tags=("silver", "dedup", "nulls"),
+)
+def q_clean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cleaned = dedup_exact_rows(orders).na.fill({"o_orderstatus": "pending"})
+    return cleaned.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+
+
+@register(
+    "clean_customer",
+    "Silver customer cleaning (to_silver.py:58-64 semantics: key dedup with a "
+    "deterministic survivor, trim/case normalization, null-row drop).",
+    oracle="""
+SELECT c_custkey, TRIM(c_name) AS c_name, c_nationkey, c_acctbal,
+       UPPER(TRIM(c_mktsegment)) AS c_mktsegment
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY c_name ASC) AS __rn
+  FROM customer
+  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL AND c_nationkey IS NOT NULL
+    AND c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL
+)
+WHERE __rn = 1
+""",
+    tags=("silver", "dedup", "normalize"),
+)
+def q_clean_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    cleaned = customer.na.drop()
+    cleaned = dedup_by_key(cleaned, ["c_custkey"], order_by=["c_name"])
+    cleaned = normalize_strings(cleaned, upper=["c_mktsegment"], trim=["c_name", "c_mktsegment"])
+    return cleaned.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+@register(
+    "clean_lineitem",
+    "Silver line-item cleaning (to_silver.py:67-74 semantics: positivity "
+    "filters + DECIMAL(12,2) money casts).",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS quantity,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+       CAST(CAST(l_discount AS DECIMAL(8,4)) AS DOUBLE) AS discount,
+       l_returnflag, l_linestatus, l_shipdate
+FROM lineitem
+WHERE l_quantity > 0 AND l_extendedprice >= 0
+""",
+    tags=("silver", "cast", "filter"),
+)
+def q_clean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 0)
+        .filter(F.col("l_extendedprice") >= 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            dec("l_quantity", 12, 2).cast("double").alias("quantity"),
+            dec("l_extendedprice", 12, 2).cast("double").alias("price"),
+            dec("l_discount", 8, 4).cast("double").alias("discount"),
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+    )
+
+
+# ============================================================================
+# LLM-pipeline extensions: dedup / text analysis / similarity / multimodal
+# ============================================================================
+
+
+@register(
+    "dedup_exact_docs",
+    "Exact document dedup: one survivor (min doc_id) per distinct text via "
+    "content-hash groupBy (shuffle carries hashes, not documents).",
+    oracle="""
+SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash, COUNT(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("extension", "dedup"),
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "Exact token-set Jaccard near-dup pairs (threshold 0.6) blocked by lang — "
+    "the oracle-checkable baseline the LSH paths approximate.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS BIGINT) AS n_inter,
+       CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+         / (CAST(len(a.toks) AS BIGINT) + CAST(len(b.toks) AS BIGINT)
+            - CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS BIGINT)) AS jaccard
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+        / (CAST(len(a.toks) AS BIGINT) + CAST(len(b.toks) AS BIGINT)
+           - CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS BIGINT)) >= 0.6
+""",
+    tags=("extension", "dedup"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, threshold=0.6, block_col="lang")
+
+
+@register(
+    "dedup_minhash_docs",
+    "MinHash+LSH near-dup pairs (64 perms, 16 bands) with exact-Jaccard "
+    "verification — the 100 TB fuzzy-dedup path. No SQL oracle (LSH banding "
+    "is not SQL-expressible); unit tests assert recall vs the exact baseline.",
+    oracle=None,
+    tags=("extension", "dedup", "lsh"),
+)
+def q_dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, threshold=0.6)
+
+
+@register(
+    "dedup_simhash_docs",
+    "SimHash(64-bit) near-dup pairs within Hamming distance 3, banded by "
+    "16-bit chunks (pigeonhole-complete for distance < 4). No SQL oracle; "
+    "unit-tested against brute-force Hamming.",
+    oracle=None,
+    tags=("extension", "dedup", "lsh"),
+)
+def q_dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, max_hamming=3)
+
+
+@register(
+    "text_stats",
+    "Per-document token statistics (token counting over whitespace tokens; "
+    "all exact ints + one IEEE division).",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_token_len
+FROM documents
+""",
+    tags=("extension", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.distinct_token_count(t).alias("n_distinct_tokens"),
+        TX.char_count(t).alias("n_chars_measured"),
+        TX.avg_token_length(t).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality",
+    "Per-document quality scoring: alphabetic density, stopword ratio, token "
+    "length sanity — exact-int ratios combined in a fixed IEEE expression.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '), x -> regexp_full_match(x, '[a-zA-Z]+'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(string_split(text, ' '),
+               x -> list_contains(['the','a','of','and','is','to'], x))) AS BIGINT) AS n_stop,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_tok_len
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_alpha, n_stop,
+       (CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+       + (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+       + (CASE WHEN avg_tok_len >= 2.0 AND avg_tok_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         AS quality_score
+FROM t
+""",
+    tags=("extension", "text"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = TX.token_count(t)
+    n_alpha = TX.alpha_word_count(t)
+    n_stop = TX.stopword_count(t)
+    avg_len = TX.avg_token_length(t)
+    score = (
+        (n_alpha.cast("double") / n.cast("double")) * 0.5
+        + (n_stop.cast("double") / n.cast("double")) * 0.3
+        + F.when((avg_len >= 2.0) & (avg_len <= 12.0), 1.0).otherwise(0.0) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+        score.alias("quality_score"),
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "CAST(len(list_filter(list_distinct(string_split(text, ' ')), "
+        f"x -> list_contains([{lst}], x))) AS BIGINT)"
+    )
+
+
+@register(
+    "text_langid",
+    "Heuristic language ID: marker-token hit counts per language, argmax with "
+    "alphabetical tie-break ('und' when no hits). Deterministic; mirrors "
+    "functions/text.py LANG_MARKERS verbatim in SQL.",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql(TX.LANG_MARKERS["de"])} AS s_de,
+         {_lang_score_sql(TX.LANG_MARKERS["en"])} AS s_en,
+         {_lang_score_sql(TX.LANG_MARKERS["es"])} AS s_es,
+         {_lang_score_sql(TX.LANG_MARKERS["fr"])} AS s_fr,
+         {_lang_score_sql(TX.LANG_MARKERS["zh"])} AS s_zh
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS detected_lang
+FROM s
+""",
+    tags=("extension", "text"),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.detected_lang(F.col("text")).alias("detected_lang"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    "Document fingerprinting: whole-text md5 + min-md5 over rolling 3-token "
+    "shingles (1-perm MinHash) — md5 is bit-identical across engines.",
+    oracle="""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       md5(text) AS fingerprint,
+       CASE WHEN len(toks) >= 3 THEN
+         list_aggregate(list_transform(generate_series(1, len(toks) - 2),
+                        i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))), 'min')
+       ELSE md5(text) END AS shingle_fingerprint
+FROM t
+""",
+    tags=("extension", "text", "fingerprint"),
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("fingerprint"),
+        TX.shingle_fingerprint(F.col("text"), k=3).alias("shingle_fingerprint"),
+    )
+
+
+_COS_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (acc, x) -> acc + x)"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    d = _COS_SQL.format(a=a, b=b)
+    na = f"sqrt({_COS_SQL.format(a=a, b=a)})"
+    nb = f"sqrt({_COS_SQL.format(a=b, b=b)})"
+    return f"CASE WHEN {na} > 0 AND {nb} > 0 THEN {d} / ({na} * {nb}) ELSE NULL END"
+
+
+@register(
+    "similarity_topk",
+    "Exact brute-force cosine top-5 neighbors for query vectors (vec_id < 10) "
+    "— deterministic double fold over double-cast embeddings; rank ties "
+    "broken by neighbor id.",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_cosine_sql("qv", "cv")} AS cosine_sim
+  FROM c JOIN q ON query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+  FROM scored WHERE cosine_sim IS NOT NULL
+)
+WHERE rnk <= 5
+""",
+    tags=("extension", "similarity"),
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = SIM.cosine_topk(emb, queries, k=5)
+    return out.withColumnRenamed("rank", "rank")
+
+
+@register(
+    "similarity_topk_lsh",
+    "Approximate cosine top-5 via signed-random-projection LSH banding — the "
+    "scale path (corpus scored per colliding band only). No SQL oracle; "
+    "recall vs exact top-k asserted in unit tests.",
+    oracle=None,
+    tags=("extension", "similarity", "lsh"),
+)
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.lsh_topk(emb, queries, k=5, dim=64)
+
+
+@register(
+    "embedding_near_dup",
+    "Embedding-level near-duplicate pairs (exact self-join baseline; "
+    "LSH-banded variant covered by similarity tests). Threshold 0.4 is tuned "
+    "to the synthetic corpus (max pairwise cosine ≈ 0.51) so the output is "
+    "non-trivial at every sf; production near-dup would use ≥0.95.",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cosine_sql("a.ve", "b.ve")} AS cosine_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_cosine_sql("a.ve", "b.ve")} >= 0.4
+""",
+    tags=("extension", "similarity", "dedup"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(emb, threshold=0.4, exact=True)
+
+
+@register(
+    "asof_events_orders",
+    "As-of join: each event matched to the user's most recent order at event "
+    "time (union+window single-shuffle implementation — no native Spark "
+    "as-of). Tie-break: greatest orderkey.",
+    oracle="""
+SELECT event_id, user_id, o_orderkey AS last_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS last_order_date
+FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+  FROM events e
+  LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+)
+WHERE rn = 1
+""",
+    tags=("extension", "asof-join"),
+)
+def q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey"), F.col("o_orderkey"), F.col("o_orderdate")
+    )
+    joined = asof_join(
+        events,
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_order_date"),
+    )
+
+
+@register(
+    "events_tumbling_5min",
+    "Tumbling 5-minute windowed aggregation over events (batch twin of the "
+    "Structured Streaming operator in streaming/events.py).",
+    oracle="""
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+       COUNT(event_id) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
+""",
+    tags=("extension", "events", "window-agg"),
+)
+def q_events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").start.alias("window_start"), "event_type")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "multimodal_meta",
+    "Multimodal column plumbing: opaque binary payloads (UTF-8 encoded text "
+    "standing in for image/audio bytes) with typed metadata — length + "
+    "sha256, all engine-side.",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       sha256(text) AS payload_sha256,
+       source AS media_source
+FROM documents
+""",
+    tags=("extension", "multimodal"),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("payload_bytes"),
+        F.sha2(F.col("text"), 256).alias("payload_sha256"),
+        F.col("source").alias("media_source"),
+    )

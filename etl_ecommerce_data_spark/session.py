@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference builds a bare session per script with only a JDBC jar configured
+(``to_bronze.py:30-34``); it inherits Spark defaults that are wrong at scale
+(200 shuffle partitions, no AQE tuning pinned, session-local timezone). This
+factory pins the settings every operator in this engine assumes:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB the static
+  shuffle-partition number is always wrong, AQE re-plans from map statistics.
+- UTC session timezone — required for bit-exact timestamp parity with the
+  DuckDB oracle and for any cross-region cluster.
+- Arrow on — every Pandas-UDF fallback path transfers columnar batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl_ecommerce_data_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config.
+
+    On a real cluster ``master`` comes from spark-submit; locally we default to
+    ``local[N]`` where N is ``SPARK_GRAFT_CPUS`` or all cores. Shuffle
+    partitions default to ~2×cores locally; on a cluster set it near
+    total-executor-cores (AQE coalesces down from there).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # 128 MB input splits: the right granularity for wide parquet scans;
+        # at 100 TB this yields ~800k tasks, which AQE coalesces post-shuffle.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,116 @@
+"""Connectors: parquet (primary), CSV ingest, JDBC (optional, partitioned).
+
+Reference behavior being re-expressed (and fixed):
+- CSV ingest with ``inferSchema=True`` (``to_bronze.py:39``) → here CSV reads
+  take an explicit schema (one less full pass; deterministic types).
+- JDBC reads with no partitioning options (``to_silver.py:22-30``,
+  ``to_gold.py:25-33``) serialize each table through ONE task. Here JDBC reads
+  require a numeric ``partition_column`` + bounds when parallelism is wanted,
+  so the scan fans out across executors.
+- All sinks were Postgres-overwrite (``to_bronze.py:41-50``). The engine's
+  primary sink is partitioned parquet (splittable, columnar, predicate
+  pushdown on re-read); JDBC write is retained as a connector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet_table(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def write_parquet_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink; ``partition_by`` gives storage-level partition pruning
+    (e.g. by order date) which the reference's Postgres zones never had."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan with a declared schema (replaces to_bronze.py:39 inference)."""
+    return spark.read.options(header=str(header).lower(), **options).schema(schema).csv(path)
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    driver: str = "org.postgresql.Driver",
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 16,
+    fetchsize: int = 10_000,
+) -> DataFrame:
+    """Partitioned JDBC scan.
+
+    With ``partition_column`` + bounds Spark issues ``num_partitions`` range
+    predicates in parallel — the fix for the reference's single-task reads.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("driver", driver)
+        .option("fetchsize", str(fetchsize))
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower_bound/upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
+def write_jdbc_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    driver: str = "org.postgresql.Driver",
+    mode: str = "overwrite",
+    batchsize: int = 10_000,
+) -> None:
+    """JDBC sink (connector parity with to_bronze.py:41-50, plus batching)."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("driver", driver)
+        .option("batchsize", str(batchsize))
+        .option("stringtype", "unspecified")
+        .mode(mode)
+        .save()
+    )

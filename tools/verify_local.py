@@ -1,0 +1,106 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every registry query on Spark and its DuckDB oracle at the given sf dir,
+compares row counts and order-insensitive value hashes (columns sorted by
+name, rows sorted by all columns, values stringified). Exit code 1 on any
+mismatch. Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from etl_ecommerce_data_spark.plans.queries import QUERIES  # noqa: E402
+from etl_ecommerce_data_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df) -> str:
+    import pandas as pd
+
+    pdf = df if isinstance(df, pd.DataFrame) else df.toPandas()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+
+    def cell(v):
+        import datetime
+        import decimal
+
+        import numpy as np
+
+        if v is None or (isinstance(v, float) and v != v):
+            return "NULL"
+        if isinstance(v, (float, np.floating)):
+            return repr(float(v))
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return str(v)
+
+    rows = sorted(tuple(cell(v) for v in row) for row in pdf.itertuples(index=False, name=None))
+    return "\n".join("|".join(r) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    picked = sys.argv[2:] or list(QUERIES)
+    spark = get_spark("verify_local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failures = []
+    for name in picked:
+        qd = QUERIES[name]
+        t0 = time.time()
+        try:
+            sdf = qd.builder(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if qd.oracle is None:
+            print(f"ok*   {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(qd.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        ns, no = normalize(sdf), normalize(odf)
+        if len(sdf) != len(odf):
+            print(f"FAIL  {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
+            failures.append(name)
+        elif ns != no:
+            print(f"FAIL  {name}: value mismatch (rows={len(sdf)})")
+            sl, ol = ns.splitlines(), no.splitlines()
+            shown = 0
+            for i, (a, b) in enumerate(zip(sl, ol)):
+                if a != b:
+                    print(f"  row {i}:\n    spark : {a}\n    oracle: {b}")
+                    shown += 1
+                    if shown >= 3:
+                        break
+            failures.append(name)
+        else:
+            print(f"ok    {name}: rows={len(sdf)} hash-match [{time.time()-t0:.1f}s]")
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        return 1
+    print(f"\nall {len(picked)} queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
