@@ -25,9 +25,14 @@ from pyspark.sql import functions as F
 
 def parse_timestamps(df: DataFrame, columns: Sequence[str], fmt: str | None = None) -> DataFrame:
     """String→timestamp on each named column (to_silver.py:48-52 semantics:
-    default-format ``to_timestamp``, invalid strings become NULL)."""
+    invalid strings become NULL). The reference ran Spark 3.x with ANSI off
+    where ``to_timestamp`` NULLs malformed input; Spark 4 is ANSI-on and
+    throws, so ``try_to_timestamp`` is the semantics-preserving expression."""
     for c in columns:
-        df = df.withColumn(c, F.to_timestamp(F.col(c), fmt) if fmt else F.to_timestamp(F.col(c)))
+        df = df.withColumn(
+            c,
+            F.try_to_timestamp(F.col(c), F.lit(fmt)) if fmt else F.try_to_timestamp(F.col(c)),
+        )
     return df
 
 

@@ -892,6 +892,26 @@ def q_events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_events_windowed",
+    "Structured Streaming tumbling-window aggregation over events (file "
+    "source, watermark, memory sink in complete mode) — result equals the "
+    "batch twin, so it shares its oracle.",
+    oracle="""
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+       COUNT(event_id) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
+""",
+    tags=("extension", "streaming", "window-agg"),
+)
+def q_stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.streaming.events import run_windowed_stream_to_memory
+
+    return run_windowed_stream_to_memory(spark, sf_dir)
+
+
+@register(
     "multimodal_meta",
     "Multimodal column plumbing: opaque binary payloads (UTF-8 encoded text "
     "standing in for image/audio bytes) with typed metadata — length + "

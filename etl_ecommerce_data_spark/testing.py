@@ -1,0 +1,57 @@
+"""Shared test/verification helpers: DuckDB oracle setup + canonical result
+normalization (used by tests/ and tools/verify_local.py)."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+import duckdb
+import pandas as pd
+
+SYNTHETIC_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Connection with every synthetic table registered as a view (mirrors
+    the driver's pre-registered views)."""
+    con = duckdb.connect()
+    for t in SYNTHETIC_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _cell(v) -> str:
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and v != v):
+        return "NULL"
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        return pd.Timestamp(v).isoformat()
+    return str(v)
+
+
+def normalize(df) -> list[tuple[str, ...]]:
+    """Order-insensitive canonical form: columns sorted by name, every value
+    stringified, rows sorted. Two engines agree iff their normalized forms
+    are equal."""
+    pdf = df if isinstance(df, pd.DataFrame) else df.toPandas()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return sorted(tuple(_cell(v) for v in row) for row in pdf.itertuples(index=False, name=None))
+
+
+def assert_frames_match(spark_df, oracle_df, name: str = "query") -> None:
+    s, o = normalize(spark_df), normalize(oracle_df)
+    assert len(s) == len(o), f"{name}: rowcount spark={len(s)} oracle={len(o)}"
+    if s != o:
+        diffs = [(i, a, b) for i, (a, b) in enumerate(zip(s, o)) if a != b][:3]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")

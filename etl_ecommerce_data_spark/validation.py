@@ -1,0 +1,83 @@
+"""Data validation stage — the real version of the reference's echo stub.
+
+The reference's "validation" is ``BashOperator(bash_command='echo "Validating
+data in Gold layer"')`` (``dags/dag.py:73-77``) — it validates nothing. And
+its scripts print-and-continue on error (``to_silver.py:105-106``), so a
+half-written zone still "succeeds". This module is the fail-fast replacement:
+declarative expectations evaluated in ONE aggregation pass per table (no
+per-check jobs), raising ``ValidationError`` with every violation listed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class ValidationError(Exception):
+    """Raised when any expectation fails; carries all violations."""
+
+    def __init__(self, violations: list[str]):
+        self.violations = violations
+        super().__init__("; ".join(violations))
+
+
+@dataclass(frozen=True)
+class Expectations:
+    """Declarative per-table contract."""
+
+    min_rows: int = 1
+    schema: T.StructType | None = None
+    not_null: tuple[str, ...] = ()
+    unique_key: tuple[str, ...] = ()
+    max_null_rate: dict[str, float] | None = None  # column -> allowed fraction
+    positive: tuple[str, ...] = ()
+
+
+def validate(df: DataFrame, exp: Expectations, table: str = "<table>") -> None:
+    """Evaluate all expectations in a single aggregation job; raise on any
+    violation. Schema check is plan-only (no job)."""
+    violations: list[str] = []
+
+    if exp.schema is not None and df.schema != exp.schema:
+        violations.append(
+            f"{table}: schema mismatch: got {df.schema.simpleString()}, "
+            f"want {exp.schema.simpleString()}"
+        )
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in exp.not_null:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+    for c in exp.max_null_rate or {}:
+        if c not in exp.not_null:
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+    for c in exp.positive:
+        aggs.append(F.sum((F.col(c) <= 0).cast("long")).alias(f"__nonpos_{c}"))
+    if exp.unique_key:
+        aggs.append(F.count_distinct(*[F.col(k) for k in exp.unique_key]).alias("__distinct_key"))
+
+    row = df.agg(*aggs).collect()[0].asDict()
+    n = row["__n"]
+
+    if n < exp.min_rows:
+        violations.append(f"{table}: rows {n} < min_rows {exp.min_rows}")
+    for c in exp.not_null:
+        if row[f"__null_{c}"] > 0:
+            violations.append(f"{table}: column {c} has {row[f'__null_{c}']} NULLs")
+    for c, rate in (exp.max_null_rate or {}).items():
+        nulls = row[f"__null_{c}"]
+        if n > 0 and nulls / n > rate:
+            violations.append(f"{table}: null rate of {c} = {nulls / n:.4f} > {rate}")
+    for c in exp.positive:
+        if row[f"__nonpos_{c}"] > 0:
+            violations.append(f"{table}: column {c} has {row[f'__nonpos_{c}']} non-positive values")
+    if exp.unique_key and row["__distinct_key"] != n:
+        violations.append(
+            f"{table}: key {exp.unique_key} not unique: {row['__distinct_key']} distinct of {n} rows"
+        )
+
+    if violations:
+        raise ValidationError(violations)

@@ -1,0 +1,66 @@
+"""Dedup operator properties: LSH paths vs exact baselines."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_ecommerce_data_spark.operators import dedup as DD
+from etl_ecommerce_data_spark.sources.registry import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # A lang-block subset keeps the exact O(n²) baseline cheap.
+    return load_table(spark, SF_SMOKE, "documents").filter(F.col("lang") == "fr").cache()
+
+
+def test_exact_dedup_survivor_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["dup_count"] for r in DD.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}  # min-id survivor, correct multiplicity
+
+
+def test_minhash_lsh_recall_and_precision(spark, docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.7, block_col=None).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.minhash_lsh_pairs(docs, threshold=0.7).collect()
+    }
+    # Exact-Jaccard verification step ⇒ no false positives, ever.
+    assert lsh <= exact
+    # 16 bands × 4 rows ⇒ collision prob at j=0.7 is 1-(1-0.7^4)^16 ≈ 0.99.
+    assert exact, "fixture should contain near-dup pairs at 0.7"
+    assert len(lsh) / len(exact) >= 0.9
+
+
+def test_simhash_banding_complete_for_small_hamming(spark, docs):
+    # Pigeonhole: 4 chunks of 16 bits find EVERY pair with hamming ≤ 3.
+    sh = docs.select("doc_id", DD.simhash64(F.col("text")).alias("h"))
+    a = sh.selectExpr("doc_id as doc_a", "h as ha")
+    b = sh.selectExpr("doc_id as doc_b", "h as hb")
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("d", DD.hamming64(F.col("ha"), F.col("hb")))
+        .filter(F.col("d") <= 3)
+        .collect()
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"]) for r in DD.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert banded == brute
+
+
+def test_minhash_signature_shape(spark, docs):
+    sig = docs.select(DD.minhash_signature(F.col("text"), num_perms=16).alias("s")).first()["s"]
+    assert len(sig) == 16
+    assert all(isinstance(v, int) for v in sig)

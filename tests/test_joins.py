@@ -1,0 +1,57 @@
+"""Join operators: as-of correctness (incl. ties and no-match), salted join
+equivalence with a plain join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_ecommerce_data_spark.operators.joins import asof_join, broadcast_join, salted_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic_tie_and_miss(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05T00:00:00")),  # after two orders
+            (2, 10, _ts("2024-01-01T00:00:00")),  # exactly at an order ts (inclusive)
+            (3, 11, _ts("2024-01-01T00:00:00")),  # user with no orders → null
+            (4, 10, _ts("2023-12-31T00:00:00")),  # before any order → null
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, _ts("2024-01-01T00:00:00")),
+            (10, 101, _ts("2024-01-01T00:00:00")),  # tie: greater key must win
+            (10, 102, _ts("2024-01-03T00:00:00")),
+        ],
+        "user_id long, o_orderkey long, o_orderdate timestamp",
+    )
+    out = asof_join(
+        left, right, key="user_id", left_time="ts", right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+    )
+    got = {r["event_id"]: r["o_orderkey"] for r in out.collect()}
+    assert got == {1: 102, 2: 101, 3: None, 4: None}
+    assert out.count() == left.count()  # as-of never fans out
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.range(0, 1000).withColumn("k", (F.col("id") % 7).cast("long"))
+    right = spark.createDataFrame([(int(i), f"v{i}") for i in range(7)], "k long, v string")
+    plain = left.join(right, "k").select("id", "v")
+    salted = salted_join(left, right, "k", salt_buckets=8).select("id", "v")
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_broadcast_join_dedups_using_column(spark):
+    fact = spark.createDataFrame([(1, "a"), (2, "b")], "k long, x string")
+    dim = spark.createDataFrame([(1, "d1")], "k long, d string")
+    out = broadcast_join(fact, dim, "k", "left")
+    assert out.columns.count("k") == 1
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,61 @@
+"""Similarity search: exact cosine vs numpy, LSH recall vs exact top-k."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_ecommerce_data_spark.functions.vectors import cosine
+from etl_ecommerce_data_spark.operators import similarity as SIM
+from etl_ecommerce_data_spark.sources.registry import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def test_cosine_matches_numpy(spark):
+    a, b = [1.0, 2.0, 3.0], [-1.0, 0.5, 2.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(got - want) < 1e-12
+
+
+def test_cosine_zero_vector_is_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
+    assert df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"] is None
+
+
+def test_exact_topk_is_correct_vs_numpy(spark, emb):
+    rows = emb.filter(F.col("vec_id") < 50).collect()
+    mat = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    out = SIM.cosine_topk(
+        emb.filter(F.col("vec_id") < 50), emb.filter(F.col("vec_id") == 0), k=3
+    ).collect()
+    got = [(r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+    q = mat[0]
+    sims = {
+        i: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for i, v in mat.items()
+        if i != 0
+    }
+    want = [i for i, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:3]]
+    assert got == want
+
+
+def test_lsh_topk_recall(spark, emb):
+    exact = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).collect()
+    approx = SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # SRP-LSH with 16 bits / 4 bands on 64-dim noise-ish vectors: modest but
+    # non-degenerate recall; the contract is "finds a meaningful fraction
+    # while scoring a fraction of the corpus".
+    assert recall >= 0.3, f"recall {recall}"
+    assert len(approx_set) <= 10 * 5
