@@ -538,6 +538,280 @@ def q_clean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ============================================================================
+# Wider analytics surface: pivot / rollup / cube / sessionization / set ops /
+# percentiles / JSON / window shares (engine capabilities beyond the
+# reference's six marts; each still oracle-checked)
+# ============================================================================
+
+
+@register(
+    "status_priority_pivot",
+    "Order counts pivoted by status within priority (pivot surface; "
+    "null-filled to 0 like a report would be).",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("analytics", "pivot"),
+)
+def q_status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("cnt_p"),
+    )
+
+
+@register(
+    "revenue_rollup",
+    "Region/nation revenue with ROLLUP subtotals (grouping-sets surface; "
+    "NULL marks the rolled-up levels on both engines).",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       COUNT(l.l_orderkey) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+""",
+    tags=("analytics", "rollup"),
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count("l_orderkey").alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "part_brand_size_cube",
+    "Part counts/prices cubed over brand × size (CUBE surface).",
+    oracle="""
+SELECT p_brand, p_size,
+       COUNT(p_partkey) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_retail,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(p_partkey) AS DOUBLE) AS avg_retail
+FROM part
+GROUP BY CUBE(p_brand, p_size)
+""",
+    tags=("analytics", "cube"),
+)
+def q_part_brand_size_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    n = F.count("p_partkey")
+    return part.cube("p_brand", "p_size").agg(
+        n.alias("n_parts"),
+        money_sum("p_retailprice").alias("total_retail"),
+        exact_avg(F.sum(dec("p_retailprice")), n).alias("avg_retail"),
+    )
+
+
+@register(
+    "sessionize_events",
+    "Sessionization: per-user sessions split on >30 min inactivity (lag + "
+    "running sum of session starts — the classic scalable pattern: one "
+    "shuffle by user, one sort).",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM t
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(event_id) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+FROM s
+GROUP BY user_id, session_seq
+""",
+    tags=("analytics", "sessionization", "window"),
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1
+    ).otherwise(0)
+    s = ev.withColumn("is_new", is_new).withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return s.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq")).agg(
+        F.count("event_id").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_sec"),
+    )
+
+
+@register(
+    "daily_distinct_users",
+    "Exact distinct users per day over the event stream (count_distinct "
+    "surface; the approx variant is benchmarked separately).",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       COUNT(event_id) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY strftime(ts, '%Y-%m-%d')
+""",
+    tags=("analytics", "distinct"),
+)
+def q_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date")).agg(
+        F.count("event_id").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "repeat_buyers_intersect",
+    "Customers ordering in both 1995 and 1996 (INTERSECT set-op surface).",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+""",
+    tags=("analytics", "set-op"),
+)
+def q_repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        lo = F.lit(f"{y}-01-01").cast("timestamp")
+        hi = F.lit(f"{y + 1}-01-01").cast("timestamp")
+        return orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)).select(
+            "o_custkey"
+        )
+
+    return year(1995).intersect(year(1996))
+
+
+@register(
+    "value_percentiles",
+    "Exact per-type value percentiles (Spark percentile ≡ DuckDB "
+    "quantile_cont: both linear interpolation on sorted values — validated "
+    "bit-exact).",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("analytics", "percentile"),
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "props_json_stats",
+    "JSON extraction from the event props column (semi-structured surface): "
+    "per-type stats over $.k.",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(event_id) AS DOUBLE) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("analytics", "json"),
+)
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    n = F.count("event_id")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("total_k"),
+        exact_avg(F.sum(k), n).alias("avg_k"),
+    )
+
+
+@register(
+    "priority_revenue_share",
+    "Revenue share per order priority via an unpartitioned window over the "
+    "exact decimal totals (share = group/total computed from identical exact "
+    "operands on both engines).",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority,
+         COUNT(o_orderkey) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_orders,
+       CAST(rev_d AS DOUBLE) AS revenue,
+       CAST(rev_d AS DOUBLE) / CAST(SUM(rev_d) OVER () AS DOUBLE) AS revenue_share
+FROM g
+""",
+    tags=("analytics", "window"),
+)
+def q_priority_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(dec("o_totalprice")).alias("rev_d"),
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("rev_d").cast("double").alias("revenue"),
+        (F.col("rev_d").cast("double") / F.sum("rev_d").over(w).cast("double")).alias(
+            "revenue_share"
+        ),
+    )
+
+
+# ============================================================================
 # LLM-pipeline extensions: dedup / text analysis / similarity / multimodal
 # ============================================================================
 
