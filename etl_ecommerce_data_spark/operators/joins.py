@@ -10,6 +10,10 @@ USING-column form, with no strategy hints and no skew handling. Here:
 - ``asof_join`` — an operator Spark lacks natively, built as a composition of
   union + window (single shuffle + sort, no per-row Python): for each left row,
   the most recent right row with ``right_time <= left_time`` per key.
+- ``range_join`` — interval/band join (right_time within [left_time+lo,
+  left_time+hi]) via time bucketing: the naive formulation is a non-equi join
+  Catalyst can only plan as BroadcastNestedLoop/cartesian-per-key; bucketing
+  turns it into an equi-join on (keys, bucket) with a cheap exact filter after.
 """
 
 from __future__ import annotations
@@ -47,6 +51,53 @@ def salted_join(
     salted_right = right.select("*", buckets)
     out = salted_left.join(salted_right, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    on: str | Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Band join: pair rows where ``left_time + lower <= right_time <=
+    left_time + upper`` (closed interval, seconds) and the equi-keys match.
+
+    Scale strategy: a raw range predicate is non-equi, so Catalyst would plan a
+    broadcast-nested-loop (or, with keys, a sort-merge join whose range filter
+    runs post-join on the full per-key cross product). Instead both sides are
+    bucketed by time with bucket width = interval length: the left row keeps
+    its single bucket, the right row is exploded into the (at most 2) buckets
+    its admissible left-times span, and the join becomes a plain shuffled
+    equi-join on (keys..., bucket) — each matching pair meets in exactly one
+    bucket, so no post-join dedup is needed, only the exact range filter.
+
+    ``left_time``/``right_time`` must not collide (rename before a self-join).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    w_us = max(int((upper_seconds - lower_seconds) * 1_000_000), 1)
+    lo_us = int(lower_seconds * 1_000_000)
+    hi_us = int(upper_seconds * 1_000_000)
+    lt = F.unix_micros(F.col(left_time))
+    rt = F.unix_micros(F.col(right_time))
+    l_b = left.withColumn("__bucket", F.floor(lt / F.lit(w_us)))
+    # Right row at time t matches left times in [t-hi, t-lo] → that interval's
+    # bucket ids (width == interval ⇒ it spans ≤ 2 buckets).
+    r_b = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((rt - F.lit(hi_us)) / F.lit(w_us)),
+                F.floor((rt - F.lit(lo_us)) / F.lit(w_us)),
+            )
+        ),
+    )
+    joined = l_b.join(r_b, [*keys, "__bucket"], how)
+    in_range = (rt >= lt + F.lit(lo_us)) & (rt <= lt + F.lit(hi_us))
+    return joined.filter(in_range).drop("__bucket")
 
 
 def asof_join(

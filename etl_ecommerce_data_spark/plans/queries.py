@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from etl_ecommerce_data_spark.functions import text as TX
 from etl_ecommerce_data_spark.operators import similarity as SIM
 from etl_ecommerce_data_spark.operators import dedup as DD
-from etl_ecommerce_data_spark.operators.joins import asof_join
+from etl_ecommerce_data_spark.operators.joins import asof_join, range_join
 from etl_ecommerce_data_spark.operators.cleaning import (
     dedup_by_key,
     dedup_exact_rows,
@@ -777,9 +777,11 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "priority_revenue_share",
-    "Revenue share per order priority via an unpartitioned window over the "
-    "exact decimal totals (share = group/total computed from identical exact "
-    "operands on both engines).",
+    "Revenue share per order priority: per-group decimal totals divided by a "
+    "broadcast 1-row global total (share = group/total computed from identical "
+    "exact operands on both engines). The global total is a scalar aggregate "
+    "cross-joined back, not an unpartitioned window — at 100 TB an empty "
+    "PARTITION BY would funnel every group row through a single task.",
     oracle="""
 WITH g AS (
   SELECT o_orderpriority,
@@ -800,14 +802,69 @@ def q_priority_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderkey").alias("n_orders"),
         F.sum(dec("o_totalprice")).alias("rev_d"),
     )
-    w = Window.partitionBy()
-    return g.select(
+    total = g.agg(F.sum("rev_d").alias("total_d"))
+    return g.crossJoin(F.broadcast(total)).select(
         "o_orderpriority",
         "n_orders",
         F.col("rev_d").cast("double").alias("revenue"),
-        (F.col("rev_d").cast("double") / F.sum("rev_d").over(w).cast("double")).alias(
+        (F.col("rev_d").cast("double") / F.col("total_d").cast("double")).alias(
             "revenue_share"
         ),
+    )
+
+
+@register(
+    "nation_daily_revenue_ma",
+    "Per-nation daily revenue with 7-row moving average and day-over-day "
+    "delta: partitioned, ordered window frames (rowsBetween/lag) — the "
+    "framed-window surface the reference lacks (SURVEY §2.5), partitioned by "
+    "nation so no global-window funnel at scale. MA = exact decimal window "
+    "sum / window count in one IEEE division; delta = exact decimal subtract.",
+    oracle="""
+WITH d AS (
+  SELECT n.n_name AS nation,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_d
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, order_date,
+       CAST(rev_d AS DOUBLE) AS revenue,
+       CAST(SUM(rev_d) OVER w7 AS DOUBLE) / CAST(COUNT(rev_d) OVER w7 AS DOUBLE)
+         AS revenue_ma7,
+       CAST(rev_d - LAG(rev_d) OVER wl AS DOUBLE) AS revenue_delta
+FROM d
+WINDOW w7 AS (PARTITION BY nation ORDER BY order_date
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       wl AS (PARTITION BY nation ORDER BY order_date)
+""",
+    tags=("analytics", "window"),
+)
+def q_nation_daily_revenue_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    d = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("rev_d"))
+    )
+    w7 = Window.partitionBy("nation").orderBy("order_date").rowsBetween(-6, 0)
+    wl = Window.partitionBy("nation").orderBy("order_date")
+    return d.select(
+        "nation",
+        "order_date",
+        F.col("rev_d").cast("double").alias("revenue"),
+        exact_avg(F.sum("rev_d").over(w7), F.count("rev_d").over(w7)).alias(
+            "revenue_ma7"
+        ),
+        (F.col("rev_d") - F.lag("rev_d").over(wl)).cast("double").alias("revenue_delta"),
     )
 
 
@@ -1138,6 +1195,46 @@ def q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("o_orderkey").alias("last_orderkey"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_order_date"),
+    )
+
+
+@register(
+    "range_join_view_purchase",
+    "Attribution range join: for each 'view' event, the user's 'purchase' "
+    "events within the following 30 minutes (time-bucketed equi-join — see "
+    "operators/joins.py range_join — then per-view counts/exact sums; views "
+    "with no conversion kept via left join with zero-fill).",
+    oracle="""
+SELECT v.event_id AS view_event_id, v.user_id,
+       COUNT(p.ts) AS n_purchases_30m,
+       CAST(COALESCE(SUM(CAST(p.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS purchase_value_30m
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+GROUP BY 1, 2
+""",
+    tags=("extension", "range-join"),
+)
+def q_range_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("value").alias("purchase_value")
+    )
+    pairs = range_join(
+        views, purchases, "view_ts", "purchase_ts", 0.0, 1800.0, on="user_id"
+    )
+    per_view = pairs.groupBy("view_event_id", "user_id").agg(
+        F.count("purchase_ts").alias("n_raw"),
+        F.sum(dec("purchase_value")).alias("pv_d"),
+    )
+    return views.join(per_view, ["view_event_id", "user_id"], "left").select(
+        "view_event_id",
+        "user_id",
+        F.coalesce(F.col("n_raw"), F.lit(0)).cast("long").alias("n_purchases_30m"),
+        F.coalesce(F.col("pv_d").cast("double"), F.lit(0.0)).alias("purchase_value_30m"),
     )
 
 

@@ -55,3 +55,50 @@ def test_broadcast_join_dedups_using_column(spark):
     out = broadcast_join(fact, dim, "k", "left")
     assert out.columns.count("k") == 1
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_join_matches_naive_nonequi(spark):
+    import random
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, rng.randrange(5), base + dt.timedelta(seconds=rng.randrange(86400)))
+         for i in range(300)],
+        "l_id long, k long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, rng.randrange(5), base + dt.timedelta(seconds=rng.randrange(86400)))
+         for i in range(300)],
+        "r_id long, k long, rt timestamp",
+    )
+    from etl_ecommerce_data_spark.operators.joins import range_join
+
+    got = range_join(left, right, "lt", "rt", 0.0, 600.0, on="k").select("l_id", "r_id")
+    naive = left.join(
+        right,
+        (left["k"] == right["k"])
+        & (right["rt"] >= left["lt"])
+        & (right["rt"] <= left["lt"] + F.expr("INTERVAL 600 SECONDS")),
+    ).select("l_id", "r_id")
+    assert sorted(got.collect()) == sorted(naive.collect())
+    assert got.count() > 0  # the fixture actually exercises matches
+
+
+def test_range_join_negative_band_and_bucket_boundary(spark):
+    # Exact bucket-boundary times and a band that looks backwards in time.
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:10:00")), (2, _ts("2024-01-01T00:00:00"))],
+        "l_id long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, _ts("2024-01-01T00:00:00")), (101, _ts("2024-01-01T00:10:00")),
+         (102, _ts("2024-01-01T00:05:00")), (103, _ts("2023-12-31T23:59:59"))],
+        "r_id long, rt timestamp",
+    )
+    from etl_ecommerce_data_spark.operators.joins import range_join
+
+    # right_time in [left_time - 600s, left_time] (backward-looking band)
+    out = range_join(left, right, "lt", "rt", -600.0, 0.0)
+    got = sorted((r["l_id"], r["r_id"]) for r in out.collect())
+    assert got == [(1, 100), (1, 101), (1, 102), (2, 100), (2, 103)]
