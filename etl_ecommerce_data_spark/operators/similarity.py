@@ -16,6 +16,11 @@ Two paths:
 - ``embedding_near_dup_pairs`` — all corpus pairs above a cosine threshold,
   via the same banding trick (self-join on band keys), for embedding-level
   dedup.
+- ``ivf_topk`` — inverted-file (IVF) ANN: a deterministic distributed k-means
+  partitions the corpus into ``n_centroids`` cells; each query probes only its
+  ``n_probe`` nearest cells, so the scored candidate set shrinks by roughly
+  ``n_probe / n_centroids`` versus brute force. The data-adaptive counterpart
+  to SRP-LSH (cells follow the corpus distribution instead of random cuts).
 
 Hyperplanes are generated from ``xxhash64`` of (bit, dimension) — fully
 deterministic, no driver-side RNG state to ship.
@@ -141,6 +146,124 @@ def lsh_topk(
         F.col("cosine_sim").isNotNull()
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _nearest_centroids(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, probe: int
+) -> DataFrame:
+    """Attach the ``probe`` nearest centroids (by cosine) to every row.
+
+    Centroids are broadcast (model state: n_centroids × dim doubles), so the
+    scoring pass is map-side; the only shuffle is the per-row rank, which AQE
+    sizes off n_rows × n_centroids. Ties break on centroid_id for determinism.
+    """
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__csim", cosine(F.col(vec_col), F.col("__cent"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__csim").desc_nulls_last(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") <= probe)
+        .drop("__cr", "__cent", "__csim")
+    )
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed k-means → DataFrame (centroid_id, __cent).
+
+    - Init: the ``n_centroids`` corpus vectors with the smallest
+      ``xxhash64(id)`` (a seedless, engine-independent pseudo-random sample);
+      the hash doubles as the stable centroid id — no driver-side RNG, no
+      ``monotonically_increasing_id``.
+    - Lloyd step, all DataFrame ops: assign each vector to its nearest
+      centroid, then recompute each cell mean per dimension via
+      ``posexplode`` → exact decimal sums / count (bit-identical regardless of
+      partitioning — double accumulation order would make the fit, and thus
+      every downstream assignment, nondeterministic).
+    Empty cells drop out naturally (groupBy sees no rows).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("__iid"), to_double_array(F.col(vec_col)).alias("__v")
+    )
+    cents = (
+        c.withColumn("__h", F.xxhash64(F.col("__iid")))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .select(F.col("__h").alias("centroid_id"), F.col("__v").alias("__cent"))
+    )
+    for _ in range(lloyd_iters):
+        assigned = _nearest_centroids(c, cents, "__iid", "__v", probe=1)
+        cents = (
+            assigned.select("centroid_id", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                    / F.count("val")
+                ).alias("m")
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("__cent")
+            )
+        )
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus vectors live in exactly one k-means
+    cell; each query scores only the cells of its ``n_probe`` nearest
+    centroids. Exact cosine + deterministic (sim DESC, id ASC) ranking inside
+    the probed cells. Raise ``n_probe`` → recall↑, candidates↑.
+
+    At 100 TB the corpus assignment is computed once and persisted with the
+    corpus (partitioned by centroid_id → a probe reads only its cells); here
+    it is inlined so the operator is self-contained.
+    """
+    cents = ivf_fit_centroids(corpus, n_centroids, lloyd_iters, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(F.col(vec_col)).alias("__cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), to_double_array(F.col(vec_col)).alias("__qvec")
+    )
+    c_cells = _nearest_centroids(c, cents, "neighbor_id", "__cvec", probe=1)
+    q_cells = _nearest_centroids(q, cents, query_id_col, "__qvec", probe=n_probe)
+    cands = c_cells.join(q_cells, "centroid_id").filter(
+        F.col(query_id_col) != F.col("neighbor_id")
+    )
+    scored = cands.withColumn(
+        "cosine_sim", cosine(F.col("__qvec"), F.col("__cvec"))
+    ).filter(F.col("cosine_sim").isNotNull())
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)

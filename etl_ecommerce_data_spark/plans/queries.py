@@ -1139,6 +1139,21 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_topk_ivf",
+    "Approximate cosine top-5 via IVF: deterministic distributed k-means "
+    "cells (hash-seeded init, exact-decimal Lloyd means), queries probe their "
+    "4 nearest of 16 cells — the data-adaptive ANN scale path alongside "
+    "SRP-LSH. No SQL oracle; recall vs exact top-k asserted in unit tests.",
+    oracle=None,
+    tags=("extension", "similarity", "ivf"),
+)
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+@register(
     "embedding_near_dup",
     "Embedding-level near-duplicate pairs (exact self-join baseline; "
     "LSH-banded variant covered by similarity tests). Threshold 0.4 is tuned "

@@ -59,3 +59,45 @@ def test_lsh_topk_recall(spark, emb):
     # while scoring a fraction of the corpus".
     assert recall >= 0.3, f"recall {recall}"
     assert len(approx_set) <= 10 * 5
+
+
+def test_ivf_fit_centroids_deterministic_and_bounded(spark, emb):
+    c1 = SIM.ivf_fit_centroids(emb, n_centroids=8, lloyd_iters=2)
+    c2 = SIM.ivf_fit_centroids(emb, n_centroids=8, lloyd_iters=2)
+    rows1 = sorted(c1.collect(), key=lambda r: r["centroid_id"])
+    rows2 = sorted(c2.collect(), key=lambda r: r["centroid_id"])
+    assert len(rows1) <= 8 and len(rows1) > 0
+    # exact-decimal Lloyd means → bit-identical refit
+    assert [(r["centroid_id"], r["__cent"]) for r in rows1] == [
+        (r["centroid_id"], r["__cent"]) for r in rows2
+    ]
+    dim = len(emb.first()["embedding"])
+    assert all(len(r["__cent"]) == dim for r in rows1)
+
+
+def test_ivf_topk_recall_and_shape(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=5).collect()
+    approx = SIM.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).collect()
+    # per-query rank sequence is dense 1..k and self-matches are excluded
+    by_q = {}
+    for r in approx:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing 4/16 data-adaptive cells: same contract as LSH — meaningful
+    # recall at a fraction of the brute-force scoring cost.
+    assert recall >= 0.3, f"recall {recall}"
+
+
+def test_ivf_probe_all_cells_equals_exact(spark, emb):
+    # n_probe == n_centroids degenerates to brute force → recall 1.0
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries, k=3).collect()
+    full = SIM.ivf_topk(emb, queries, k=3, n_centroids=4, n_probe=4).collect()
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact} == {
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in full
+    }
