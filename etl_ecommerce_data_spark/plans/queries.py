@@ -1298,6 +1298,44 @@ def q_stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_user_stats_stateful",
+    "Custom stateful streaming operator (applyInPandasWithState): per-user "
+    "running count + exact integer-cents money total, state bounded by user "
+    "cardinality. Single micro-batch locally → the one update emission per "
+    "user equals the batch groupBy oracle.",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("extension", "streaming", "stateful"),
+)
+def q_stream_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.streaming.events import (
+        run_user_running_stats_to_memory,
+    )
+
+    return run_user_running_stats_to_memory(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_events",
+    "Streaming exact dedup with watermark-bounded state "
+    "(dropDuplicatesWithinWatermark): every event duplicated via self-union, "
+    "deduped back to the original set — oracle is the events table itself.",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+""",
+    tags=("extension", "streaming", "dedup"),
+)
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.streaming.events import run_dedup_events_to_memory
+
+    return run_dedup_events_to_memory(spark, sf_dir)
+
+
+@register(
     "multimodal_meta",
     "Multimodal column plumbing: opaque binary payloads (UTF-8 encoded text "
     "standing in for image/audio bytes) with typed metadata — length + "

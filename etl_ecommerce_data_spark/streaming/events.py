@@ -14,10 +14,13 @@ batch twin (plans/queries.py events_tumbling_5min).
 from __future__ import annotations
 
 import uuid
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 # Stream-side schema: ts arrives as raw long nanos (see sources/registry.py —
 # the parquet files store TIMESTAMP(NANOS), which Spark reads via nanosAsLong).
@@ -66,6 +69,80 @@ def windowed_event_aggregation(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, exact money total)
+    via ``applyInPandasWithState`` — the arbitrary-state surface that
+    watermarked windows can't express (state survives across micro-batches,
+    update semantics, explicit state schema).
+
+    Exactness: money is accumulated as integer cents (the event values are
+    2-decimal doubles, so ``round(value*100)`` is exact) — the emitted
+    ``total_value = cents / 100.0`` is the same IEEE double as
+    ``CAST(SUM(CAST(value AS DECIMAL)) AS DOUBLE)`` in the batch oracle,
+    independent of arrival order. State is two longs per user — bounded by
+    user cardinality, not event volume.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state:
+    duplicates arriving within the watermark horizon are dropped, state for
+    event ids older than (max event time − watermark) is evicted — the
+    unbounded-state hazard of a plain streaming ``dropDuplicates`` is
+    structurally avoided."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = stream_df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def run_user_running_stats_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the stateful per-user stats over all available input. The events
+    file arrives as a single micro-batch, so the one 'update' emission per
+    user is the final state — equal to the batch groupBy oracle."""
+    events = read_events_stream(spark, sf_dir)
+    return _run_to_memory(user_running_stats(events), spark, "update")
+
+
+def run_dedup_events_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate every event (union the stream with itself), then streaming-
+    dedup back to the original set — exercises drop-within-watermark state
+    end-to-end with an exact batch oracle (the distinct events themselves)."""
+    events = read_events_stream(spark, sf_dir)
+    doubled = events.unionByName(read_events_stream(spark, sf_dir))
+    deduped = dedup_events_stream(doubled).select("event_id", "user_id", "event_type")
+    return _run_to_memory(deduped, spark, "append")
 
 
 def run_windowed_stream_to_memory(

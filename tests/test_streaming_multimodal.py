@@ -52,3 +52,78 @@ def test_decode_image_is_explicit_stub(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(1)
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(docs)
+
+
+def test_stateful_user_stats_across_micro_batches(spark, tmp_path):
+    """State must carry across micro-batches: 3 files → 3 batches, the final
+    update per user equals the all-data aggregate."""
+    import uuid
+
+    from etl_ecommerce_data_spark.streaming.events import user_running_stats
+
+    rows = [(u, float(v) / 100.0) for u in range(5) for v in range(100, 1300, 100)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "user_id long, value double").repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_running_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert len(q.recentProgress) >= 3  # really ran multiple micro-batches
+    finally:
+        q.stop()
+    out = spark.table(name).collect()
+    final = {}
+    for r in out:  # keep the emission with the highest running count per user
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]]["n_events"]:
+            final[r["user_id"]] = r
+    assert len(final) == 5
+    for u, r in final.items():
+        assert r["n_events"] == 12
+        assert abs(r["total_value"] - 78.0) < 1e-12
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    import datetime as dt
+    import uuid
+
+    from etl_ecommerce_data_spark.streaming.events import dedup_events_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(seconds=i), i % 3) for i in range(20)]
+    src = tmp_path / "src"
+    src.mkdir()
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    # same 20 events written twice → two micro-batches with full duplicates
+    df.coalesce(1).write.parquet(str(src / "a"))
+    df.coalesce(1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_events_stream(stream)
+        .select("event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert got == list(range(20))
