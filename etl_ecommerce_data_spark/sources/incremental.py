@@ -1,0 +1,92 @@
+"""Incremental write semantics over a plain-parquet lakehouse.
+
+The reference only ever full-refreshes (``mode("overwrite")`` at
+``to_bronze.py:49``, ``to_silver.py:41``, ``to_gold.py:44``) — rewriting every
+zone per run. At 100 TB a full refresh is the difference between touching
+terabytes and touching the day's slice, so the engine adds the two incremental
+patterns plain parquet can express safely:
+
+- **Dynamic partition overwrite** (``overwrite_partitions``): replace only the
+  storage partitions present in the incoming batch, leave the rest untouched.
+  Spark-native (``spark.sql.sources.partitionOverwriteMode=dynamic``) —
+  per-partition atomicity, no table-wide rewrite.
+- **Merge/upsert** (``merge_upsert``): latest-version-wins per key, expressed
+  as union + deterministic ``row_number`` pick. Without a transaction log
+  (Delta/Iceberg are out of scope here) a safe in-place rewrite of the same
+  path is impossible — lazy reads would race the overwrite — so the merge
+  writes to a NEW snapshot directory and returns its path; the caller flips a
+  pointer (or, partitioned, combines with ``overwrite_partitions`` to rewrite
+  only affected partitions).
+
+At cluster scale the same ``merge_upsert`` dataframe-level semantics port
+directly onto Delta/Iceberg ``MERGE INTO``; the operator keeps the engine's
+declared, testable behavior independent of the table format.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: Sequence[str]
+) -> None:
+    """Overwrite ONLY the partitions present in ``df`` (dynamic mode); other
+    partitions of the table keep their data."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def merge_dataframes(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    version_col: str,
+) -> DataFrame:
+    """Latest-wins upsert as a pure transform: one row per key, the survivor
+    being the greatest ``version_col`` with updates beating current on ties.
+
+    Single shuffle on the keys; the tie-break column makes the survivor
+    deterministic (the reference's ``dropDuplicates([k])`` survivor is
+    whichever partition wins the race — SURVEY §2.6 D2).
+    """
+    tagged = current.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    version_col: str,
+    snapshot: str = "snapshot",
+) -> str:
+    """Merge ``updates`` into the parquet table at ``table_path`` and write
+    the result as a new snapshot directory next to it (never in place — a
+    reader of ``table_path`` must not observe a half-overwritten table).
+    Returns the snapshot path; the caller promotes it (rename / view flip).
+    """
+    current = spark.read.parquet(table_path)
+    merged = merge_dataframes(current, updates, keys, version_col)
+    out = os.path.join(os.path.dirname(table_path.rstrip("/")), f"{snapshot}.parquet")
+    merged.write.mode("overwrite").parquet(out)
+    return out

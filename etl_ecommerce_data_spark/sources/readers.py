@@ -52,6 +52,47 @@ def read_csv_table(
     return spark.read.options(header=str(header).lower(), **options).schema(schema).csv(path)
 
 
+def read_json_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines scan with a declared schema. Schema is mandatory: JSON
+    inference is a full extra pass AND type-unstable across files (an
+    all-null column in one file infers string) — unacceptable at 100 TB."""
+    return spark.read.options(**options).schema(schema).json(path)
+
+
+def write_json_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (interchange format; parquet stays the analytics
+    format — JSON has no column pruning/statistics)."""
+    df.write.mode(mode).json(path)
+
+
+def read_orc_table(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan — same splittable/columnar/pushdown properties as parquet,
+    for interop with Hive-era lakes."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,
