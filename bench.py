@@ -37,6 +37,8 @@ HEADLINE = [
     "events_by_type_day",
     "events_tumbling_5min",
     "asof_events_orders",
+    "range_join_view_purchase",
+    "nation_daily_revenue_ma",
     "clean_lineitem",
     "dedup_exact_docs",
     "text_stats",

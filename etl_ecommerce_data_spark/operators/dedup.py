@@ -218,3 +218,58 @@ def simhash_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    node_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (node, cluster_id) where
+    cluster_id = min node id reachable through the pair graph. The step from
+    pairwise dedup output to "keep one doc per duplicate cluster".
+
+    Iterative min-label propagation, all DataFrame ops: each round every node
+    takes the min of its own label and its neighbors' labels, until a round
+    changes nothing (or ``max_iters``). Rounds needed ≈ graph diameter — small
+    for near-dup clusters. Each round is one join + groupBy (shuffle on node
+    id); ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1; the edge list is persisted once and reused.
+
+    Deterministic by construction (min over node ids). Isolated nodes keep
+    their own id → singleton clusters.
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .persist()
+    )
+    labels = nodes.select(F.col(node_col).alias("n")).distinct().withColumn(
+        "lbl", F.col("n")
+    ).localCheckpoint(eager=True)
+    try:
+        for _ in range(max_iters):
+            nbr_min = (
+                und.join(labels, und["s"] == labels["n"])
+                .groupBy("d")
+                .agg(F.min("lbl").alias("nbr_lbl"))
+            )
+            updated = (
+                labels.join(nbr_min, labels["n"] == nbr_min["d"], "left")
+                .select(
+                    "n",
+                    F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                    F.col("lbl").alias("prev"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = updated.filter(F.col("lbl") != F.col("prev")).count()
+            labels = updated.drop("prev")
+            if changed == 0:
+                break
+    finally:
+        und.unpersist()
+    return labels.select(F.col("n").alias(node_col), F.col("lbl").alias("cluster_id"))

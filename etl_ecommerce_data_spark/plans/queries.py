@@ -916,6 +916,41 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    "Near-dup pairs folded into duplicate clusters: iterative min-label "
+    "propagation (connected components) over the exact-Jaccard pair graph — "
+    "cluster_id = min reachable doc_id; singletons keep their own id. The "
+    "iterative DataFrame loop is oracle-checked against a DuckDB recursive "
+    "CTE computing the same reachability fixpoint.",
+    oracle="""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+          / (CAST(len(a.toks) AS BIGINT) + CAST(len(b.toks) AS BIGINT)
+             - CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS BIGINT)) >= 0.6
+),
+und AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
+reach(n, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.n, und.pb FROM reach JOIN und ON reach.r = und.pa
+)
+SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n
+""",
+    tags=("extension", "dedup", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.6, block_col="lang")
+    return DD.connected_components(pairs, docs, node_col="doc_id")
+
+
+@register(
     "dedup_minhash_docs",
     "MinHash+LSH near-dup pairs (64 perms, 16 bands) with exact-Jaccard "
     "verification — the 100 TB fuzzy-dedup path. No SQL oracle (LSH banding "
@@ -1092,6 +1127,103 @@ def _cosine_sql(a: str, b: str) -> str:
     na = f"sqrt({_COS_SQL.format(a=a, b=a)})"
     nb = f"sqrt({_COS_SQL.format(a=b, b=b)})"
     return f"CASE WHEN {na} > 0 AND {nb} > 0 THEN {d} / ({na} * {nb}) ELSE NULL END"
+
+
+@register(
+    "curate_corpus",
+    "End-to-end training-corpus curation: quality gate (score >= 0.71, >= 15 "
+    "tokens) then exact content dedup keeping the smallest doc_id per md5 — "
+    "the composed filter->dedup pipeline an LLM data run executes, as one "
+    "declarative plan (scores and survivor choice all JVM-side).",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '), x -> regexp_full_match(x, '[a-zA-Z]+'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(string_split(text, ' '),
+               x -> list_contains(['the','a','of','and','is','to'], x))) AS BIGINT) AS n_stop,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_tok_len
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, text, n_tokens,
+         (CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+         + (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+         + (CASE WHEN avg_tok_len >= 2.0 AND avg_tok_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+           AS quality_score
+  FROM t
+),
+f AS (SELECT * FROM scored WHERE quality_score >= 0.71 AND n_tokens >= 15),
+d AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count
+  FROM f
+)
+SELECT doc_id, lang, n_tokens, quality_score, CAST(dup_count AS BIGINT) AS dup_count
+FROM d WHERE rn = 1
+""",
+    tags=("extension", "text", "dedup", "pipeline"),
+)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = TX.token_count(t)
+    score = (
+        (TX.alpha_word_count(t).cast("double") / n.cast("double")) * 0.5
+        + (TX.stopword_count(t).cast("double") / n.cast("double")) * 0.3
+        + F.when((TX.avg_token_length(t) >= 2.0) & (TX.avg_token_length(t) <= 12.0), 1.0)
+        .otherwise(0.0)
+        * 0.2
+    )
+    scored = docs.select(
+        "doc_id", "lang", "text", n.alias("n_tokens"), score.alias("quality_score")
+    )
+    f = scored.filter((F.col("quality_score") >= 0.71) & (F.col("n_tokens") >= 15))
+    h = F.md5(F.encode(F.col("text"), "UTF-8"))
+    wp = Window.partitionBy(h)
+    d = f.withColumn("rn", F.row_number().over(wp.orderBy("doc_id"))).withColumn(
+        "dup_count", F.count("*").over(wp).cast("long")
+    )
+    return d.filter(F.col("rn") == 1).select(
+        "doc_id", "lang", "n_tokens", "quality_score", "dup_count"
+    )
+
+
+@register(
+    "daily_users_hll",
+    "Per-day approximate distinct users via HyperLogLog++ "
+    "(approx_count_distinct, rsd 2%) — the mergeable-sketch path for count-"
+    "distinct at 100 TB (exact distinct shuffles every user id; the sketch "
+    "ships fixed-size registers). Engine-specific sketch -> no SQL oracle; "
+    "the error bound vs exact is asserted in unit tests.",
+    oracle=None,
+    tags=("analytics", "sketch"),
+)
+def q_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
+@register(
+    "value_percentiles_approx",
+    "Per-type approximate percentiles via the Greenwald-Khanna sketch "
+    "(percentile_approx, accuracy 10000) — bounded-memory mergeable quantiles "
+    "for 100 TB, vs the exact sort-based value_percentiles. Sketch is engine-"
+    "specific -> no SQL oracle; rank-error bound asserted in unit tests.",
+    oracle=None,
+    tags=("analytics", "sketch"),
+)
+def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95"),
+    )
 
 
 @register(

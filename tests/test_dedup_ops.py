@@ -64,3 +64,29 @@ def test_minhash_signature_shape(spark, docs):
     sig = docs.select(DD.minhash_signature(F.col("text"), num_perms=16).alias("s")).first()["s"]
     assert len(sig) == 16
     assert all(isinstance(v, int) for v in sig)
+
+
+def test_connected_components_basic(spark):
+    from etl_ecommerce_data_spark.operators.dedup import connected_components
+
+    # components {1,2,3}, {10,11}; 20 isolated
+    edges = spark.createDataFrame([(2, 3), (1, 2), (10, 11)], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_path_graph_converges(spark):
+    from etl_ecommerce_data_spark.operators.dedup import connected_components
+
+    # worst-case diameter: a chain 0-1-2-...-11 needs ~11 propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    got = connected_components(edges, nodes).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == 12

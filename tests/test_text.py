@@ -55,3 +55,55 @@ def test_shingle_fingerprint_is_min_of_shingles(spark):
 def test_quality_score_bounds(spark):
     v = _one(spark, "the quick brown fox and the lazy dog", TX.quality_score)
     assert 0.0 <= v <= 1.0
+
+
+def test_hll_distinct_within_error_bound(spark):
+    from etl_ecommerce_data_spark.plans.queries import QUERIES
+    from etl_ecommerce_data_spark.sources.registry import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    approx = {
+        r["event_date"]: r["approx_users"]
+        for r in QUERIES["daily_users_hll"].builder(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["event_date"]: r["n"]
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for d, n in exact.items():
+        # rsd=2% → allow a generous 4-sigma band
+        assert abs(approx[d] - n) <= max(2, 0.08 * n), (d, approx[d], n)
+
+
+def test_percentile_approx_within_rank_error(spark):
+    from pyspark.sql import functions as F
+
+    from etl_ecommerce_data_spark.plans.queries import QUERIES
+    from etl_ecommerce_data_spark.sources.registry import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    approx = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in QUERIES["value_percentiles_approx"].builder(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    for etype, (p50, p95) in approx.items():
+        vals = sorted(
+            r["value"] for r in ev.filter(F.col("event_type") == etype).collect()
+        )
+        n = len(vals)
+        # GK with accuracy 10000 on n≈2000: rank error ≤ n/10000 < 1, but the
+        # approx result is a real element, not interpolated → compare ranks.
+        import bisect
+
+        for q, got in ((0.5, p50), (0.95, p95)):
+            rank = bisect.bisect_left(vals, got)
+            assert abs(rank - q * n) <= max(2, 0.01 * n), (etype, q, got, rank, q * n)
