@@ -1129,6 +1129,68 @@ def _cosine_sql(a: str, b: str) -> str:
     return f"CASE WHEN {na} > 0 AND {nb} > 0 THEN {d} / ({na} * {nb}) ELSE NULL END"
 
 
+# One SQL text, two engines: the Spark builder executes _SEGMENT_SQL via
+# spark.sql over registered views, and the SAME string is the DuckDB oracle —
+# pinning Spark SQL's dialect against an independent implementation.
+_SEGMENT_SQL = """
+SELECT c.c_mktsegment AS mktsegment, o.o_orderpriority AS orderpriority,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_mktsegment, o.o_orderpriority
+"""
+
+
+@register(
+    "sql_segment_priority_revenue",
+    "SQL entry point: segment x priority revenue executed as a spark.sql "
+    "string over registered views — the oracle is the identical SQL text, so "
+    "dialect behavior (distinct agg, decimal widening) is pinned engine-vs-"
+    "engine.",
+    oracle=_SEGMENT_SQL,
+    tags=("analytics", "sql-api"),
+)
+def q_sql_segment_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.plans.sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _SEGMENT_SQL)
+
+
+# Java regex (Spark) and RE2 (DuckDB) agree on this alternation: runs of
+# letters, runs of digits, or single non-alphanumeric non-space marks.
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_tokens_bpe",
+    "BPE-ish token counting: regex alternation (letter runs | digit runs | "
+    "punctuation marks) as a JVM-side regexp_extract_all — the pre-tokenizer "
+    "pass of a BPE pipeline, alongside the whitespace token_count baseline.",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+FROM documents
+""",
+    tags=("extension", "text"),
+)
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_BPE_ISH), 0)).cast("long").alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0)).cast("long").alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit("[0-9]+"), 0)).cast("long").alias("n_number_tokens"),
+        TX.token_count(t).alias("n_ws_tokens"),
+    )
+
+
 @register(
     "curate_corpus",
     "End-to-end training-corpus curation: quality gate (score >= 0.71, >= 15 "

@@ -1,0 +1,50 @@
+"""Bucketed tables: shuffle-free fact-fact joins by co-located storage.
+
+The one shuffle the engine cannot optimize away declaratively is a fact-fact
+equi-join (e.g. lineitem ⋈ orders at 100 TB: both sides exchange on the key
+every query). Bucketing moves that shuffle to WRITE time, once: both tables
+are hash-partitioned into the same number of buckets on the join key and
+sorted within buckets, so every subsequent join plans as a SortMergeJoin over
+matching bucket files with NO Exchange on either side — the dominant recurring
+query cost traded for a one-time layout cost.
+
+Requires the table catalog (``saveAsTable``): bucket metadata lives in the
+metastore, not in parquet itself. ``path`` keeps the data external so the
+lakehouse layout stays explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    path: str | None = None,
+    sort_col: str | None = None,
+) -> None:
+    """Write ``df`` as a bucketed (and in-bucket sorted) catalog table.
+
+    ``num_buckets`` must MATCH across tables that will join — mismatched
+    bucket counts fall back to a shuffled join. Size buckets so one bucket of
+    the biggest table fits an executor's memory comfortably (at 100 TB of
+    lineitem, thousands of buckets, not 32).
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(sort_col or bucket_col)
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read back a bucketed table; Spark picks the bucket layout up from the
+    catalog and exposes it as the scan's output partitioning."""
+    return spark.table(table)

@@ -155,3 +155,29 @@ def test_merge_upsert_latest_wins_and_snapshot_isolation(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in spark.read.parquet(snap).collect()} == got
     # original table untouched (snapshot isolation)
     assert spark.read.parquet(table).count() == 3
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from etl_ecommerce_data_spark.sources.bucketing import (
+        read_bucketed_table,
+        write_bucketed_table,
+    )
+
+    facts = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS v")
+    dims = spark.range(0, 1_000).selectExpr("id AS k", "id + 1 AS w")
+    write_bucketed_table(facts, "t_facts_b", "k", 8, path=str(tmp_path / "f"))
+    write_bucketed_table(dims, "t_dims_b", "k", 8, path=str(tmp_path / "d"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed_table(spark, "t_facts_b").join(
+            read_bucketed_table(spark, "t_dims_b"), "k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert joined.count() == 1_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_facts_b")
+        spark.sql("DROP TABLE IF EXISTS t_dims_b")
