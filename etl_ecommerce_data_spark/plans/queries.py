@@ -1129,6 +1129,168 @@ def _cosine_sql(a: str, b: str) -> str:
     return f"CASE WHEN {na} > 0 AND {nb} > 0 THEN {d} / ({na} * {nb}) ELSE NULL END"
 
 
+@register(
+    "customers_no_orders",
+    "Anti join: customers with no large order (left_anti against the "
+    "filtered right side — the filter pushes into the probe's scan and the "
+    "shuffle carries only join keys).",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+)
+""",
+    tags=("analytics", "anti-join"),
+)
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return customer.join(
+        big, customer["c_custkey"] == big["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "suppliers_with_sales",
+    "Semi join: suppliers with at least one lineitem (left_semi — "
+    "existence-only probe, no fan-out, right side never materialized in the "
+    "output).",
+    oracle="""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+""",
+    tags=("analytics", "semi-join"),
+)
+def q_suppliers_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return supplier.join(
+        lineitem, supplier["s_suppkey"] == lineitem["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "one_time_buyers_except",
+    "Set difference: customers with orders EXCEPT customers with more than "
+    "one order (distinct set semantics on both engines).",
+    oracle="""
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+""",
+    tags=("analytics", "set-op"),
+)
+def q_one_time_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    all_buyers = orders.select("o_custkey").distinct()
+    multi = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("o_custkey")
+    )
+    # subtract == SQL EXCEPT (distinct set semantics); exceptAll would only
+    # remove ONE duplicate occurrence per right-side row.
+    return all_buyers.subtract(multi)
+
+
+@register(
+    "status_latest_order",
+    "Argmax aggregation (max_by/arg_max): per status, the most recent order "
+    "with a deterministic tie-break — ordering key encoded as a fixed-width "
+    "sortable string (timestamp then zero-padded key) so both engines' "
+    "lexicographic max is the same total order.",
+    oracle="""
+SELECT o_orderstatus,
+       arg_max(o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|'
+                 || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS latest_orderkey,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS latest_order_date,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("analytics", "argmax"),
+)
+def q_status_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    sort_key = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.lit("|"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", sort_key).alias("latest_orderkey"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("latest_order_date"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "user_event_profile",
+    "Nested aggregation to a canonical string: per user, sorted "
+    "'type:count' pairs collected and joined — collect_list is "
+    "order-nondeterministic, so the array is sorted before joining (both "
+    "engines sort the same ASCII strings).",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(n AS VARCHAR), ',' ORDER BY event_type)
+         AS profile,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM c GROUP BY user_id
+""",
+    tags=("analytics", "nested"),
+)
+def q_user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    return c.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.concat(F.col("event_type"), F.lit(":"), F.col("n").cast("string"))
+                )
+            ),
+            ",",
+        ).alias("profile"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
+# One SQL text, two engines: grouping sets at three granularities in a single
+# pass — written once, executed by spark.sql AND used verbatim as the oracle.
+_GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register(
+    "revenue_grouping_sets",
+    "GROUPING SETS at three granularities in one aggregation pass (finer "
+    "than rollup/cube: an explicit lattice subset), with GROUPING() ids "
+    "disambiguating real NULL keys from subtotal rows.",
+    oracle=_GROUPING_SETS_SQL,
+    tags=("analytics", "grouping-sets", "sql-api"),
+)
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.plans.sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _GROUPING_SETS_SQL)
+
+
 # One SQL text, two engines: the Spark builder executes _SEGMENT_SQL via
 # spark.sql over registered views, and the SAME string is the DuckDB oracle —
 # pinning Spark SQL's dialect against an independent implementation.
