@@ -1,0 +1,89 @@
+"""The sanctioned Python paths: Arrow-batched Pandas UDFs.
+
+Policy (SCALE.md): everything that CAN be a JVM expression IS one — Python
+appears only where the semantics genuinely aren't expressible declaratively,
+and then always Arrow-batched (pandas_udf / applyInPandas), never row-at-a-time
+``udf``. Two members:
+
+- ``cosine_pandas`` — vectorized numpy cosine as a scalar pandas_udf. The JVM
+  higher-order-function ``functions.vectors.cosine`` is the production path;
+  this exists as the vectorized-UDF reference implementation (tested equal)
+  and the template for scoring functions that need numpy/scipy kernels.
+- ``user_value_ewma`` — exponentially weighted moving average per key via
+  ``applyInPandas``. EWMA is a sequential recurrence (s_t = (1-α)·s_{t-1} +
+  α·x_t) — not expressible as a single Spark window aggregate — so each
+  group's ordered fold runs in pandas; groups are independent, so the operator
+  scales with key cardinality exactly like any groupBy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("double")
+def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Cosine similarity over two array<double> columns, one Arrow batch at a
+    time. Null/zero-norm pairs → null (same contract as the JVM cosine)."""
+
+    def one(x, y):
+        if x is None or y is None:
+            return None
+        xv = np.asarray(x, dtype=np.float64)
+        yv = np.asarray(y, dtype=np.float64)
+        nx = float(np.sqrt(np.dot(xv, xv)))
+        ny = float(np.sqrt(np.dot(yv, yv)))
+        if nx == 0.0 or ny == 0.0:
+            return None
+        return float(np.dot(xv, yv)) / (nx * ny)
+
+    return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+
+def user_value_ewma(
+    events: DataFrame,
+    alpha: float = 0.1,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Final EWMA of ``value_col`` per key, folding rows in (time, tiebreak)
+    order with ``s_1 = x_1`` (pandas ``ewm(adjust=False)`` semantics).
+
+    The fold order is total (time + unique tiebreak), so the sequence of IEEE
+    operations — and therefore the result, bit-for-bit — is fixed regardless
+    of partitioning. One shuffle on the key; per-group work is a single
+    in-memory pandas pass.
+    """
+
+    one_minus = 1.0 - alpha  # bind the exact constant used in every step
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([time_col, tiebreak_col], kind="mergesort")
+        # Explicit fold (not pandas .ewm) so the per-step expression is
+        # literally `prev*(1-α) + x*α` — the same two multiplies and one add
+        # the SQL-oracle fold performs, hence bit-identical results.
+        s: float | None = None
+        for x in pdf[value_col].to_numpy():
+            xf = float(x)
+            s = xf if s is None else s * one_minus + xf * alpha
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "ewma_value": [s],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    out_schema = f"{key_col} long, ewma_value double, n_events long"
+    return (
+        events.select(key_col, time_col, tiebreak_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(fn, out_schema)
+        .withColumn("n_events", F.col("n_events").cast("long"))
+    )

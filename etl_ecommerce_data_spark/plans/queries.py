@@ -1354,6 +1354,32 @@ def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_value_ewma",
+    "Sequential custom operator via applyInPandas: per-user EWMA "
+    "(s_t = s_{t-1}*(1-a) + x_t*a, a=0.1) folded in (ts, event_id) order — a "
+    "recurrence no single window aggregate expresses, so it runs as an "
+    "Arrow-batched grouped-map. The oracle folds the identical IEEE ops with "
+    "DuckDB list_reduce over the same total order -> bit-identical.",
+    oracle="""
+WITH o AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       list_reduce(vals, (acc, x) -> acc * (1.0 - 0.1) + x * 0.1) AS ewma_value,
+       CAST(len(vals) AS BIGINT) AS n_events
+FROM o
+""",
+    tags=("extension", "pandas-udf", "stateful"),
+)
+def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.functions.pandas_udfs import user_value_ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    return user_value_ewma(ev, alpha=0.1)
+
+
+@register(
     "curate_corpus",
     "End-to-end training-corpus curation: quality gate (score >= 0.71, >= 15 "
     "tokens) then exact content dedup keeping the smallest doc_id per md5 — "

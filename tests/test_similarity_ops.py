@@ -101,3 +101,27 @@ def test_ivf_probe_all_cells_equals_exact(spark, emb):
     assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact} == {
         (r["query_id"], r["neighbor_id"], r["rank"]) for r in full
     }
+
+
+def test_pandas_udf_cosine_equals_jvm_cosine(spark, emb):
+    from etl_ecommerce_data_spark.functions.pandas_udfs import cosine_pandas
+    from etl_ecommerce_data_spark.functions.vectors import to_double_array
+
+    pairs = (
+        emb.filter(F.col("vec_id") < 30)
+        .select(F.col("vec_id").alias("ia"), to_double_array(F.col("embedding")).alias("va"))
+        .crossJoin(
+            emb.filter(F.col("vec_id").between(30, 40)).select(
+                F.col("vec_id").alias("ib"), to_double_array(F.col("embedding")).alias("vb")
+            )
+        )
+    )
+    both = pairs.select(
+        "ia",
+        "ib",
+        cosine(F.col("va"), F.col("vb")).alias("jvm"),
+        cosine_pandas(F.col("va"), F.col("vb")).alias("py"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert abs(r["jvm"] - r["py"]) < 1e-12
