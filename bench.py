@@ -32,6 +32,7 @@ HEADLINE = [
     "supplier_performance",
     "order_status_delivery",
     "nation_revenue",
+    "region_supplier_volume",
     "top_parts_per_brand",
     "churned_customers",
     "events_by_type_day",

@@ -101,6 +101,83 @@ def extract_features(media: DataFrame, dim: int = 8, batch_decoder=None) -> Data
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_grayscale(
+    media: DataFrame,
+    width_col: str,
+    height_col: str,
+    out_w: int,
+    out_h: int,
+) -> DataFrame:
+    """Nearest-neighbor resize of raw grayscale images (payload = row-major
+    width×height bytes) to ``out_w``×``out_h`` — a REAL kernel (pure numpy
+    index arithmetic, no codec dependency), Arrow-batched via mapInPandas.
+    Rows whose payload length doesn't match width×height yield null payloads
+    (corrupt-input tolerance rather than task failure)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p, w, h in zip(pdf["payload"], pdf[width_col], pdf[height_col]):
+                if p is None or w is None or h is None or len(p) != int(w) * int(h):
+                    out.append(None)
+                    continue
+                arr = np.frombuffer(p, dtype=np.uint8).reshape(int(h), int(w))
+                ys = np.floor(np.arange(out_h) * int(h) / out_h).astype(np.int64)
+                xs = np.floor(np.arange(out_w) * int(w) / out_w).astype(np.int64)
+                out.append(arr[ys[:, None], xs[None, :]].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def resample_pcm(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Decimate 16-bit little-endian PCM audio payloads by keeping every
+    ``every_n``-th sample — again a real numpy kernel (slicing), the audio
+    analog of frame sampling. Odd trailing bytes are truncated to sample
+    alignment."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                n = len(p) - (len(p) % 2)
+                samples = np.frombuffer(p[:n], dtype="<i2")
+                out.append(samples[::every_n].tobytes())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": out})
+
+    return media.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
 def decode_image(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
     """Real image decode requires PIL/opencv — not in this container."""
     raise NotImplementedError(

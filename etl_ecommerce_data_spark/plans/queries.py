@@ -1130,6 +1130,77 @@ def _cosine_sql(a: str, b: str) -> str:
 
 
 @register(
+    "region_supplier_volume",
+    "TPC-H Q5-style six-table join: revenue by region/nation where customer "
+    "and supplier share a nation — the deepest join tree in the registry "
+    "(fact-fact lineitem ⋈ orders, then key-chained dims with nation/region "
+    "explicitly broadcast; Catalyst/AQE pick the physical order).",
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    tags=("analytics", "multi-join"),
+)
+def q_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            supplier,
+            (li["l_suppkey"] == supplier["s_suppkey"])
+            & (supplier["s_nationkey"] == customer["c_nationkey"]),
+        )
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.count("*").alias("n_items"),
+        F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "event_type_distinct_props",
+    "Skew-tolerant exact count-distinct: two-stage aggregation (groupBy "
+    "(type, props) collapses duplicates across partitions, then counts per "
+    "type) — a hot key's distinct set is built in parallel instead of inside "
+    "one task's hash set, unlike a direct COUNT(DISTINCT).",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT props) AS n_distinct_props
+FROM events GROUP BY event_type
+""",
+    tags=("analytics", "skew", "aggregation"),
+)
+def q_event_type_distinct_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", "props")
+        .agg(F.lit(1))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct_props"))
+    )
+
+
+@register(
     "customers_no_orders",
     "Anti join: customers with no large order (left_anti against the "
     "filtered right side — the filter pushes into the probe's scan and the "

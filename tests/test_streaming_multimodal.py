@@ -127,3 +127,37 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
         q.stop()
     got = sorted(r["event_id"] for r in spark.table(name).collect())
     assert got == list(range(20))
+
+
+def test_resize_grayscale_nearest_neighbor(spark):
+    import numpy as np
+
+    from etl_ecommerce_data_spark.multimodal import resize_grayscale
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)  # 4x4 gradient
+    rows = [
+        (1, img.tobytes(), 4, 4),
+        (2, b"short", 4, 4),  # corrupt: wrong byte count -> null payload
+        (3, None, 4, 4),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, width int, height int"
+    )
+    out = {r["media_id"]: r for r in resize_grayscale(media, "width", "height", 2, 2).collect()}
+    want = img[[0, 2]][:, [0, 2]]  # nearest-neighbor: rows 0,2 / cols 0,2
+    assert bytes(out[1]["payload"]) == want.tobytes()
+    assert out[1]["width"] == 2 and out[1]["height"] == 2
+    assert out[2]["payload"] is None and out[3]["payload"] is None
+
+
+def test_resample_pcm_decimation(spark):
+    import numpy as np
+
+    from etl_ecommerce_data_spark.multimodal import resample_pcm
+
+    samples = np.arange(10, dtype="<i2")
+    rows = [(1, samples.tobytes() + b"\x07"), (2, None)]  # odd trailing byte
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in resample_pcm(media, every_n=2).collect()}
+    assert np.frombuffer(bytes(out[1]["payload"]), dtype="<i2").tolist() == [0, 2, 4, 6, 8]
+    assert out[2]["payload"] is None
