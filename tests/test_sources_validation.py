@@ -181,3 +181,21 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_facts_b")
         spark.sql("DROP TABLE IF EXISTS t_dims_b")
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Storage-level partition pruning: a filter on the partition column must
+    reach the scan as a PartitionFilter (pruned directories, not row filters)."""
+    from pyspark.sql import functions as F
+
+    from etl_ecommerce_data_spark.sources.readers import write_parquet_table
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 10).cast("string").alias("bucket")
+    )
+    path = str(tmp_path / "t")
+    write_parquet_table(df, path, partition_by=["bucket"])
+    back = spark.read.parquet(path).filter(F.col("bucket") == "3")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+    assert back.count() == 100
