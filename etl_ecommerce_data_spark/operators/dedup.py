@@ -250,6 +250,7 @@ def connected_components(
     labels = nodes.select(F.col(node_col).alias("n")).distinct().withColumn(
         "lbl", F.col("n")
     ).localCheckpoint(eager=True)
+    converged = False
     try:
         for _ in range(max_iters):
             nbr_min = (
@@ -269,7 +270,16 @@ def connected_components(
             changed = updated.filter(F.col("lbl") != F.col("prev")).count()
             labels = updated.drop("prev")
             if changed == 0:
+                converged = True
                 break
     finally:
         und.unpersist()
+    if not converged:
+        # Emitting partial labels would be silently wrong (nodes on a chain
+        # longer than max_iters keep a non-minimal cluster_id) and would break
+        # the determinism contract — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters} "
+            "rounds (graph diameter exceeds the iteration cap); raise max_iters"
+        )
     return labels.select(F.col("n").alias(node_col), F.col("lbl").alias("cluster_id"))

@@ -45,8 +45,15 @@ def salted_join(
     Use when one key's row count dwarfs the rest and AQE's skew splitting
     isn't available (e.g. broadcast not possible and the plan is shuffle-hash).
     Cost: right side is duplicated ``salt_buckets``× — keep buckets modest.
+
+    The salt is ``pmod(xxhash64(all left columns), buckets)`` — bit-
+    deterministic for a given row regardless of partitioning (a random salt
+    would spread rows identically but make any debugging repro partition-
+    dependent). Salt choice never affects results (dropped post-join).
     """
-    salted_left = left.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    salted_left = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)).cast("int")
+    )
     buckets = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
     salted_right = right.select("*", buckets)
     out = salted_left.join(salted_right, [on, "__salt"], how)
@@ -76,7 +83,18 @@ def range_join(
     bucket, so no post-join dedup is needed, only the exact range filter.
 
     ``left_time``/``right_time`` must not collide (rename before a self-join).
+
+    Only ``how='inner'`` is supported: the exact range predicate runs AFTER
+    the bucketed equi-join, so null-extended rows of an outer join would fail
+    it and silently degrade the result to inner. For a left-outer range join,
+    range-join inner then left-join the pair counts back onto the left side
+    (the pattern in plans/queries.py q_range_join_view_purchase).
     """
+    if how != "inner":
+        raise ValueError(
+            "range_join supports how='inner' only; for outer semantics join "
+            f"the inner result back onto the preserved side (got how={how!r})"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     w_us = max(int((upper_seconds - lower_seconds) * 1_000_000), 1)
     lo_us = int(lower_seconds * 1_000_000)
@@ -124,23 +142,32 @@ def asof_join(
 
     ``right_cols`` must not collide with left column names.
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
     tiebreak = right_cols[0]
+    # The whole matched right row travels as ONE struct: a single
+    # last(ignorenulls) then picks an entire row, so a NULL in one right
+    # column can't be papered over with a stale value from an older row, and
+    # ties at equal right_time can't mix columns from different rows.
+    payload_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     l_tagged = left.select(
         F.col(key).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
+        F.lit(None).cast(payload_t).alias("__payload"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
     )
     r_tagged = right.select(
         F.col(key).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.col(tiebreak).alias("__tb"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__payload"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c) for c in right_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
     # Right rows sort before left rows at equal time (asof is inclusive);
@@ -150,16 +177,14 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in right_cols
-        ],
+    carried = unioned.withColumn(
+        "__asof", F.last(F.col("__payload"), ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__asof.{c}").alias(c) for c in right_cols],
     )
     if tolerance_expr:
-        carried = carried.filter(F.expr(tolerance_expr))
-    return carried.filter(F.col("__is_left") == 1).select(
-        *[F.col(c) for c in lcols],
-        *[F.col(f"__asof_{c}").alias(c) for c in right_cols],
-    )
+        # Evaluated on the OUTPUT columns (left cols + matched right cols).
+        out = out.filter(F.expr(tolerance_expr))
+    return out

@@ -234,15 +234,18 @@ def gold_product_performance(order_items: DataFrame, products: DataFrame) -> Dat
 def gold_seller_performance(
     order_items: DataFrame, sellers: DataFrame, orders: DataFrame
 ) -> DataFrame:
-    """to_gold.py:94-105: items ⋈ sellers ⋈ orders; avg approval delay."""
+    """to_gold.py:94-105: items ⋈ sellers ⋈ orders; avg delivery time
+    (delivered − purchase, the reference's metric at to_gold.py:103-104)."""
     j = order_items.join(sellers, "seller_id").join(orders, "order_id")
     return j.groupBy("seller_id", "seller_state").agg(
         F.count("order_id").alias("total_orders"),
         F.sum("price").alias("total_revenue"),
-        F.avg("price").alias("avg_item_price"),
+        F.avg("price").alias("avg_order_value"),
         F.avg(
-            F.datediff(F.col("order_approved_at"), F.col("order_purchase_timestamp"))
-        ).alias("avg_approval_days"),
+            F.datediff(
+                F.col("order_delivered_customer_date"), F.col("order_purchase_timestamp")
+            )
+        ).alias("avg_delivery_time"),
     )
 
 

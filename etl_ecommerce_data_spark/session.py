@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # The synthetic events table stores parquet TIMESTAMP(NANOS); pinning
+        # this here (not inside a reader) keeps session conf immutable during
+        # query execution. load_table re-asserts it only for sessions built
+        # elsewhere (e.g. the driver's own SparkSession).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # 128 MB input splits: the right granularity for wide parquet scans;

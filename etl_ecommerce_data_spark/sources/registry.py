@@ -145,10 +145,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SYNTHETIC_SCHEMAS)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        try:  # runtime-settable SQL conf; required to scan TIMESTAMP(NANOS)
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:  # pragma: no cover - only if a cluster pins it
-            pass
+        # session.py pins this at build time; re-assert only when the session
+        # was built elsewhere (the correctness driver passes its own), so an
+        # engine-built session's conf is never mutated mid-query.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            try:  # runtime-settable SQL conf; required to scan TIMESTAMP(NANOS)
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            except Exception:  # pragma: no cover - only if a cluster pins it
+                pass
         df = spark.read.schema(SYNTHETIC_SCHEMAS[name]).parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(SYNTHETIC_SCHEMAS[name]).parquet(path)

@@ -39,10 +39,11 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one micro-batch
     locally; in production this is the Kafka source with the same schema)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover
-        pass
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        try:  # pinned by session.py for engine-built sessions; re-assert for others
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # pragma: no cover
+            pass
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", "1")

@@ -41,6 +41,64 @@ def test_asof_join_basic_tie_and_miss(spark):
     assert out.count() == left.count()  # as-of never fans out
 
 
+def test_asof_join_matched_row_stays_whole(spark):
+    """The matched right row travels as one struct: a NULL in one right column
+    must NOT be papered over with a stale value from an older right row, and
+    at equal right_time all output columns come from the same (tiebreak-
+    winning) row — the column-mixing bug flagged in round-1 ADVICE."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-05T00:00:00")), (2, 10, _ts("2024-01-02T00:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            # older row: both columns set
+            (10, 100, "old-note", _ts("2024-01-01T00:00:00")),
+            # newer matched row: note is genuinely NULL → output note must be NULL
+            (10, 102, None, _ts("2024-01-03T00:00:00")),
+            # tie at the same ts: key 102 wins the tiebreak; its note (NULL)
+            # must come along, not 101's.
+            (10, 101, "tie-note", _ts("2024-01-03T00:00:00")),
+        ],
+        "user_id long, o_orderkey long, note string, o_orderdate timestamp",
+    )
+    out = asof_join(
+        left, right, key="user_id", left_time="ts", right_time="o_orderdate",
+        right_cols=["o_orderkey", "note", "o_orderdate"],
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows[1]["o_orderkey"] == 102
+    assert rows[1]["note"] is None  # genuine NULL preserved, no stale carry
+    assert rows[2]["o_orderkey"] == 100
+    assert rows[2]["note"] == "old-note"
+
+
+def test_range_join_rejects_outer(spark):
+    import pytest
+
+    from etl_ecommerce_data_spark.operators.joins import range_join
+
+    left = spark.createDataFrame([(1, _ts("2024-01-01T00:00:00"))], "l_id long, lt timestamp")
+    right = spark.createDataFrame([(2, _ts("2024-01-01T00:01:00"))], "r_id long, rt timestamp")
+    with pytest.raises(ValueError, match="inner"):
+        range_join(left, right, "lt", "rt", 0.0, 600.0, how="left")
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    import pytest
+
+    from etl_ecommerce_data_spark.operators.dedup import connected_components
+
+    # A 6-node chain needs ~5 propagation rounds; cap at 2 → must raise, not
+    # silently emit non-minimal labels.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, nodes, max_iters=2)
+
+
 def test_salted_join_matches_plain_join(spark):
     left = spark.range(0, 1000).withColumn("k", (F.col("id") % 7).cast("long"))
     right = spark.createDataFrame([(int(i), f"v{i}") for i in range(7)], "k long, v string")

@@ -150,8 +150,9 @@ def test_gold_product_and_seller_marts(lake):
     sell = {r["seller_id"]: r for r in _gold(lake, "seller_performance").collect()}
     assert sell["s1"]["total_orders"] == 2
     assert sell["s1"]["seller_state"] == "SP"
-    # avg approval delay for s1: o1 ≈ 1 day, o2 same-day → (1 + 0) / 2
-    assert abs(sell["s1"]["avg_approval_days"] - 0.5) < 1e-9
+    # avg delivery time for s1 (reference metric, to_gold.py:103-104):
+    # o1 purchased 10-02 delivered 10-10 → 8 days; o2 10-03 → 10-05 → 2 days
+    assert abs(sell["s1"]["avg_delivery_time"] - 5.0) < 1e-9
 
 
 def test_gold_satisfaction_dedups_reviews(lake):
