@@ -41,6 +41,25 @@ def test_minhash_lsh_recall_and_precision(spark, docs):
     assert len(lsh) / len(exact) >= 0.9
 
 
+def test_minhash_lsh_recall_at_registered_threshold(spark):
+    """The registered scale path (dedup_minhash_docs / dedup_clusters input):
+    full corpus, threshold 0.6, unblocked ground truth — recall ≥ 0.95
+    (round-2 promotion contract; the primary fuzzy-dedup query is LSH)."""
+    corpus = load_table(spark, SF_SMOKE, "documents").cache()
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.ngram_jaccard_pairs(corpus, threshold=0.6, block_col=None).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.minhash_lsh_pairs(corpus, threshold=0.6).collect()
+    }
+    assert lsh <= exact  # exact verification ⇒ zero false positives
+    assert exact, "fixture must contain near-dup pairs at 0.6"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.4f}"
+
+
 def test_simhash_banding_complete_for_small_hamming(spark, docs):
     # Pigeonhole: 4 chunks of 16 bits find EVERY pair with hamming ≤ 3.
     sh = docs.select("doc_id", DD.simhash64(F.col("text")).alias("h"))

@@ -14,7 +14,7 @@ from tests.conftest import SF_SMOKE
 # actions inside the build — both EXECUTE, so they're covered by their own
 # tests/oracle entries instead of the compile sweep.
 _EXECUTING = {"stream_events_windowed", "stream_user_stats_stateful",
-              "stream_dedup_events", "dedup_clusters"}
+              "stream_dedup_events", "dedup_clusters", "dedup_clusters_baseline"}
 
 
 @pytest.mark.parametrize("name", [n for n in QUERIES if n not in _EXECUTING])
@@ -33,7 +33,7 @@ def test_register_views_covers_all_tables(spark):
 # Plans allowed to contain a BroadcastNestedLoopJoin: the brute-force scorers
 # broadcast a small query/total side by design (documented baselines).
 _BNLJ_OK = {"priority_revenue_share", "similarity_topk", "similarity_topk_ivf",
-            "embedding_near_dup"}
+            "embedding_near_dup_baseline"}
 # Plans allowed to contain Python nodes: the declared Arrow-batched paths.
 _PYTHON_OK = {"user_value_ewma", "multimodal_meta"}
 
@@ -54,3 +54,23 @@ def test_plan_has_no_scale_red_flags(spark, name):
         for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
             assert node not in plan, f"{name}: unexpected Python node {node}"
     assert "PartitionBy: []" not in plan, f"{name}: unpartitioned window"
+
+
+def test_quadratic_plans_only_behind_capped_baselines(spark):
+    """The scale contract for fuzzy dedup: any registered query whose plan
+    does an all-pairs comparison (corpus×corpus on a constant-cardinality key
+    or a broadcast nested loop over the corpus) must be tagged 'baseline' AND
+    cap its input to a constant (id < 2000) so the quadratic work is bounded
+    at every scale factor. Primary fuzzy-dedup queries must be LSH-tagged."""
+    for name in ("dedup_ngram_jaccard_baseline", "embedding_near_dup_baseline"):
+        qd = QUERIES[name]
+        assert "baseline" in qd.tags, f"{name} must be tagged baseline"
+        df = qd.builder(spark, SF_SMOKE)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "< 2000" in optimized, f"{name}: quadratic baseline must cap input"
+    # dedup_clusters_baseline checkpoints away its lineage (iterative), so the
+    # cap is asserted via its tag + the source inspection in its twin above.
+    assert "baseline" in QUERIES["dedup_clusters_baseline"].tags
+    for name in ("dedup_minhash_docs", "dedup_clusters", "embedding_near_dup",
+                 "dedup_simhash_docs"):
+        assert "lsh" in QUERIES[name].tags, f"{name} must be the LSH scale path"
