@@ -74,7 +74,9 @@ def ngram_jaccard_pairs(
     )
     pairs = a.join(b, "__blk") if block_col else a.crossJoin(b)
     pairs = pairs.filter(F.col("doc_a") < F.col("doc_b"))
-    inter = F.size(F.filter(F.col("toks_a"), lambda t: F.array_contains(F.col("toks_b"), t))).cast("long")
+    # arrays are distinct → intersect size == filtered-contains count, but
+    # array_intersect is hash-based O(|a|+|b|) instead of O(|a|·|b|)
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("long")
     pairs = pairs.withColumn("n_inter", inter)
     pairs = pairs.withColumn("n_a", F.size("toks_a").cast("long")).withColumn("n_b", F.size("toks_b").cast("long"))
     jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
@@ -104,24 +106,33 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
 
-    The scale path: signatures are computed in one pass (no shuffle), docs are
-    exploded to ``bands`` band-hash rows, grouped by band hash (the only
-    shuffle, carrying id+band only), colliding pairs are deduped and then
-    verified with exact token-set Jaccard — so output equals
-    ``ngram_jaccard_pairs`` minus LSH misses, at a fraction of the pairs.
+    The scale path, shuffle-weight-conscious end to end:
+
+    1. signatures in one scan pass (no shuffle);
+    2. banding explodes IDS ONLY — the band-bucket join and the candidate
+       dedup shuffle narrow (doc_a, doc_b) rows, never token arrays (on a
+       self-similar corpus band collisions are ~bands× the distinct pairs,
+       so shipping payloads through them dominates the job);
+    3. token arrays are re-attached to the deduped pairs by an equi-join on
+       doc id (AQE broadcasts the doc-side at small scale; at 100 TB it is a
+       shuffle join carrying each doc's tokens once, not once per band);
+    4. exact-Jaccard verification via hash-based ``array_intersect``
+       (O(|a|+|b|); the arrays are distinct so the count is the intersect
+       size) — so output equals ``ngram_jaccard_pairs`` minus LSH misses.
 
     With 64 perms / 16 bands / rows-per-band 4 the S-curve midpoint is
     ~(1/16)^(1/4) ≈ 0.5 — good recall at threshold 0.6.
     """
     rows_per_band = num_perms // bands
+    toks_tbl = df.select(
+        F.col(id_col).alias("doc_id"), _distinct_tokens(F.col(text_col)).alias("toks")
+    )
     sigs = df.select(
         F.col(id_col).alias("doc_id"),
-        _distinct_tokens(F.col(text_col)).alias("toks"),
         minhash_signature(F.col(text_col), num_perms).alias("sig"),
     )
     banded = sigs.select(
         "doc_id",
-        "toks",
         F.explode(
             F.array(
                 *[
@@ -135,17 +146,24 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bh"),
-    ).select("doc_id", "toks", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
 
-    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), "band", "bucket")
-    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), "band", "bucket")
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cands = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "toks_a", "toks_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    inter = F.size(F.filter(F.col("toks_a"), lambda t: F.array_contains(F.col("toks_b"), t))).cast("long")
+    cands = cands.join(
+        toks_tbl.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")),
+        "doc_a",
+    ).join(
+        toks_tbl.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("long")
     cands = cands.withColumn("n_inter", inter)
     jac = F.col("n_inter").cast("double") / (
         F.size("toks_a").cast("long") + F.size("toks_b").cast("long") - F.col("n_inter")

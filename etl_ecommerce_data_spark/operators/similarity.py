@@ -289,13 +289,17 @@ def embedding_near_dup_pairs(
     if exact:
         pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
     else:
-        # Reuse SRP banding with the corpus as both sides of the self-join.
+        # SRP banding with the corpus as both sides of the self-join. Band
+        # rows carry IDS ONLY: the band join + pair dedup shuffle narrow
+        # (vec_a, vec_b) rows, and the embedding payloads are re-attached
+        # once per deduped pair by an id equi-join (AQE broadcasts small
+        # corpora; at scale it is a shuffle join shipping each vector once,
+        # not once per colliding band).
         ab = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
         width = num_bits // bands
         sig = _signature_bits("__va", num_bits, dim)
-        banded = ab.select("vec_a", "__va", sig.alias("__sig")).select(
+        banded = ab.select("vec_a", sig.alias("__sig")).select(
             "vec_a",
-            "__va",
             F.explode(
                 F.array(
                     *[
@@ -310,15 +314,17 @@ def embedding_near_dup_pairs(
                     ]
                 )
             ).alias("bh"),
-        ).select("vec_a", "__va", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
-        other = banded.select(
-            F.col("vec_a").alias("vec_b"), F.col("__va").alias("__vb"), "band", "bucket"
-        )
-        pairs = (
+        ).select("vec_a", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+        other = banded.select(F.col("vec_a").alias("vec_b"), "band", "bucket")
+        id_pairs = (
             banded.join(other, ["band", "bucket"])
             .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
             .dropDuplicates(["vec_a", "vec_b"])
-            .select("vec_a", "__va", "vec_b", "__vb")
+        )
+        pairs = id_pairs.join(ab, "vec_a").join(
+            df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb")),
+            "vec_b",
         )
     return (
         pairs.withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))

@@ -172,6 +172,51 @@ def q_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "daily_sales_bucketed",
+    "daily_sales over BUCKETED lineitem/orders (co-bucketed on the join key, "
+    "16 buckets, in-bucket sorted): the fact-fact join plans as a sort-merge "
+    "join over matching bucket files with NO Exchange on either side — the "
+    "write-once layout that deletes the recurring 100 TB lineitem⋈orders "
+    "shuffle (reference analog to_gold.py:57). Identical result/oracle to "
+    "daily_sales; first call materializes the bucketed copies, later calls "
+    "reuse the catalog tables.",
+    oracle="""
+SELECT strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       COUNT(o.o_orderkey) AS total_orders,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(o.o_orderkey) AS DOUBLE) AS avg_item_price,
+       CAST(SUM(CAST(l.l_extendedprice * l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total_discount_amt
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY strftime(o.o_orderdate, '%Y-%m-%d')
+""",
+    tags=("gold", "join", "aggregation", "bucketed"),
+)
+def q_daily_sales_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.sources.bucketing import ensure_bucketed_copy
+
+    li = ensure_bucketed_copy(
+        spark, load_table(spark, sf_dir, "lineitem"), sf_dir,
+        "lineitem", "l_orderkey",
+    )
+    orders = ensure_bucketed_copy(
+        spark, load_table(spark, sf_dir, "orders"), sf_dir,
+        "orders", "o_orderkey",
+    )
+    disc_amt = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        joined.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(
+            F.count("o_orderkey").alias("total_orders"),
+            money_sum("l_extendedprice").alias("total_revenue"),
+            exact_avg(F.sum(dec("l_extendedprice")), F.count("o_orderkey")).alias("avg_item_price"),
+            F.sum(disc_amt).cast("double").alias("total_discount_amt"),
+        )
+    )
+
+
+@register(
     "customer_metrics",
     "Customer metrics mart (to_gold.py:69-81 semantics: window min/max "
     "purchase dates per customer as group keys, fan-out counts, lifetime "
@@ -1851,6 +1896,318 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Olist-shape gold marts, driver-oracle-checked (VERDICT r1 ask #7)
+# ===========================================================================
+# The medallion pipeline's six gold marts (pipeline.py, reference semantics
+# from to_gold.py:56-132) were only golden-tested on fixtures. Here each mart
+# runs the ACTUAL pipeline gold function over Olist-SHAPED inputs built
+# deterministically from the synthetic star (pure column mapping — both
+# engines apply the same mapping), so the reference's quirks (fan-out counts,
+# window-derived group keys, conditional late counts, decimal avg semantics
+# after silver's DECIMAL(10,2) cast) are hash-pinned by the driver.
+#
+# Exactness notes:
+# - price/freight arrive as DECIMAL(10,2) exactly as silver delivers them
+#   (cast_money), so sums are exact on both engines.
+# - Spark's AVG(DECIMAL) rounds the quotient to scale 6 through a
+#   value-dependent internal path (measured: ties at the 6th decimal round up
+#   OR down depending on the double neighborhood) — engine-internal
+#   representation, not mart semantics, and not reproducible bit-for-bit from
+#   SQL. The publish wrappers therefore emit the average via the engine's
+#   determinism identity instead: exact_sum(decimal)→double / count→double —
+#   one IEEE division of two exact numbers, derived entirely from the mart's
+#   own outputs. The mart's native avg column stays golden-tested in
+#   tests/test_pipeline_e2e.py.
+# - AVG over ints (review scores, day counts) is SUM(long)→one IEEE divide on
+#   both engines: CAST(SUM(x) AS DOUBLE) / CAST(COUNT(x) AS DOUBLE).
+
+
+def _olist_shaped(spark: SparkSession, sf_dir: str):
+    """Deterministic Olist-shape views of the synthetic star (see oracle SQL
+    `_OLIST_SQL_CTES` — the same mapping expressed in DuckDB SQL)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    items = li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_suppkey").alias("seller_id"),
+        dec("l_extendedprice", 10, 2).alias("price"),
+        dec("l_quantity", 10, 2).alias("freight_value"),
+    )
+    o = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_orderdate").alias("order_purchase_timestamp"),
+        (
+            F.col("o_orderdate")
+            + F.make_interval(days=F.pmod(F.col("o_orderkey"), F.lit(20)).cast("int"))
+        ).alias("order_delivered_customer_date"),
+        (F.col("o_orderdate") + F.make_interval(days=F.lit(7))).alias(
+            "order_estimated_delivery_date"
+        ),
+    )
+    custs = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_mktsegment").alias("customer_state"),
+    )
+    prods = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("product_id"),
+        F.col("p_brand").alias("product_category_name_english"),
+    )
+    sells = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("seller_id"), F.col("s_name").alias("seller_state")
+    )
+    reviews = orders.select(
+        F.col("o_orderkey").alias("review_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.pmod(F.col("o_orderkey"), F.lit(6)).cast("int").alias("review_score"),
+        (F.col("o_orderdate") + F.make_interval(days=F.lit(2))).alias(
+            "review_creation_date"
+        ),
+    )
+    return items, o, custs, prods, sells, reviews
+
+
+_OLIST_SQL_CTES = """
+items AS (
+  SELECT l_orderkey AS order_id, l_partkey AS product_id, l_suppkey AS seller_id,
+         CAST(l_extendedprice AS DECIMAL(10,2)) AS price,
+         CAST(l_quantity AS DECIMAL(10,2)) AS freight_value
+  FROM lineitem
+),
+o AS (
+  SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+         o_orderstatus AS order_status,
+         o_orderdate AS order_purchase_timestamp,
+         o_orderdate + to_days(CAST(o_orderkey % 20 AS INT)) AS order_delivered_customer_date,
+         o_orderdate + to_days(7) AS order_estimated_delivery_date
+  FROM orders
+),
+custs AS (SELECT c_custkey AS customer_id, c_mktsegment AS customer_state FROM customer),
+prods AS (SELECT p_partkey AS product_id, p_brand AS product_category_name_english FROM part),
+sells AS (SELECT s_suppkey AS seller_id, s_name AS seller_state FROM supplier),
+reviews AS (
+  SELECT o_orderkey AS review_id, o_orderkey AS order_id,
+         CAST(o_orderkey % 6 AS INT) AS review_score,
+         o_orderdate + to_days(2) AS review_creation_date
+  FROM orders
+)
+"""
+
+# Deterministic mean over exact decimal sums: one IEEE division.
+def _dec_avg_sql(price: str = "price") -> str:
+    return f"CAST(SUM({price}) AS DOUBLE) / CAST(COUNT({price}) AS DOUBLE)"
+
+
+def _int_avg_sql(x: str) -> str:
+    return f"CAST(SUM({x}) AS DOUBLE) / CAST(COUNT({x}) AS DOUBLE)"
+
+
+@register(
+    "olist_daily_sales",
+    "Pipeline gold_daily_sales (to_gold.py:57-66, fan-out count preserved) "
+    "run by the engine's actual mart function over Olist-shaped inputs.",
+    oracle=f"""
+WITH {_OLIST_SQL_CTES}
+SELECT strftime(CAST(o.order_purchase_timestamp AS DATE), '%Y-%m-%d') AS order_date,
+       COUNT(o.order_id) AS total_orders,
+       CAST(SUM(i.price) AS DOUBLE) AS total_revenue,
+       {_dec_avg_sql("i.price")} AS avg_order_value,
+       CAST(SUM(i.freight_value) AS DOUBLE) AS total_freight
+FROM items i JOIN o ON i.order_id = o.order_id
+GROUP BY 1
+""",
+    tags=("gold", "olist", "pipeline"),
+)
+def q_olist_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.pipeline import gold_daily_sales
+
+    items, o, *_ = _olist_shaped(spark, sf_dir)
+    mart = gold_daily_sales(items, o)
+    return mart.select(
+        F.date_format("date", "yyyy-MM-dd").alias("order_date"),
+        F.col("total_orders").cast("long").alias("total_orders"),
+        F.col("total_revenue").cast("double").alias("total_revenue"),
+        exact_avg(F.col("total_revenue"), F.col("total_orders")).alias("avg_order_value"),
+        F.col("total_freight").cast("double").alias("total_freight"),
+    )
+
+
+@register(
+    "olist_customer_metrics",
+    "Pipeline gold_customer_metrics (to_gold.py:69-81: window min/max "
+    "purchase dates as group keys) run by the engine's actual mart function.",
+    oracle=f"""
+WITH {_OLIST_SQL_CTES},
+j AS (
+  SELECT c.customer_id, c.customer_state, o.order_id, o.order_purchase_timestamp, i.price,
+         strftime(CAST(MIN(o.order_purchase_timestamp) OVER (PARTITION BY c.customer_id) AS DATE), '%Y-%m-%d') AS first_purchase_date,
+         strftime(CAST(MAX(o.order_purchase_timestamp) OVER (PARTITION BY c.customer_id) AS DATE), '%Y-%m-%d') AS last_purchase_date
+  FROM items i JOIN o ON i.order_id = o.order_id
+  JOIN custs c ON o.customer_id = c.customer_id
+)
+SELECT customer_id, customer_state, first_purchase_date, last_purchase_date,
+       COUNT(order_id) AS total_orders,
+       CAST(SUM(price) AS DOUBLE) AS total_spent,
+       {_dec_avg_sql()} AS avg_order_value,
+       CAST(date_diff('day', CAST(MIN(order_purchase_timestamp) AS DATE),
+                      CAST(MAX(order_purchase_timestamp) AS DATE)) AS BIGINT)
+         AS customer_lifetime_days
+FROM j
+GROUP BY customer_id, customer_state, first_purchase_date, last_purchase_date
+""",
+    tags=("gold", "olist", "pipeline", "window"),
+)
+def q_olist_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.pipeline import gold_customer_metrics
+
+    items, o, custs, *_ = _olist_shaped(spark, sf_dir)
+    mart = gold_customer_metrics(items, o, custs)
+    return mart.select(
+        "customer_id",
+        "customer_state",
+        "first_purchase_date",
+        "last_purchase_date",
+        F.col("total_orders").cast("long").alias("total_orders"),
+        F.col("total_spent").cast("double").alias("total_spent"),
+        exact_avg(F.col("total_spent"), F.col("total_orders")).alias("avg_order_value"),
+        F.col("customer_lifetime_days").cast("long").alias("customer_lifetime_days"),
+    )
+
+
+@register(
+    "olist_product_performance",
+    "Pipeline gold_product_performance (to_gold.py:84-91) run by the "
+    "engine's actual mart function over Olist-shaped inputs.",
+    oracle=f"""
+WITH {_OLIST_SQL_CTES}
+SELECT i.product_id, p.product_category_name_english,
+       COUNT(i.order_id) AS total_orders,
+       CAST(SUM(i.price) AS DOUBLE) AS total_revenue,
+       {_dec_avg_sql("i.price")} AS avg_price,
+       CAST(SUM(i.freight_value) AS DOUBLE) AS total_freight
+FROM items i JOIN prods p ON i.product_id = p.product_id
+GROUP BY i.product_id, p.product_category_name_english
+""",
+    tags=("gold", "olist", "pipeline"),
+)
+def q_olist_product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.pipeline import gold_product_performance
+
+    items, _, _, prods, *_ = _olist_shaped(spark, sf_dir)
+    mart = gold_product_performance(items, prods)
+    return mart.select(
+        "product_id",
+        "product_category_name_english",
+        F.col("total_orders").cast("long").alias("total_orders"),
+        F.col("total_revenue").cast("double").alias("total_revenue"),
+        exact_avg(F.col("total_revenue"), F.col("total_orders")).alias("avg_price"),
+        F.col("total_freight").cast("double").alias("total_freight"),
+    )
+
+
+@register(
+    "olist_seller_performance",
+    "Pipeline gold_seller_performance (to_gold.py:94-105: avg_delivery_time "
+    "= avg days delivered-purchase) run by the engine's actual mart function.",
+    oracle=f"""
+WITH {_OLIST_SQL_CTES}
+SELECT i.seller_id, s.seller_state,
+       COUNT(i.order_id) AS total_orders,
+       CAST(SUM(i.price) AS DOUBLE) AS total_revenue,
+       {_dec_avg_sql("i.price")} AS avg_order_value,
+       {_int_avg_sql("date_diff('day', CAST(o.order_purchase_timestamp AS DATE), CAST(o.order_delivered_customer_date AS DATE))")}
+         AS avg_delivery_time
+FROM items i
+JOIN sells s ON i.seller_id = s.seller_id
+JOIN o ON i.order_id = o.order_id
+GROUP BY i.seller_id, s.seller_state
+""",
+    tags=("gold", "olist", "pipeline"),
+)
+def q_olist_seller_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.pipeline import gold_seller_performance
+
+    items, o, _, _, sells, _ = _olist_shaped(spark, sf_dir)
+    mart = gold_seller_performance(items, sells, o)
+    return mart.select(
+        "seller_id",
+        "seller_state",
+        F.col("total_orders").cast("long").alias("total_orders"),
+        F.col("total_revenue").cast("double").alias("total_revenue"),
+        exact_avg(F.col("total_revenue"), F.col("total_orders")).alias("avg_order_value"),
+        F.col("avg_delivery_time").cast("double").alias("avg_delivery_time"),
+    )
+
+
+@register(
+    "olist_satisfaction_metrics",
+    "Pipeline gold_satisfaction_metrics (to_gold.py:108-115) run by the "
+    "engine's actual mart function over Olist-shaped inputs.",
+    oracle=f"""
+WITH {_OLIST_SQL_CTES}
+SELECT r.order_id,
+       strftime(CAST(r.review_creation_date AS DATE), '%Y-%m-%d') AS review_date,
+       {_int_avg_sql("r.review_score")} AS avg_review_score,
+       COUNT(r.review_id) AS total_reviews
+FROM reviews r JOIN o ON r.order_id = o.order_id
+GROUP BY r.order_id, strftime(CAST(r.review_creation_date AS DATE), '%Y-%m-%d')
+""",
+    tags=("gold", "olist", "pipeline"),
+)
+def q_olist_satisfaction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.pipeline import gold_satisfaction_metrics
+
+    _, o, _, _, _, reviews = _olist_shaped(spark, sf_dir)
+    mart = gold_satisfaction_metrics(reviews, o)
+    return mart.select(
+        "order_id",
+        "review_date",
+        F.col("avg_review_score").cast("double").alias("avg_review_score"),
+        F.col("total_reviews").cast("long").alias("total_reviews"),
+    )
+
+
+@register(
+    "olist_delivery_performance",
+    "Pipeline gold_delivery_performance (to_gold.py:118-131: conditional "
+    "late count via when/otherwise) run by the engine's actual mart function.",
+    oracle=f"""
+WITH {_OLIST_SQL_CTES},
+d AS (
+  SELECT order_status, order_id,
+         date_diff('day', CAST(order_estimated_delivery_date AS DATE),
+                   CAST(order_delivered_customer_date AS DATE)) AS delivery_delay,
+         date_diff('day', CAST(order_purchase_timestamp AS DATE),
+                   CAST(order_delivered_customer_date AS DATE)) AS actual_delivery_days
+  FROM o
+)
+SELECT order_status,
+       COUNT(order_id) AS total_orders,
+       {_int_avg_sql("delivery_delay")} AS avg_delivery_delay,
+       {_int_avg_sql("actual_delivery_days")} AS avg_delivery_days,
+       CAST(SUM(CASE WHEN delivery_delay > 0 THEN 1 ELSE 0 END) AS BIGINT) AS late_deliveries
+FROM d
+GROUP BY order_status
+""",
+    tags=("gold", "olist", "pipeline", "conditional"),
+)
+def q_olist_delivery_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.pipeline import gold_delivery_performance
+
+    _, o, *_ = _olist_shaped(spark, sf_dir)
+    mart = gold_delivery_performance(o)
+    return mart.select(
+        "order_status",
+        F.col("total_orders").cast("long").alias("total_orders"),
+        F.col("avg_delivery_delay").cast("double").alias("avg_delivery_delay"),
+        F.col("avg_delivery_days").cast("double").alias("avg_delivery_days"),
+        F.col("late_deliveries").cast("long").alias("late_deliveries"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering
 # ---------------------------------------------------------------------------
@@ -1869,11 +2226,18 @@ _SWEEP_FIRST = [
     "stream_dedup_events",
     "multimodal_meta",
     # round-2 additions / renames (no prior driver row)
+    "daily_sales_bucketed",
     "dedup_clusters",
     "dedup_clusters_baseline",
     "dedup_ngram_jaccard_baseline",
     "embedding_near_dup",
     "embedding_near_dup_baseline",
+    "olist_daily_sales",
+    "olist_customer_metrics",
+    "olist_product_performance",
+    "olist_seller_performance",
+    "olist_satisfaction_metrics",
+    "olist_delivery_performance",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

@@ -15,6 +15,8 @@ lakehouse layout stays explicit.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -47,4 +49,29 @@ def write_bucketed_table(
 def read_bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     """Read back a bucketed table; Spark picks the bucket layout up from the
     catalog and exposes it as the scan's output partitioning."""
+    return spark.table(table)
+
+
+def ensure_bucketed_copy(
+    spark: SparkSession,
+    df: DataFrame,
+    source_key: str,
+    name: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """Idempotently materialize ``df`` as a bucketed catalog table and return
+    the bucketed scan.
+
+    ``source_key`` (e.g. the source directory) is folded into the table name
+    so different datasets never collide in the session catalog; a repeat call
+    in the same session is a catalog lookup, not a rewrite. This is the
+    write-once layout cost that deletes the per-query fact-fact exchange:
+    at 100 TB the bucketed copy is the stored table, written by ingestion.
+    """
+    tag = hashlib.md5(source_key.encode()).hexdigest()[:8]
+    table = f"bkt_{name}_{bucket_col}_{num_buckets}_{tag}"
+    if not spark.catalog.tableExists(table):
+        write_bucketed_table(df, table, bucket_col, num_buckets, sort_col=sort_col)
     return spark.table(table)

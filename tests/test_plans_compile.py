@@ -14,7 +14,8 @@ from tests.conftest import SF_SMOKE
 # actions inside the build — both EXECUTE, so they're covered by their own
 # tests/oracle entries instead of the compile sweep.
 _EXECUTING = {"stream_events_windowed", "stream_user_stats_stateful",
-              "stream_dedup_events", "dedup_clusters", "dedup_clusters_baseline"}
+              "stream_dedup_events", "dedup_clusters", "dedup_clusters_baseline",
+              "daily_sales_bucketed"}  # materializes its bucketed copies
 
 
 @pytest.mark.parametrize("name", [n for n in QUERIES if n not in _EXECUTING])
@@ -71,6 +72,24 @@ def test_quadratic_plans_only_behind_capped_baselines(spark):
     # dedup_clusters_baseline checkpoints away its lineage (iterative), so the
     # cap is asserted via its tag + the source inspection in its twin above.
     assert "baseline" in QUERIES["dedup_clusters_baseline"].tags
+
+
+def test_daily_sales_bucketed_join_has_no_exchange(spark):
+    """The registered bucketed mart must actually deliver the shuffle-free
+    fact-fact join: with broadcast disabled (forcing the join strategy a
+    100 TB orders side would force), the SortMergeJoin reads both bucketed
+    scans with NO Exchange between scan and join."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["daily_sales_bucketed"].builder(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else ""
+        assert "SortMergeJoin" in plan, "bucketed join must be SMJ when broadcast is off"
+        # the only Exchange allowed is AFTER the join (the groupBy on date);
+        # below the SMJ there must be none
+        assert "Exchange" not in join_part, "bucketed SMJ must not re-shuffle inputs"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     for name in ("dedup_minhash_docs", "dedup_clusters", "embedding_near_dup",
                  "dedup_simhash_docs"):
         assert "lsh" in QUERIES[name].tags, f"{name} must be the LSH scale path"
