@@ -102,6 +102,32 @@ def detected_lang(text: Column) -> Column:
     return best_lang
 
 
+def hash_split(text: Column, train_pct_256: int = 204) -> Column:
+    """Deterministic train/test assignment from content, not position: the
+    first md5 byte (two hex chars, compared lexicographically — identical in
+    Spark and DuckDB) lands a doc in 'train' with probability
+    ``train_pct_256``/256 (204 → ~79.7%). Content-keyed splits survive
+    re-partitioning, re-ingestion, and re-ordering — a row_number split does
+    not — and duplicate texts always land on the same side (no train/test
+    leakage through near-identical rows)."""
+    threshold = format(train_pct_256, "02x")
+    return F.when(
+        F.substring(F.md5(text), 1, 2) < F.lit(threshold), F.lit("train")
+    ).otherwise(F.lit("test"))
+
+
+def chunk_texts(text: Column, chunk_tokens: int = 32) -> Column:
+    """Fixed-size token chunks as an array<string> (LLM context windows):
+    non-overlapping ``chunk_tokens``-token slices, last chunk ragged. Pure
+    higher-order functions — sequence/transform/slice — so chunking runs at
+    scan speed; explode downstream to get one row per chunk."""
+    toks = tokens(text)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(chunk_tokens))
+    return F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens))
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Whole-document fingerprint: md5 of the raw text (md5 is identical in
     Spark and DuckDB, so the oracle matches bit-for-bit)."""

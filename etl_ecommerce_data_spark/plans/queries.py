@@ -1182,6 +1182,54 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_split",
+    "Deterministic content-keyed train/test split (~80/20 via the first md5 "
+    "byte): survives re-partitioning/re-ordering and sends duplicate texts "
+    "to the same side — no leakage through near-identical rows. The split "
+    "column composes with curate_corpus for training-set export.",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train' ELSE 'test' END AS split
+FROM documents
+""",
+    tags=("extension", "text", "training"),
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TX.hash_split(F.col("text")).alias("split"))
+
+
+@register(
+    "doc_chunks",
+    "Fixed-size token chunking (32-token LLM context windows, last chunk "
+    "ragged): sequence/slice higher-order functions at scan speed, "
+    "posexplode to one row per chunk — the fan-out op a training pipeline "
+    "runs right before tokenization.",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks), 1) + 1, 32)) AS st
+  FROM t
+)
+SELECT doc_id,
+       CAST((st - 1) // 32 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(toks, st, st + 31), ' ') AS chunk_text
+FROM s
+""",
+    tags=("extension", "text", "training"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", F.posexplode(TX.chunk_texts(F.col("text"), 32)).alias("pos", "chunk_text")
+    )
+    return chunks.select(
+        "doc_id", F.col("pos").cast("long").alias("chunk_id"), "chunk_text"
+    )
+
+
 _COS_SQL = (
     "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (acc, x) -> acc + x)"
 )
@@ -2238,6 +2286,8 @@ _SWEEP_FIRST = [
     "olist_seller_performance",
     "olist_satisfaction_metrics",
     "olist_delivery_performance",
+    "corpus_split",
+    "doc_chunks",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

@@ -16,6 +16,9 @@ lakehouse layout stays explicit.
 from __future__ import annotations
 
 import hashlib
+import os
+import shutil
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -73,5 +76,13 @@ def ensure_bucketed_copy(
     tag = hashlib.md5(source_key.encode()).hexdigest()[:8]
     table = f"bkt_{name}_{bucket_col}_{num_buckets}_{tag}"
     if not spark.catalog.tableExists(table):
+        # With the default in-memory catalog a previous session's table FILES
+        # can outlive its catalog entry; saveAsTable then refuses the managed
+        # location. Clear the orphaned location so the copy is idempotent
+        # across sessions (local-path warehouses only — on a cluster the
+        # bucketed table lives in a persistent metastore instead).
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(os.path.join(wh.path, table.lower()), ignore_errors=True)
         write_bucketed_table(df, table, bucket_col, num_buckets, sort_col=sort_col)
     return spark.table(table)
