@@ -2256,6 +2256,27 @@ def q_olist_delivery_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_features",
+    "Arrow-batched multimodal feature extraction end-to-end: documents "
+    "wrapped into the binary media contract (payload + typed meta struct), "
+    "then mapInPandas computes fixed-dim byte-histogram features per record "
+    "batch — the exact plumbing (schema, batch iteration, partition "
+    "parallelism) a real image/audio decoder plugs into. Rows-only check: "
+    "the feature kernel is a Python batch function, not SQL-expressible.",
+    oracle=None,
+    tags=("extension", "multimodal", "arrow"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.multimodal import attach_media_columns, extract_features
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    media = attach_media_columns(docs, "doc_id", "payload", "text/plain", "source")
+    return extract_features(media, dim=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering
 # ---------------------------------------------------------------------------
@@ -2288,6 +2309,7 @@ _SWEEP_FIRST = [
     "olist_delivery_performance",
     "corpus_split",
     "doc_chunks",
+    "multimodal_features",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {
