@@ -66,22 +66,29 @@ def cosine_topk(
     )
 
 
+def _plane_sign(bit: int, d: int) -> float:
+    """±1 hyperplane component from md5 parity of (bit, d) — deterministic,
+    computable driver-side with no Spark/JVM dependency."""
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"{bit}:{d}".encode()).digest()[0] & 1 else -1.0
+
+
 def _signature_bits(vec_col: str, num_bits: int, dim: int) -> F.Column:
     """Signed-random-projection signature as an array<int> of 0/1.
 
-    Hyperplane component h[bit][d] is derived from xxhash64(bit, d) mapped to
-    ±1 — deterministic, identical on every executor, no broadcast needed.
+    Hyperplanes are row-independent constants, so they are computed ONCE on
+    the driver and inlined as literal arrays — the projection is a pure
+    multiply-add fold per row, with no per-row hashing (the previous
+    xxhash64(bit, d) formulation re-derived the same constant num_bits×dim
+    times per row).
     """
     v = to_double_array(F.col(vec_col))
     bits = []
     for bit in range(num_bits):
+        signs = F.array(*[F.lit(_plane_sign(bit, d)) for d in range(dim)])
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, d: x
-                * F.when(F.xxhash64(F.lit(bit), d).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
-            ),
+            F.zip_with(v, signs, lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -1724,7 +1724,7 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Embedding-level near-duplicate pairs via SRP-LSH banding (48 bits, 16 "
     "3-bit bands): only band-colliding pairs are cosine-scored — no self "
     "cross-join anywhere in the plan; the 100 TB path. Measured recall vs the "
-    "exact baseline: 1.000 at sf0.01, 0.992 at sf0.1 (threshold 0.4, tuned "
+    "exact baseline: 1.000 at sf0.01, 0.989 at sf0.1 (threshold 0.4, tuned "
     "to the synthetic corpus whose max pairwise cosine ≈ 0.51). Rows-only "
     "driver check; exact twin is hash-pinned via embedding_near_dup_baseline.",
     oracle=None,
