@@ -2257,6 +2257,43 @@ def q_olist_delivery_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_stats",
+    "Corpus vocabulary statistics (tokenizer-training input): per token, "
+    "document frequency (docs containing it) and collection frequency "
+    "(total occurrences); top 50 by df with deterministic (df DESC, token "
+    "ASC) tie-break. Two map-side-combined aggregations over exploded "
+    "tokens — all exact ints, no floating point anywhere.",
+    oracle="""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+stats AS (
+  SELECT token,
+         COUNT(DISTINCT doc_id) AS doc_freq,
+         COUNT(*) AS coll_freq
+  FROM occ GROUP BY token
+)
+SELECT token, doc_freq, coll_freq
+FROM stats
+ORDER BY doc_freq DESC, token ASC
+LIMIT 50
+""",
+    tags=("extension", "text", "training"),
+)
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    # two-stage distinct (token, doc) then count — the skew-tolerant exact
+    # count-distinct shape (see event_type_distinct_props), map-side combined
+    per_doc = occ.groupBy("token", "doc_id").agg(F.count("*").alias("n"))
+    stats = per_doc.groupBy("token").agg(
+        F.count("*").cast("long").alias("doc_freq"),
+        F.sum("n").cast("long").alias("coll_freq"),
+    )
+    return stats.orderBy(F.col("doc_freq").desc(), F.col("token").asc()).limit(50)
+
+
+@register(
     "multimodal_features",
     "Arrow-batched multimodal feature extraction end-to-end: documents "
     "wrapped into the binary media contract (payload + typed meta struct), "
@@ -2309,6 +2346,7 @@ _SWEEP_FIRST = [
     "olist_delivery_performance",
     "corpus_split",
     "doc_chunks",
+    "vocab_stats",
     "multimodal_features",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))

@@ -99,6 +99,50 @@ def test_connected_components_raises_on_iteration_cap(spark):
         connected_components(edges, nodes, max_iters=2)
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Independent oracle: random keyed event/order data, compared against
+    pandas.merge_asof (backward, inclusive). Ties are aligned by sorting the
+    right side so pandas' last-match-wins picks the greatest tiebreak — the
+    engine's documented tie rule."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20240813)
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, rng.randrange(6), base + dt.timedelta(seconds=rng.randrange(0, 86400, 600)))
+        for i in range(400)
+    ]
+    rrows = [
+        (rng.randrange(6), 1000 + i, base + dt.timedelta(seconds=rng.randrange(0, 86400, 600)))
+        for i in range(200)
+    ]
+    left = spark.createDataFrame(lrows, "event_id long, k long, ts timestamp")
+    right = spark.createDataFrame(rrows, "k long, okey long, ots timestamp")
+    got = {
+        r["event_id"]: r["okey"]
+        for r in asof_join(
+            left, right, key="k", left_time="ts", right_time="ots",
+            right_cols=["okey", "ots"],
+        ).collect()
+    }
+    lpd = pd.DataFrame(lrows, columns=["event_id", "k", "ts"]).sort_values("ts")
+    rpd = (
+        pd.DataFrame(rrows, columns=["k", "okey", "ots"])
+        .sort_values(["ots", "okey"])  # last match at equal ots = max okey
+        .reset_index(drop=True)
+    )
+    merged = pd.merge_asof(
+        lpd, rpd, left_on="ts", right_on="ots", by="k", direction="backward"
+    )
+    want = {
+        int(r.event_id): (None if pd.isna(r.okey) else int(r.okey))
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
 def test_salted_join_matches_plain_join(spark):
     left = spark.range(0, 1000).withColumn("k", (F.col("id") % 7).cast("long"))
     right = spark.createDataFrame([(int(i), f"v{i}") for i in range(7)], "k long, v string")
