@@ -93,6 +93,52 @@ def write_orc_table(
     writer.orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Binary-file scan (built-in ``binaryFile`` source): one row per file
+    with (path, modificationTime, length, content) — the ingestion edge for
+    multimodal payloads (images/audio) before they enter the media contract
+    (multimodal.attach_media_columns). Files are NOT splittable: parallelism
+    is per-file, so shard large corpora into many objects at write time."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def read_text_table(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Plain-text scan (built-in ``text`` source): one row per line, or one
+    row per file with ``whole_file`` (raw-document ingestion). Single
+    ``value`` string column; attach ids/metadata downstream."""
+    return spark.read.text(path, wholetext=whole_file)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """The Avro connector (spark-avro) is an external module since Spark 2.4
+    and is not bundled in every distribution (absent in this sandbox)."""
+    try:
+        spark.read.format("avro").load("/nonexistent-avro-probe")
+    except Exception as e:  # noqa: BLE001 - classify by message
+        return "Failed to find data source" not in str(e)
+    return True  # pragma: no cover
+
+
+def read_avro_table(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — gated: raises a clear error when the spark-avro module is
+    not deployed (add the spark-avro package at submit time on a cluster)."""
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "spark-avro module not deployed; submit with the spark-avro "
+            "package to enable Avro reads"
+        )
+    return spark.read.format("avro").load(path)  # pragma: no cover
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,

@@ -157,6 +157,53 @@ def test_merge_upsert_latest_wins_and_snapshot_isolation(spark, tmp_path):
     assert spark.read.parquet(table).count() == 3
 
 
+def test_binary_file_source_feeds_media_contract(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_ecommerce_data_spark.multimodal import attach_media_columns, extract_features
+    from etl_ecommerce_data_spark.sources.readers import read_binary_files
+
+    payloads = {f"img_{i}.bin": bytes([i] * (10 + i)) for i in range(5)}
+    for name, body in payloads.items():
+        (tmp_path / name).write_bytes(body)
+    (tmp_path / "ignore.txt").write_text("not binary payload")
+
+    files = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    assert files.count() == 5
+    got = {r["path"].rsplit("/", 1)[-1]: r["content"] for r in files.collect()}
+    assert got == payloads
+    # end-to-end into the media contract + Arrow feature extraction
+    media = attach_media_columns(
+        files.withColumn("fid", F.monotonically_increasing_id()),
+        "fid", "content", "image/raw", "path",
+    )
+    feats = extract_features(media, dim=4).collect()
+    assert len(feats) == 5
+    assert all(len(r["feature"]) == 4 for r in feats)
+
+
+def test_text_source_lines_and_whole_file(spark, tmp_path):
+    from etl_ecommerce_data_spark.sources.readers import read_text_table
+
+    (tmp_path / "a.txt").write_text("line one\nline two\n")
+    (tmp_path / "b.txt").write_text("solo\n")
+    lines = read_text_table(spark, str(tmp_path))
+    assert sorted(r["value"] for r in lines.collect()) == ["line one", "line two", "solo"]
+    docs = read_text_table(spark, str(tmp_path), whole_file=True)
+    assert docs.count() == 2  # one row per file
+
+
+def test_avro_connector_gated_with_clear_error(spark):
+    import pytest
+
+    from etl_ecommerce_data_spark.sources.readers import avro_available, read_avro_table
+
+    if avro_available(spark):  # pragma: no cover - cluster with spark-avro
+        pytest.skip("spark-avro deployed; gate not applicable")
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_avro_table(spark, "/tmp/whatever.avro")
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     from etl_ecommerce_data_spark.sources.bucketing import (
         read_bucketed_table,
