@@ -2257,6 +2257,57 @@ def q_olist_delivery_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_upsert_orders",
+    "Latest-wins merge/upsert semantics (sources/incremental.py) as a "
+    "driver-checked query: a derived update batch (every 10th order, "
+    "repriced, version +30 days) merged into orders — one row per key, "
+    "survivor = greatest version with updates beating current on ties, "
+    "deterministic by construction (vs the reference's race-winner "
+    "dropDuplicates survivor). Same DataFrame semantics port to "
+    "Delta/Iceberg MERGE INTO.",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_orderstatus,
+         o_totalprice * 2 AS o_totalprice,
+         o_orderdate + to_days(30) AS o_orderdate
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+tagged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, 0 AS src FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, 1 AS src FROM updates
+)
+SELECT o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS total_price,
+       strftime(o_orderdate, '%Y-%m-%d') AS version_date
+FROM tagged
+QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                           ORDER BY o_orderdate DESC, src DESC) = 1
+""",
+    tags=("extension", "incremental", "upsert"),
+)
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.sources.incremental import merge_dataframes
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        (F.col("o_orderdate") + F.make_interval(days=F.lit(30))).alias("o_orderdate"),
+    )
+    merged = merge_dataframes(orders, updates, ["o_orderkey"], "o_orderdate")
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("version_date"),
+    )
+
+
+@register(
     "vocab_stats",
     "Corpus vocabulary statistics (tokenizer-training input): per token, "
     "document frequency (docs containing it) and collection frequency "
@@ -2348,6 +2399,7 @@ _SWEEP_FIRST = [
     "doc_chunks",
     "vocab_stats",
     "multimodal_features",
+    "merge_upsert_orders",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {
