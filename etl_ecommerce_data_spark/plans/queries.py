@@ -1920,6 +1920,39 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_view_purchase_join",
+    "Stream-stream interval join (stateful on BOTH sides, watermark-bounded "
+    "state): each view paired with the user's purchases in the next 30 "
+    "minutes — the streaming twin of range_join_view_purchase, sharing a "
+    "batch SQL oracle. Timestamps published as strings for cross-engine "
+    "hashing.",
+    oracle="""
+SELECT v.event_id AS view_event_id, v.user_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_time,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+       CAST(p.value AS DOUBLE) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+""",
+    tags=("extension", "streaming", "stream-stream-join"),
+)
+def q_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.streaming.events import (
+        run_view_purchase_join_to_memory,
+    )
+
+    out = run_view_purchase_join_to_memory(spark, sf_dir)
+    return out.select(
+        "view_event_id",
+        "user_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_time"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_time"),
+        F.col("purchase_value").cast("double").alias("purchase_value"),
+    )
+
+
+@register(
     "multimodal_meta",
     "Multimodal column plumbing: opaque binary payloads (UTF-8 encoded text "
     "standing in for image/audio bytes) with typed metadata — length + "
@@ -2381,6 +2414,7 @@ _SWEEP_FIRST = [
     "stream_events_windowed",
     "stream_user_stats_stateful",
     "stream_dedup_events",
+    "stream_view_purchase_join",
     "multimodal_meta",
     # round-2 additions / renames (no prior driver row)
     "daily_sales_bucketed",

@@ -146,6 +146,53 @@ def run_dedup_events_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped, spark, "append")
 
 
+def view_purchase_stream_join(
+    views: DataFrame, purchases: DataFrame, window_seconds: int = 1800,
+    watermark: str = "40 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each 'view' matched to the same user's
+    'purchase' events within the following ``window_seconds``.
+
+    Both sides are stateful: a view must wait for future purchases, a
+    purchase must wait for late views. Watermarks on BOTH event times plus
+    the time-range join condition let Spark bound each side's state — rows
+    older than (watermark + interval) are evicted, so state is
+    O(rate × horizon), independent of stream length. The batch twin is
+    range_join_view_purchase (operators/joins.py range_join)."""
+    v = views.select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("v_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS"))
+    )
+    return v.join(p, cond, "inner").select(
+        "view_event_id",
+        F.col("v_user_id").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def run_view_purchase_join_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    views = events.filter(F.col("event_type") == "view")
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = view_purchase_stream_join(views, purchases)
+    return _run_to_memory(joined, spark, "append")
+
+
 def run_windowed_stream_to_memory(
     spark: SparkSession,
     sf_dir: str,

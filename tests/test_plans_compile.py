@@ -14,8 +14,9 @@ from tests.conftest import SF_SMOKE
 # actions inside the build — both EXECUTE, so they're covered by their own
 # tests/oracle entries instead of the compile sweep.
 _EXECUTING = {"stream_events_windowed", "stream_user_stats_stateful",
-              "stream_dedup_events", "dedup_clusters", "dedup_clusters_baseline",
-              "daily_sales_bucketed"}  # materializes its bucketed copies
+              "stream_dedup_events", "stream_view_purchase_join",
+              "dedup_clusters", "dedup_clusters_baseline",
+              "daily_sales_bucketed"}  # last one materializes bucketed copies
 
 
 @pytest.mark.parametrize("name", [n for n in QUERIES if n not in _EXECUTING])
