@@ -44,6 +44,30 @@ def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([one(x, y) for x, y in zip(a, b)])
 
 
+def chunk_udtf(chunk_tokens: int = 32):
+    """Python UDTF (Spark 4 table-function surface): explode a document into
+    fixed-size token chunks — the UDTF twin of the JVM
+    ``functions.text.chunk_texts`` path, registered with the SAME oracle so
+    the newest Python surface is hash-pinned, not just smoke-tested.
+
+    Arrow-optimized (``useArrow=True``): rows move in columnar batches. The
+    JVM expression remains the production path per the Python-at-the-edges
+    policy; this is the template for table functions whose per-row expansion
+    needs real Python (parsers, tokenizers)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id: long, chunk_text: string", useArrow=True)
+    class ChunkDoc:
+        def eval(self, text: str):  # noqa: D102 - UDTF contract
+            if text is None:
+                return
+            toks = text.split(" ")
+            for i, start in enumerate(range(0, max(len(toks), 1), chunk_tokens)):
+                yield i, " ".join(toks[start : start + chunk_tokens])
+
+    return ChunkDoc
+
+
 def user_value_ewma(
     events: DataFrame,
     alpha: float = 0.1,

@@ -2341,6 +2341,35 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks_udtf",
+    "Python UDTF surface (Spark 4): the chunker as an Arrow-optimized table "
+    "function, lateral-joined per document — same oracle as the JVM "
+    "doc_chunks, so the UDTF path is hash-pinned, not just smoke-tested.",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks), 1) + 1, 32)) AS st
+  FROM t
+)
+SELECT doc_id,
+       CAST((st - 1) // 32 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(toks, st, st + 31), ' ') AS chunk_text
+FROM s
+""",
+    tags=("extension", "text", "training", "udtf"),
+)
+def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.functions.pandas_udfs import chunk_udtf
+
+    docs = load_table(spark, sf_dir, "documents")
+    ChunkDoc = chunk_udtf(32)
+    return docs.lateralJoin(ChunkDoc(F.col("text").outer())).select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk_text"
+    )
+
+
+@register(
     "vocab_stats",
     "Corpus vocabulary statistics (tokenizer-training input): per token, "
     "document frequency (docs containing it) and collection frequency "
@@ -2434,6 +2463,7 @@ _SWEEP_FIRST = [
     "vocab_stats",
     "multimodal_features",
     "merge_upsert_orders",
+    "doc_chunks_udtf",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

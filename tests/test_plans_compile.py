@@ -37,7 +37,8 @@ def test_register_views_covers_all_tables(spark):
 _BNLJ_OK = {"priority_revenue_share", "similarity_topk", "similarity_topk_ivf",
             "embedding_near_dup_baseline"}
 # Plans allowed to contain Python nodes: the declared Arrow-batched paths.
-_PYTHON_OK = {"user_value_ewma", "multimodal_meta", "multimodal_features"}
+_PYTHON_OK = {"user_value_ewma", "multimodal_meta", "multimodal_features",
+              "doc_chunks_udtf"}
 
 
 @pytest.mark.parametrize("name", [n for n in QUERIES if n not in _EXECUTING])
