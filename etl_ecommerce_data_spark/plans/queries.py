@@ -2290,6 +2290,102 @@ def q_olist_delivery_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_stats",
+    "Native session windows (F.session_window, 30-min gap): per-user "
+    "sessions as Spark's built-in gap-based grouping, cross-validated "
+    "against the lag/cumsum islands formulation in SQL — the same state "
+    "machine Structured Streaming uses for streaming sessionization.",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes' OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_event_time,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+    tags=("extension", "events", "sessionization", "window-agg"),
+)
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            money_sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_event_time"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "session_value",
+        )
+    )
+
+
+@register(
+    "daily_value_gapfilled",
+    "Time-series gap filling via a generated date spine: every calendar day "
+    "between the corpus min and max event dates appears exactly once, days "
+    "with no events zero-filled — sequence() spine cross-joined from a "
+    "1-row aggregate (broadcast, no skew), left join on the daily rollup. "
+    "The completeness property downstream window/MA analytics assume.",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+       COALESCE(d.total_value, 0.0) AS total_value
+FROM spine s LEFT JOIN daily d ON d.day = CAST(s.day AS DATE)
+""",
+    tags=("extension", "events", "timeseries"),
+)
+def q_daily_value_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        money_sum("value").alias("total_value"),
+    )
+    return spine.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+@register(
     "merge_upsert_orders",
     "Latest-wins merge/upsert semantics (sources/incremental.py) as a "
     "driver-checked query: a derived update batch (every 10th order, "
@@ -2464,6 +2560,8 @@ _SWEEP_FIRST = [
     "multimodal_features",
     "merge_upsert_orders",
     "doc_chunks_udtf",
+    "daily_value_gapfilled",
+    "session_window_stats",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {
