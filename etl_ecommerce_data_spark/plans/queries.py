@@ -2290,6 +2290,39 @@ def q_olist_delivery_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_segment_revenue",
+    "Skew-mitigated join, driver-checked: orders salted with a deterministic "
+    "pmod(xxhash64(row)) bucket, customer dim replicated across the 8 salt "
+    "buckets, joined on (key, salt) — results identical to the plain join "
+    "(the oracle IS the plain join), proving salt choice never leaks into "
+    "values. The fallback when a hot key defeats AQE skew splitting and the "
+    "dim side is too big to broadcast.",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("extension", "join", "skew"),
+)
+def q_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, customer, "custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        money_sum("o_totalprice").alias("segment_revenue"),
+    )
+
+
+@register(
     "session_window_stats",
     "Native session windows (F.session_window, 30-min gap): per-user "
     "sessions as Spark's built-in gap-based grouping, cross-validated "
@@ -2562,6 +2595,7 @@ _SWEEP_FIRST = [
     "doc_chunks_udtf",
     "daily_value_gapfilled",
     "session_window_stats",
+    "salted_segment_revenue",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {
