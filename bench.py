@@ -53,6 +53,15 @@ HEADLINE = [
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "embedding_near_dup",
+    # round-2 surface additions (batch; streaming queries execute inside
+    # their builders, so timing their noop write would be meaningless)
+    "session_window_stats",
+    "vocab_stats",
+    "daily_value_gapfilled",
+    "merge_upsert_orders",
+    "salted_segment_revenue",
+    "corpus_split",
+    "doc_chunks",
 ]
 
 # Queries whose FIRST build performs a one-time layout step (bucketed table
