@@ -81,14 +81,29 @@ def extract_features(media: DataFrame, dim: int = 8, batch_decoder=None) -> Data
 
     ``batch_decoder(payload_series) -> Series[list[float]]`` lets callers
     inject a real vectorized decoder; default is the deterministic fake.
+
+    The default kernel is NESTED (not a module-level reference) so
+    cloudpickle ships it by value: Python workers need no importable copy of
+    this package — required when the driving session (e.g. the correctness
+    driver) runs from a directory where `etl_ecommerce_data_spark` is only
+    on the driver's sys.path, not the workers'.
     """
+
+    def fake_decode(payload, d=dim):  # mirrors _fake_decode_features
+        if payload is None:
+            return None
+        counts = [0] * d
+        for b in payload:
+            counts[b % d] += 1
+        total = float(len(payload)) or 1.0
+        return [c / total for c in counts]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if batch_decoder is not None:
                 feats = batch_decoder(pdf["payload"])
             else:
-                feats = pdf["payload"].map(lambda p: _fake_decode_features(p, dim))
+                feats = pdf["payload"].map(fake_decode)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
