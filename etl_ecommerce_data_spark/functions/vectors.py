@@ -36,6 +36,14 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(None))
 
 
+def cosine_from_parts(d: Column, na: Column, nb: Column) -> Column:
+    """Cosine from a precomputed dot product and the two precomputed norms —
+    the SAME IEEE operations in the same order as ``cosine``, so results are
+    bit-identical; but the norms fold once per VECTOR instead of once per
+    PAIR (a 3×-fold → 1×-fold reduction on pair-heavy paths)."""
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(None))
+
+
 def norm_bucket(a: Column, width: float = 0.25) -> Column:
     """Coarse L2-norm bucket — a cheap blocking key for ANN-style pruning:
     vectors whose norms differ wildly can't be near in cosine after

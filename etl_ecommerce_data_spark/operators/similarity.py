@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_ecommerce_data_spark.functions.vectors import cosine, to_double_array
+from etl_ecommerce_data_spark.functions.vectors import (
+    cosine_from_parts,
+    dot,
+    norm,
+    to_double_array,
+)
 
 
 def cosine_topk(
@@ -48,12 +53,25 @@ def cosine_topk(
     reorder across engines.
     """
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
+    # norms fold once per vector (bit-identical to folding per pair); the
+    # per-pair work is a single dot-product fold
     scored = (
         c.join(F.broadcast(q), F.col(query_id_col) != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn(
+            "cosine_sim",
+            cosine_from_parts(
+                dot(F.col("__qvec"), F.col("__cvec")), F.col("__qn"), F.col("__cn")
+            ),
+        )
         .filter(F.col("cosine_sim").isNotNull())
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -112,12 +130,18 @@ def lsh_topk(
     (num_bits, bands): more bands → more candidates → higher recall."""
     width = num_bits // bands
 
-    def banded(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+    def banded(df: DataFrame, idc: str, vecc: str, normc: str) -> DataFrame:
         sig = _signature_bits(vecc, num_bits, dim)
-        d = df.select(F.col(idc).alias(idc), F.col(vecc).alias(vecc), sig.alias("__sig"))
+        d = df.select(
+            F.col(idc).alias(idc),
+            F.col(vecc).alias(vecc),
+            norm(F.col(vecc)).alias(normc),
+            sig.alias("__sig"),
+        )
         return d.select(
             idc,
             vecc,
+            normc,
             F.explode(
                 F.array(
                     *[
@@ -132,26 +156,31 @@ def lsh_topk(
                     ]
                 )
             ).alias("bh"),
-        ).select(idc, vecc, F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+        ).select(idc, vecc, normc, F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
 
     qb = banded(
         queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")),
         query_id_col,
         "__qvec",
+        "__qn",
     )
     cb = banded(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
         "neighbor_id",
         "__cvec",
+        "__cn",
     )
     cands = (
         cb.join(qb, ["band", "bucket"])
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
-    scored = cands.withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec"))).filter(
-        F.col("cosine_sim").isNotNull()
-    )
+    scored = cands.withColumn(
+        "cosine_sim",
+        cosine_from_parts(
+            dot(F.col("__qvec"), F.col("__cvec")), F.col("__qn"), F.col("__cn")
+        ),
+    ).filter(F.col("cosine_sim").isNotNull())
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -169,8 +198,15 @@ def _nearest_centroids(
     scoring pass is map-side; the only shuffle is the per-row rank, which AQE
     sizes off n_rows × n_centroids. Ties break on centroid_id for determinism.
     """
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "__csim", cosine(F.col(vec_col), F.col("__cent"))
+    dfn = df.withColumn("__row_norm", norm(F.col(vec_col)))
+    cn = centroids.withColumn("__cent_norm", norm(F.col("__cent")))
+    scored = dfn.crossJoin(F.broadcast(cn)).withColumn(
+        "__csim",
+        cosine_from_parts(
+            dot(F.col(vec_col), F.col("__cent")),
+            F.col("__row_norm"),
+            F.col("__cent_norm"),
+        ),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("__csim").desc_nulls_last(), F.col("centroid_id").asc()
@@ -178,7 +214,7 @@ def _nearest_centroids(
     return (
         scored.withColumn("__cr", F.row_number().over(w))
         .filter(F.col("__cr") <= probe)
-        .drop("__cr", "__cent", "__csim")
+        .drop("__cr", "__cent", "__csim", "__row_norm", "__cent_norm")
     )
 
 
@@ -260,13 +296,20 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col), to_double_array(F.col(vec_col)).alias("__qvec")
     )
-    c_cells = _nearest_centroids(c, cents, "neighbor_id", "__cvec", probe=1)
-    q_cells = _nearest_centroids(q, cents, query_id_col, "__qvec", probe=n_probe)
+    c_cells = _nearest_centroids(c, cents, "neighbor_id", "__cvec", probe=1).withColumn(
+        "__cn", norm(F.col("__cvec"))
+    )
+    q_cells = _nearest_centroids(q, cents, query_id_col, "__qvec", probe=n_probe).withColumn(
+        "__qn", norm(F.col("__qvec"))
+    )
     cands = c_cells.join(q_cells, "centroid_id").filter(
         F.col(query_id_col) != F.col("neighbor_id")
     )
     scored = cands.withColumn(
-        "cosine_sim", cosine(F.col("__qvec"), F.col("__cvec"))
+        "cosine_sim",
+        cosine_from_parts(
+            dot(F.col("__qvec"), F.col("__cvec")), F.col("__qn"), F.col("__cn")
+        ),
     ).filter(F.col("cosine_sim").isNotNull())
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -291,8 +334,16 @@ def embedding_near_dup_pairs(
     """Pairs (a < b) with cosine ≥ threshold. ``exact=True`` does the full
     self cross-product (oracle-checkable); ``exact=False`` uses SRP-LSH
     banding so only band-colliding pairs are scored (the scale path)."""
-    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"))
+    a = df.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
     if exact:
         pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
     else:
@@ -329,12 +380,14 @@ def embedding_near_dup_pairs(
             .select("vec_a", "vec_b")
             .dropDuplicates(["vec_a", "vec_b"])
         )
-        pairs = id_pairs.join(ab, "vec_a").join(
-            df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb")),
-            "vec_b",
-        )
+        pairs = id_pairs.join(a, "vec_a").join(b, "vec_b")
     return (
-        pairs.withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        pairs.withColumn(
+            "cosine_sim",
+            cosine_from_parts(
+                dot(F.col("__va"), F.col("__vb")), F.col("__na"), F.col("__nb")
+            ),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", "cosine_sim")
     )
