@@ -102,6 +102,18 @@ def detected_lang(text: Column) -> Column:
     return best_lang
 
 
+def normalize_for_dedup(text: Column) -> Column:
+    """Canonical text form for near-dup robustness: lowercase, digit runs
+    masked to a placeholder (so '2023 report' ≡ '2024 report'), whitespace
+    runs squeezed, ends trimmed. Patterns are intersection-of-dialects regex
+    (no classes/backrefs), identical under Java regex and RE2 — the oracle
+    runs the same expressions in DuckDB."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[0-9]+", "<num>")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
 def hash_split(text: Column, train_pct_256: int = 204) -> Column:
     """Deterministic train/test assignment from content, not position: the
     first md5 byte (two hex chars, compared lexicographically — identical in

@@ -1201,6 +1201,36 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_normalize_dedup",
+    "Canonicalization before dedup: lowercase, digit-run masking, whitespace "
+    "squeeze — plus the exact-dedup key (md5 of the canonical form) and a "
+    "changed flag. Dialect-portable regex only, so Spark (Java regex) and "
+    "DuckDB (RE2) agree byte-for-byte.",
+    oracle="""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text, md5(norm_text) AS norm_hash,
+       CAST(norm_text <> text AS BIGINT) AS changed
+FROM n
+""",
+    tags=("extension", "text", "cleaning"),
+)
+def q_text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = TX.normalize_for_dedup(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_hash"),
+        (norm != F.col("text")).cast("long").alias("changed"),
+    )
+
+
+@register(
     "doc_chunks",
     "Fixed-size token chunking (32-token LLM context windows, last chunk "
     "ragged): sequence/slice higher-order functions at scan speed, "
@@ -2596,6 +2626,7 @@ _SWEEP_FIRST = [
     "daily_value_gapfilled",
     "session_window_stats",
     "salted_segment_revenue",
+    "text_normalize_dedup",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {
