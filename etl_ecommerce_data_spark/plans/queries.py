@@ -2320,6 +2320,52 @@ def q_olist_delivery_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_value_ranking_suite",
+    "The full ranking-function surface in one pass: rank, dense_rank, ntile "
+    "quartiles, percent_rank and cume_dist over order value within each "
+    "priority — a total order (value DESC, key ASC) makes every function "
+    "deterministic; percent_rank/cume_dist are exact-int ratios. Top 5 per "
+    "priority to keep driver output small.",
+    oracle="""
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS total_price,
+         rank()         OVER w AS rnk,
+         dense_rank()   OVER w AS drnk,
+         ntile(4)       OVER w AS quartile,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist()    OVER w AS cume,
+         row_number()   OVER w AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+WHERE rn <= 5
+""",
+    tags=("analytics", "window", "ranking"),
+)
+def q_order_value_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
     "salted_segment_revenue",
     "Skew-mitigated join, driver-checked: orders salted with a deterministic "
     "pmod(xxhash64(row)) bucket, customer dim replicated across the 8 salt "
@@ -2627,6 +2673,7 @@ _SWEEP_FIRST = [
     "session_window_stats",
     "salted_segment_revenue",
     "text_normalize_dedup",
+    "order_value_ranking_suite",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {
