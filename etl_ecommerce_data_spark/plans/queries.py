@@ -1983,6 +1983,43 @@ def q_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_windows",
+    "Streaming sessionization: native session_window aggregation under a "
+    "watermark (merging gap-based windows, state evicted past session "
+    "close) — update-mode emissions over the single local micro-batch equal "
+    "the batch sessionization, so this shares session_window_stats' oracle.",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes' OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_event_time,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+    tags=("extension", "streaming", "sessionization"),
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.streaming.events import run_session_windows_to_memory
+
+    return run_session_windows_to_memory(spark, sf_dir)
+
+
+@register(
     "multimodal_meta",
     "Multimodal column plumbing: opaque binary payloads (UTF-8 encoded text "
     "standing in for image/audio bytes) with typed metadata — length + "
@@ -2649,6 +2686,7 @@ _SWEEP_FIRST = [
     "stream_user_stats_stateful",
     "stream_dedup_events",
     "stream_view_purchase_join",
+    "stream_session_windows",
     "multimodal_meta",
     # round-2 additions / renames (no prior driver row)
     "daily_sales_bucketed",

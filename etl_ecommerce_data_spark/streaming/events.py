@@ -193,6 +193,87 @@ def run_view_purchase_join_to_memory(spark: SparkSession, sf_dir: str) -> DataFr
     return _run_to_memory(joined, spark, "append")
 
 
+def session_window_aggregation(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming sessionization with Spark's native session windows: gap-based
+    merging windows; append mode emits a session only after the watermark
+    passes its close (last event + gap), which also evicts its state — the
+    same state machine as the batch ``session_window_stats`` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_event_time"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "session_value",
+        )
+    )
+
+
+_ADVANCER_USER = -1
+
+
+def run_session_windows_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive append-mode streaming sessionization to completion.
+
+    Append mode only emits sessions the watermark has closed, so a single
+    micro-batch would withhold every session near the stream's end. The run
+    therefore stages TWO micro-batches in a scratch dir: the real events
+    file, then a one-row watermark-advancer far in the future (a sentinel
+    user). Batch 2 pushes the watermark past every real session's close,
+    flushing and evicting all of them; the advancer's own (still-open)
+    session stays in state and is never emitted — so the appended output is
+    exactly the batch sessionization of the real events."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"session_stream_stage_{tag}")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    shutil.copyfile(src, os.path.join(stage, "batch0_events.parquet"))
+    # raw-long nanos ts, matching EVENTS_STREAM_SCHEMA
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # pragma: no cover
+            pass
+    max_ns = (
+        spark.read.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(os.path.join(stage, "batch0_events.parquet"))
+        .agg(F.max("ts").alias("m"))
+        .first()["m"]
+    )
+    advancer = spark.createDataFrame(
+        [(-1, int(max_ns) + 86_400_000_000_000, _ADVANCER_USER, "advance", 0.0, None)],
+        EVENTS_STREAM_SCHEMA,
+    )
+    advancer.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage, "batch1_advance.parquet")
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    events = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = _run_to_memory(session_window_aggregation(events), spark, "append")
+    return out.filter(F.col("user_id") != _ADVANCER_USER)
+
+
 def run_windowed_stream_to_memory(
     spark: SparkSession,
     sf_dir: str,
