@@ -373,6 +373,9 @@ def embedding_near_dup_pairs(
                 )
             ).alias("bh"),
         ).select("vec_a", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+        # one signature computation shared by both self-join sides (see
+        # dedup.minhash_lsh_pairs for the checkpoint tradeoff notes)
+        banded = banded.localCheckpoint(eager=False)
         other = banded.select(F.col("vec_a").alias("vec_b"), "band", "bucket")
         id_pairs = (
             banded.join(other, ["band", "bucket"])
