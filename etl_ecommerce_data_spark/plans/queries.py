@@ -2654,9 +2654,39 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wrapped into the binary media contract (payload + typed meta struct), "
     "then mapInPandas computes fixed-dim byte-histogram features per record "
     "batch — the exact plumbing (schema, batch iteration, partition "
-    "parallelism) a real image/audio decoder plugs into. Rows-only check: "
-    "the feature kernel is a Python batch function, not SQL-expressible.",
-    oracle=None,
+    "parallelism) a real image/audio decoder plugs into. The registered "
+    "query posexplodes the feature vector to one (dim, value) scalar row "
+    "per dimension so the result is driver-canonicalizable AND DuckDB-"
+    "oracle-able: byte%8 equals (low hex digit)%8, so the histogram is "
+    "plain SQL over hex(encode(text)).",
+    oracle="""
+WITH payload AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+  WHERE text IS NOT NULL
+),
+positions AS (
+  SELECT doc_id, n, unnest(generate_series(1, n)) AS i FROM payload
+),
+counts AS (
+  SELECT doc_id,
+         (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) % 8 AS dim,
+         COUNT(*) AS c
+  FROM positions JOIN payload USING (doc_id, n)
+  GROUP BY doc_id, dim
+),
+dims AS (
+  SELECT p.doc_id, p.n, d.dim
+  FROM payload p CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS dim) d
+)
+SELECT CAST(dims.doc_id AS BIGINT) AS media_id,
+       'text/plain' AS media_type,
+       CAST(dims.n AS BIGINT) AS n_bytes,
+       CAST(dims.dim AS INT) AS dim,
+       CAST(COALESCE(c.c, 0) AS DOUBLE)
+         / CAST(CASE WHEN dims.n = 0 THEN 1 ELSE dims.n END AS DOUBLE) AS value
+FROM dims LEFT JOIN counts c ON dims.doc_id = c.doc_id AND dims.dim = c.dim
+""",
     tags=("extension", "multimodal", "arrow"),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2666,7 +2696,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload", F.encode(F.col("text"), "UTF-8")
     )
     media = attach_media_columns(docs, "doc_id", "payload", "text/plain", "source")
-    return extract_features(media, dim=8)
+    feats = extract_features(media, dim=8)
+    # Scalar projection: the raw array<double> path stays covered by unit
+    # tests (tests/test_streaming_multimodal.py); the registered surface is
+    # one row per (media, dim) so the driver's pandas canonicalizer can sort
+    # and hash it (VERDICT r2 ask #1 / ADVICE r2).
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.posexplode("feature").alias("dim", "value"),
+    )
 
 
 # ---------------------------------------------------------------------------
