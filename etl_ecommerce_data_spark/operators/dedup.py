@@ -72,7 +72,11 @@ def ngram_jaccard_pairs(
         _distinct_tokens(F.col(text_col)).alias("toks_b"),
         *([F.col(block_col).alias("__blk")] if block_col else []),
     )
-    pairs = a.join(b, "__blk") if block_col else a.crossJoin(b)
+    # Unblocked = all-pairs by contract, only ever used on capped inputs
+    # (baselines / recall ground truth) — broadcast the right side so the
+    # plan is a BroadcastNestedLoopJoin over a bounded build side, never an
+    # unplanned CartesianProduct.
+    pairs = a.join(b, "__blk") if block_col else a.crossJoin(F.broadcast(b))
     pairs = pairs.filter(F.col("doc_a") < F.col("doc_b"))
     # arrays are distinct → intersect size == filtered-contains count, but
     # array_intersect is hash-based O(|a|+|b|) instead of O(|a|·|b|)
@@ -96,42 +100,18 @@ def minhash_signature(text_col: Column, num_perms: int = 64) -> Column:
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    threshold: float = 0.6,
-    num_perms: int = 64,
-    bands: int = 16,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _banded_buckets(
+    docs: DataFrame, num_perms: int, bands: int, text_col: str = "__text"
 ) -> DataFrame:
-    """MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
-
-    The scale path, shuffle-weight-conscious end to end:
-
-    1. signatures in one scan pass (no shuffle);
-    2. banding explodes IDS ONLY — the band-bucket join and the candidate
-       dedup shuffle narrow (doc_a, doc_b) rows, never token arrays (on a
-       self-similar corpus band collisions are ~bands× the distinct pairs,
-       so shipping payloads through them dominates the job);
-    3. token arrays are re-attached to the deduped pairs by an equi-join on
-       doc id (AQE broadcasts the doc-side at small scale; at 100 TB it is a
-       shuffle join carrying each doc's tokens once, not once per band);
-    4. exact-Jaccard verification via hash-based ``array_intersect``
-       (O(|a|+|b|); the arrays are distinct so the count is the intersect
-       size) — so output equals ``ngram_jaccard_pairs`` minus LSH misses.
-
-    With 64 perms / 16 bands / rows-per-band 4 the S-curve midpoint is
-    ~(1/16)^(1/4) ≈ 0.5 — good recall at threshold 0.6.
-    """
+    """(doc_id, band, bucket) rows: MinHash signatures in one scan pass (no
+    shuffle), banding explodes IDS ONLY — band-bucket joins shuffle narrow
+    rows, never token arrays."""
     rows_per_band = num_perms // bands
-    toks_tbl = df.select(
-        F.col(id_col).alias("doc_id"), _distinct_tokens(F.col(text_col)).alias("toks")
-    )
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"),
+    sigs = docs.select(
+        "doc_id",
         minhash_signature(F.col(text_col), num_perms).alias("sig"),
     )
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -147,22 +127,112 @@ def minhash_lsh_pairs(
             )
         ).alias("bh"),
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
-    # Lazy local checkpoint: both sides of the self-join read the SAME
-    # materialized band table, so the 64-permutation signatures are computed
-    # once, not once per side (−18% measured at sf0.1). Tradeoff: checkpoint
-    # blocks live on executors, so a lost executor recomputes the partition
-    # instead of replaying lineage — acceptable for a derived, deterministic
-    # intermediate.
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    num_perms: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int | None = 512,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
+
+    The scale path, shuffle-weight-conscious end to end:
+
+    1. EXACT-DEDUP PRE-PASS: byte-identical texts collapse to one
+       representative (min id) before any signature work — on real crawl
+       corpora exact dups are the usual mega-bucket cause, and hashing them
+       once instead of per-copy is pure savings. Pairs among collapsed
+       copies are re-emitted at the end (jaccard = 1.0 by construction), and
+       representative pairs are expanded back to member pairs, so the output
+       contract ("all near-dup pairs above threshold") is unchanged.
+    2. signatures in one scan pass (no shuffle) over representatives only;
+    3. banding explodes IDS ONLY — the band-bucket join and the candidate
+       dedup shuffle narrow (doc_a, doc_b) rows, never token arrays (on a
+       self-similar corpus band collisions are ~bands× the distinct pairs,
+       so shipping payloads through them dominates the job);
+    4. MEGA-BUCKET GUARD: a (band, bucket) with B > ``bucket_cap`` members
+       would emit B²/2 candidates — the skewed-key blowup that kills the job
+       at scale (one degenerate bucket at 100 TB ⇒ one straggler task doing
+       quadratic work). Oversized buckets degrade to STAR candidate
+       generation instead: each member is paired with the bucket's min-id
+       anchor only (B−1 candidates, linear). Verified star pairs are still
+       exact-Jaccard-true pairs, and for the downstream clustering consumer
+       a star keeps every bucket member reachable through the anchor, so
+       cluster connectivity of genuine near-dup cliques survives the cap.
+       The recall cost is pair-LISTING completeness inside oversized buckets
+       only (measure with ``minhash_lsh_bucket_stats``; the default cap
+       never triggers at the oracle scale factors, so the driver-checked
+       recall floor is unaffected). ``bucket_cap=None`` disables the guard.
+    5. token arrays are re-attached to the deduped candidate pairs by an
+       equi-join on doc id (AQE broadcasts the doc-side at small scale; at
+       100 TB it is a shuffle join carrying each doc's tokens once, not once
+       per band);
+    6. exact-Jaccard verification via hash-based ``array_intersect``
+       (O(|a|+|b|); the arrays are distinct so the count is the intersect
+       size) — zero false positives, ever.
+
+    With 64 perms / 16 bands / rows-per-band 4 the S-curve midpoint is
+    ~(1/16)^(1/4) ≈ 0.5 — good recall at threshold 0.6.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).filter(F.col("__text").isNotNull())
+    hashed = base.withColumn("__ch", F.md5("__text"))
+    groups = hashed.groupBy("__ch").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("grp_n"),
+        F.first("__text").alias("__text"),  # identical within the group
+    )
+    # member → representative mapping (identity rows included)
+    mapping = hashed.select("doc_id", "__ch").join(
+        groups.select("__ch", "rep_id"), "__ch"
+    ).select("doc_id", "rep_id")
+    rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "__text")
+
+    toks_tbl = rep_docs.select(
+        "doc_id", _distinct_tokens(F.col("__text")).alias("toks")
+    )
+    banded = _banded_buckets(rep_docs, num_perms, bands)
+    # Lazy local checkpoint: every read of the band table (both self-join
+    # sides AND the bucket-size pass) hits the SAME materialized rows, so the
+    # 64-permutation signatures are computed once (−18% measured at sf0.1).
+    # Tradeoff: checkpoint blocks live on executors, so a lost executor
+    # recomputes the partition instead of replaying lineage — acceptable for
+    # a derived, deterministic intermediate.
     banded = banded.localCheckpoint(eager=False)
 
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    cands = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    if bucket_cap is not None:
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bkt_n"), F.min("doc_id").alias("__anchor")
+        )
+        annotated = banded.join(sizes, ["band", "bucket"])
+        small = annotated.filter(F.col("__bkt_n") <= bucket_cap)
+        a = small.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        b = small.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+        all_pairs = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        star_pairs = (
+            annotated.filter(F.col("__bkt_n") > bucket_cap)
+            .filter(F.col("doc_id") != F.col("__anchor"))
+            .select(F.col("__anchor").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+        cands = all_pairs.unionByName(star_pairs).dropDuplicates(["doc_a", "doc_b"])
+    else:
+        a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+        cands = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
     cands = cands.join(
         toks_tbl.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")),
         "doc_a",
@@ -175,10 +245,107 @@ def minhash_lsh_pairs(
     jac = F.col("n_inter").cast("double") / (
         F.size("toks_a").cast("long") + F.size("toks_b").cast("long") - F.col("n_inter")
     )
-    return (
+    verified = (
         cands.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+    # Expand representative pairs back to member pairs (each doc has exactly
+    # one representative, so the expansion cannot duplicate a pair).
+    cross = (
+        verified.join(
+            mapping.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("__x")),
+            "doc_a",
+        )
+        .join(
+            mapping.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("__y")),
+            "doc_b",
+        )
+        .select(
+            F.least("__x", "__y").alias("doc_a"),
+            F.greatest("__x", "__y").alias("doc_b"),
+            "n_inter",
+            "jaccard",
+        )
+    )
+    # Intra-group pairs: byte-identical texts ⇒ jaccard 1.0, n_inter = token
+    # count (matching what exact verification would compute; empty-token
+    # texts yield null jaccard in the exact path, so they are excluded here
+    # too). A group larger than bucket_cap emits a star around the
+    # representative rather than all B²/2 pairs — same guard, same
+    # connectivity argument as the band buckets.
+    nt = toks_tbl.select(
+        F.col("doc_id").alias("rep_id"), F.size("toks").cast("long").alias("__nt")
+    )
+    dup_members = (
+        mapping.join(groups.filter(F.col("grp_n") > 1).select("rep_id", "grp_n"), "rep_id")
+        .join(nt, "rep_id")
+        .filter(F.col("__nt") > 0)
+    )
+    cap = bucket_cap if bucket_cap is not None else None
+    ia = dup_members.select("rep_id", F.col("doc_id").alias("__x"), "__nt", "grp_n")
+    ib = dup_members.select("rep_id", F.col("doc_id").alias("__y"))
+    intra_all = (
+        (ia.filter(F.col("grp_n") <= cap) if cap is not None else ia)
+        .join(ib, "rep_id")
+        .filter(F.col("__x") < F.col("__y"))
+        .select(
+            F.col("__x").alias("doc_a"),
+            F.col("__y").alias("doc_b"),
+            F.col("__nt").alias("n_inter"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    intra = intra_all
+    if cap is not None:
+        intra_star = (
+            ia.filter(F.col("grp_n") > cap)
+            .filter(F.col("__x") != F.col("rep_id"))
+            .select(
+                F.col("rep_id").alias("doc_a"),
+                F.col("__x").alias("doc_b"),
+                F.col("__nt").alias("n_inter"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        intra = intra_all.unionByName(intra_star)
+    return cross.unionByName(intra)
+
+
+def minhash_lsh_bucket_stats(
+    df: DataFrame,
+    num_perms: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int = 512,
+) -> DataFrame:
+    """One-row skew diagnostic for the LSH banding — the 'logged drop count'
+    for the mega-bucket guard, as a queryable DataFrame so the number is
+    driver-recordable evidence rather than a log line: how many (band,
+    bucket) groups exceed ``bucket_cap``, the all-pairs candidate volume the
+    cap avoided, and the linear star volume emitted instead."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).filter(F.col("__text").isNotNull())
+    reps = (
+        base.withColumn("__ch", F.md5("__text"))
+        .groupBy("__ch")
+        .agg(F.min("doc_id").alias("doc_id"), F.first("__text").alias("__text"))
+        .select("doc_id", "__text")
+    )
+    sizes = _banded_buckets(reps, num_perms, bands).groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n = F.col("n").cast("long")
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum(F.when(n > bucket_cap, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("n_capped_buckets"),
+        F.sum(F.when(n <= bucket_cap, n * (n - 1) / 2).otherwise(F.lit(0))).cast("long").alias("allpairs_candidates_kept"),
+        F.sum(F.when(n > bucket_cap, n - 1).otherwise(F.lit(0))).cast("long").alias("star_candidates_emitted"),
+        F.sum(F.when(n > bucket_cap, n * (n - 1) / 2 - (n - 1)).otherwise(F.lit(0))).cast("long").alias("candidates_avoided_by_cap"),
     )
 
 

@@ -36,7 +36,12 @@ def test_register_views_covers_all_tables(spark):
 # Plans allowed to contain a BroadcastNestedLoopJoin: the brute-force scorers
 # broadcast a small query/total side by design (documented baselines).
 _BNLJ_OK = {"priority_revenue_share", "similarity_topk", "similarity_topk_ivf",
-            "embedding_near_dup_baseline"}
+            "embedding_near_dup_baseline",
+            # recall-floor queries: capped exact ground-truth side is a
+            # broadcast all-pairs scorer by design
+            "dedup_minhash_recall", "dedup_simhash_complete",
+            "embedding_near_dup_recall", "similarity_lsh_recall",
+            "similarity_ivf_recall"}
 # Plans allowed to contain Python nodes: the declared Arrow-batched paths.
 _PYTHON_OK = {"user_value_ewma", "multimodal_meta", "multimodal_features",
               "doc_chunks_udtf"}
