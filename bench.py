@@ -62,12 +62,22 @@ HEADLINE = [
     "salted_segment_revenue",
     "corpus_split",
     "doc_chunks",
+    # round-3: the reference-parity Olist gold marts (driver-green since r2)
+    # get trend lines too, and the Arrow multimodal path is timed explicitly
+    "olist_daily_sales",
+    "olist_customer_metrics",
+    "olist_product_performance",
+    "olist_seller_performance",
+    "olist_satisfaction_metrics",
+    "olist_delivery_performance",
+    "multimodal_features",
 ]
 
 # Queries whose FIRST build performs a one-time layout step (bucketed table
-# materialization). The layout cost is ingest-time at scale, so it is paid
-# outside the timed window; the timed run measures the recurring query.
-_SETUP_ONCE = {"daily_sales_bucketed"}
+# materialization, IVF index fit). The layout cost is ingest-time at scale,
+# so it is paid outside the timed window; the timed run measures the
+# recurring query.
+_SETUP_ONCE = {"daily_sales_bucketed", "similarity_topk_ivf"}
 
 
 def run_one(spark, name: str, sf_dir: str) -> float:

@@ -269,6 +269,99 @@ def ivf_fit_centroids(
     return cents
 
 
+def ensure_ivf_index(
+    spark,
+    corpus: DataFrame,
+    source_key: str,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train-once/persist IVF model state: (centroids, assignments) catalog
+    tables, fitted on first call and a catalog lookup afterwards — the
+    steady-state deployment shape (``ivf_topk`` re-fits inline on every run,
+    which is the right thing for a self-contained operator but wrong for a
+    serving path: at 100 TB the k-means fit + corpus assignment happen at
+    ingest, and queries pay only the probe).
+
+    The assignment table is PARTITIONED BY centroid_id, so a probe join
+    against a selective broadcast query side triggers dynamic partition
+    pruning — each query reads only the files of its probed cells, which is
+    the property that makes IVF sublinear at scale. Norms are precomputed at
+    index time. ``source_key`` is fingerprinted (file sizes/mtimes) so
+    regenerated source data refreshes the index instead of serving stale
+    cells.
+    """
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from etl_ecommerce_data_spark.sources.bucketing import source_fingerprint
+
+    tag = source_fingerprint(f"{source_key}")
+    conf = f"{n_centroids}_{lloyd_iters}"
+    cent_table = f"ivf_cent_{conf}_{tag}"
+    asg_table = f"ivf_asg_{conf}_{tag}"
+    if not (spark.catalog.tableExists(cent_table) and spark.catalog.tableExists(asg_table)):
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        if wh.scheme in ("", "file"):
+            for t in (cent_table, asg_table):
+                shutil.rmtree(os.path.join(wh.path, t.lower()), ignore_errors=True)
+        cents = ivf_fit_centroids(corpus, n_centroids, lloyd_iters, id_col, vec_col)
+        cents.write.mode("overwrite").format("parquet").saveAsTable(cent_table)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            to_double_array(F.col(vec_col)).alias("__cvec"),
+        )
+        assigned = _nearest_centroids(
+            c, spark.table(cent_table), "neighbor_id", "__cvec", probe=1
+        ).withColumn("__cn", norm(F.col("__cvec")))
+        assigned.write.mode("overwrite").format("parquet").partitionBy(
+            "centroid_id"
+        ).saveAsTable(asg_table)
+    return spark.table(cent_table), spark.table(asg_table)
+
+
+def ivf_topk_prefit(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe-only IVF top-k over a persisted index (see ``ensure_ivf_index``):
+    queries rank the broadcast centroids, then join their ``n_probe`` cells
+    against the cell-partitioned assignment table. Identical output contract
+    to ``ivf_topk`` given the same fitted centroids."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), to_double_array(F.col(vec_col)).alias("__qvec")
+    )
+    q_cells = _nearest_centroids(q, centroids, query_id_col, "__qvec", probe=n_probe).withColumn(
+        "__qn", norm(F.col("__qvec"))
+    )
+    cands = assignments.join(F.broadcast(q_cells), "centroid_id").filter(
+        F.col(query_id_col) != F.col("neighbor_id")
+    )
+    scored = cands.withColumn(
+        "cosine_sim",
+        cosine_from_parts(
+            dot(F.col("__qvec"), F.col("__cvec")), F.col("__qn"), F.col("__cn")
+        ),
+    ).filter(F.col("cosine_sim").isNotNull())
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1847,17 +1847,21 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_topk_ivf",
-    "Approximate cosine top-5 via IVF: deterministic distributed k-means "
-    "cells (hash-seeded init, exact-decimal Lloyd means), queries probe their "
-    "4 nearest of 16 cells — the data-adaptive ANN scale path alongside "
-    "SRP-LSH. No SQL oracle; recall vs exact top-k asserted in unit tests.",
+    "Approximate cosine top-5 via IVF over a PERSISTED index (train-once "
+    "k-means centroids + cell-partitioned assignment tables, idempotent per "
+    "source fingerprint): queries rank the broadcast centroids and probe "
+    "their 4 nearest of 16 cells; dynamic partition pruning limits the scan "
+    "to probed cells — the steady-state serving shape (the fit is ingest-"
+    "time at 100 TB). No SQL oracle; similarity_ivf_recall pins the recall "
+    "floor as driver evidence.",
     oracle=None,
     tags=("extension", "similarity", "ivf"),
 )
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    cents, asg = SIM.ensure_ivf_index(spark, emb, sf_dir, n_centroids=16)
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return SIM.ivf_topk_prefit(asg, cents, queries, k=5, n_probe=4)
 
 
 @register(

@@ -55,6 +55,31 @@ def read_bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def source_fingerprint(source_key: str) -> str:
+    """Cache key for an idempotent derived copy of ``source_key``.
+
+    If ``source_key`` is a directory, the relative names + sizes + mtimes of
+    its files are folded into the key, so REGENERATED source data (same path,
+    different bytes) gets a fresh derived table instead of silently serving a
+    stale copy. Non-path keys hash as plain strings.
+
+    Derived catalog tables are single-session-owned: two concurrent sessions
+    sharing one local warehouse dir may race on the orphan-location cleanup
+    below (a cluster deployment uses a persistent metastore + ingest-time
+    writes instead, where this helper's job is done by table versioning).
+    """
+    h = hashlib.md5(source_key.encode())
+    if os.path.isdir(source_key):
+        for root, _dirs, files in sorted(os.walk(source_key)):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                h.update(
+                    f"{os.path.relpath(p, source_key)}|{st.st_size}|{st.st_mtime_ns}".encode()
+                )
+    return h.hexdigest()[:8]
+
+
 def ensure_bucketed_copy(
     spark: SparkSession,
     df: DataFrame,
@@ -73,7 +98,7 @@ def ensure_bucketed_copy(
     write-once layout cost that deletes the per-query fact-fact exchange:
     at 100 TB the bucketed copy is the stored table, written by ingestion.
     """
-    tag = hashlib.md5(source_key.encode()).hexdigest()[:8]
+    tag = source_fingerprint(source_key)
     table = f"bkt_{name}_{bucket_col}_{num_buckets}_{tag}"
     if not spark.catalog.tableExists(table):
         # With the default in-memory catalog a previous session's table FILES

@@ -145,3 +145,20 @@ def test_pandas_udf_cosine_equals_jvm_cosine(spark, emb):
     assert len(both) > 0
     for r in both:
         assert abs(r["jvm"] - r["py"]) < 1e-12
+
+
+def test_ivf_prefit_matches_inline(spark, emb):
+    # The persisted-index probe path (ensure_ivf_index + ivf_topk_prefit)
+    # must return exactly what the self-contained ivf_topk computes from the
+    # same hyperparameters — the registered similarity_topk_ivf runs prefit.
+    queries = emb.filter(F.col("vec_id") < 10)
+    inline = SIM.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).collect()
+    cents, asg = SIM.ensure_ivf_index(spark, emb, SF_SMOKE, n_centroids=16)
+    prefit = SIM.ivf_topk_prefit(asg, cents, queries, k=5, n_probe=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        [(r["query_id"], r["neighbor_id"], r["rank"]) for r in prefit]
+    ) == sorted([(r["query_id"], r["neighbor_id"], r["rank"]) for r in inline])
+    got = {key(r): r["cosine_sim"] for r in prefit}
+    for r in inline:
+        assert abs(got[key(r)] - r["cosine_sim"]) < 1e-12
