@@ -22,6 +22,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def broadcast_join(
@@ -38,6 +39,7 @@ def salted_join(
     on: str,
     how: str = "inner",
     salt_buckets: int = 16,
+    spread_identical: bool = False,
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the (big, skewed) left side with a random
     bucket, replicate the right side across all buckets, join on (key, salt).
@@ -46,13 +48,26 @@ def salted_join(
     isn't available (e.g. broadcast not possible and the plan is shuffle-hash).
     Cost: right side is duplicated ``salt_buckets``× — keep buckets modest.
 
-    The salt is ``pmod(xxhash64(all left columns), buckets)`` — bit-
+    The salt is ``pmod(xxhash64(hashable left columns), buckets)`` — bit-
     deterministic for a given row regardless of partitioning (a random salt
     would spread rows identically but make any debugging repro partition-
-    dependent). Salt choice never affects results (dropped post-join).
+    dependent). Map-typed columns are excluded (xxhash64 rejects them).
+    Salt choice never affects results (dropped post-join).
+
+    LIMITATION: byte-identical left rows hash to one salt bucket, so a hot
+    key whose payload is also identical (deduplicate it first — that's the
+    real fix) does not spread. ``spread_identical=True`` mixes a per-row
+    sequence id into the salt to force the spread, at the cost of the
+    repro-determinism above (row numbering follows the input partitioning).
     """
+    hashable = [
+        f.name for f in left.schema.fields if not isinstance(f.dataType, T.MapType)
+    ]
+    salt_src = F.xxhash64(*[F.col(c) for c in hashable]) if hashable else F.lit(0)
+    if spread_identical:
+        salt_src = salt_src + F.monotonically_increasing_id()
     salted_left = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)).cast("int")
+        "__salt", F.pmod(salt_src, F.lit(salt_buckets)).cast("int")
     )
     buckets = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
     salted_right = right.select("*", buckets)

@@ -65,3 +65,17 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Re-assert the TIMESTAMP(NANOS)-as-long parquet conf on a session the
+    engine did not build (e.g. the external correctness driver's own
+    SparkSession). ``get_spark`` pins this at build time, so for engine-built
+    sessions this is a no-op read and the conf is never mutated mid-query;
+    for foreign sessions it is set once here — the single shared site for
+    every reader that touches the events parquet."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        try:  # runtime-settable SQL conf; required to scan TIMESTAMP(NANOS)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # pragma: no cover - only if a cluster pins it
+            pass

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 
+from etl_ecommerce_data_spark.session import ensure_nanos_as_long
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -145,14 +146,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SYNTHETIC_SCHEMAS)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # session.py pins this at build time; re-assert only when the session
-        # was built elsewhere (the correctness driver passes its own), so an
-        # engine-built session's conf is never mutated mid-query.
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-            try:  # runtime-settable SQL conf; required to scan TIMESTAMP(NANOS)
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            except Exception:  # pragma: no cover - only if a cluster pins it
-                pass
+        ensure_nanos_as_long(spark)
         df = spark.read.schema(SYNTHETIC_SCHEMAS[name]).parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(SYNTHETIC_SCHEMAS[name]).parquet(path)

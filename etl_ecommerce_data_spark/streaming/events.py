@@ -17,6 +17,7 @@ import uuid
 from collections.abc import Iterator
 
 import pandas as pd
+from etl_ecommerce_data_spark.session import ensure_nanos_as_long
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -39,11 +40,7 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one micro-batch
     locally; in production this is the Kafka source with the same schema)."""
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        try:  # pinned by session.py for engine-built sessions; re-assert for others
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:  # pragma: no cover
-            pass
+    ensure_nanos_as_long(spark)
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -244,11 +241,7 @@ def run_session_windows_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame
     os.makedirs(stage)
     shutil.copyfile(src, os.path.join(stage, "batch0_events.parquet"))
     # raw-long nanos ts, matching EVENTS_STREAM_SCHEMA
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:  # pragma: no cover
-            pass
+    ensure_nanos_as_long(spark)
     max_ns = (
         spark.read.schema(EVENTS_STREAM_SCHEMA)
         .parquet(os.path.join(stage, "batch0_events.parquet"))
@@ -259,9 +252,17 @@ def run_session_windows_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame
         [(-1, int(max_ns) + 86_400_000_000_000, _ADVANCER_USER, "advance", 0.0, None)],
         EVENTS_STREAM_SCHEMA,
     )
-    advancer.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(stage, "batch1_advance.parquet")
-    )
+    adv_dir = os.path.join(stage, "batch1_advance.parquet")
+    advancer.coalesce(1).write.mode("overwrite").parquet(adv_dir)
+    # The file source sequences micro-batches by file modification time; the
+    # advancer MUST process after the real events or every event is dropped
+    # as late. Copy + write usually order correctly, but pin it explicitly
+    # instead of trusting filesystem timestamp resolution.
+    events_mtime = os.stat(os.path.join(stage, "batch0_events.parquet")).st_mtime
+    pin = events_mtime + 2.0
+    for root, _dirs, files in os.walk(adv_dir):
+        for f in files:
+            os.utime(os.path.join(root, f), (pin, pin))
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -271,7 +272,16 @@ def run_session_windows_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     events = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out = _run_to_memory(session_window_aggregation(events), spark, "append")
-    return out.filter(F.col("user_id") != _ADVANCER_USER)
+    result = out.filter(F.col("user_id") != _ADVANCER_USER)
+    if result.limit(1).count() == 0:
+        # Zero sessions from a nonempty events file means the advancer batch
+        # processed first and the watermark discarded everything — fail
+        # loudly rather than returning a silently-empty result.
+        raise RuntimeError(
+            "streaming sessionization emitted no sessions; micro-batch "
+            "ordering was not events-then-advancer"
+        )
+    return result
 
 
 def run_windowed_stream_to_memory(
