@@ -2944,75 +2944,77 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Driver sweep ordering
 # ---------------------------------------------------------------------------
-# The round-1 correctness driver recorded rows for EXACTLY the first 50
-# registered queries and none for the last 7 — consistent with either a
-# per-sweep time budget or a hard 50-query cap. Either way, registration
-# order decides which queries get a driver row, so it is chosen explicitly:
-#   1. round-1's registered-but-rowless seven (VERDICT ask #1);
-#   2. everything new/renamed this round (no prior driver signal);
-#   3. the 100 TB scale paths and Arrow/Python paths whose posture this
-#      round's story rests on;
-#   4. the reference-parity core marts;
-#   5. the remaining round-1-green analytics (all hash-green in
-#      CORRECTNESS_r01, so their evidence exists even if a capped sweep
-#      stops before them).
+# The correctness driver records rows for (at most) the first 50 registered
+# queries per round, so registration order decides which queries get fresh
+# driver evidence. Round-3 rotation (VERDICT r2 ask #2): every query's
+# driver row should be at most one round old. The 43 round-2-green queries
+# not listed below carry round-2 evidence, which satisfies that bound this
+# round; the window is spent on:
+#   1. queries with NO usable driver row yet — the round-2 err
+#      (multimodal_features, now scalar-projected + oracled) and this
+#      round's six new recall/diagnostic queries;
+#   2. the 29 queries whose last driver row is round 1;
+#   3. queries whose UNDERLYING OPERATORS changed this round (ADVICE r2):
+#      the LSH guard rewrite, the persisted IVF index, the bucketing cache
+#      key, the salted-join salt source, the streaming micro-batch ordering
+#      pin, and the shared nanosAsLong helper every events reader now uses —
+#      their round-2 hashes must be re-pinned under the new code.
 # Every query remains registered and locally verified regardless.
 _SWEEP_FIRST = [
-    # 1. round-1 registered-but-no-driver-row
+    # 1. no usable driver row yet
+    "multimodal_features",
+    "dedup_minhash_recall",
+    "dedup_simhash_complete",
+    "embedding_near_dup_recall",
+    "similarity_lsh_recall",
+    "similarity_ivf_recall",
+    "dedup_minhash_bucket_stats",
+    # 2. last driver row is round 1
+    "top_parts_per_brand",
+    "churned_customers",
+    "status_priority_pivot",
+    "revenue_rollup",
+    "part_brand_size_cube",
+    "sessionize_events",
+    "daily_distinct_users",
+    "repeat_buyers_intersect",
+    "value_percentiles",
+    "props_json_stats",
+    "priority_revenue_share",
+    "nation_daily_revenue_ma",
+    "text_stats",
+    "text_quality",
+    "text_langid",
+    "doc_fingerprints",
+    "region_supplier_volume",
+    "event_type_distinct_props",
+    "customers_no_orders",
+    "suppliers_with_sales",
+    "one_time_buyers_except",
+    "status_latest_order",
+    "user_event_profile",
+    "revenue_grouping_sets",
+    "sql_segment_priority_revenue",
+    "text_tokens_bpe",
+    "curate_corpus",
+    "daily_users_hll",
+    "value_percentiles_approx",
+    # 3. operators changed this round — re-pin under the new code
+    "dedup_minhash_docs",
+    "dedup_clusters",
+    "dedup_clusters_baseline",
+    "dedup_ngram_jaccard_baseline",
+    "similarity_topk_ivf",
+    "daily_sales_bucketed",
+    "stream_session_windows",
+    "salted_segment_revenue",
     "asof_events_orders",
-    "range_join_view_purchase",
     "events_tumbling_5min",
     "stream_events_windowed",
     "stream_user_stats_stateful",
     "stream_dedup_events",
-    "multimodal_meta",
-    # 2. round-2 additions / renames
-    "stream_view_purchase_join",
-    "stream_session_windows",
-    "daily_sales_bucketed",
-    "dedup_clusters",
-    "dedup_clusters_baseline",
-    "dedup_ngram_jaccard_baseline",
-    "embedding_near_dup",
-    "embedding_near_dup_baseline",
-    "olist_daily_sales",
-    "olist_customer_metrics",
-    "olist_product_performance",
-    "olist_seller_performance",
-    "olist_satisfaction_metrics",
-    "olist_delivery_performance",
-    "corpus_split",
-    "doc_chunks",
-    "vocab_stats",
-    "multimodal_features",
-    "merge_upsert_orders",
-    "doc_chunks_udtf",
-    "daily_value_gapfilled",
-    "session_window_stats",
-    "salted_segment_revenue",
-    "text_normalize_dedup",
-    "order_value_ranking_suite",
-    # 3. scale paths + Python paths (rows-only or r1-green, posture-critical)
-    "dedup_minhash_docs",
-    "dedup_simhash_docs",
-    "dedup_exact_docs",
-    "similarity_topk",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "user_value_ewma",
-    # 4. reference-parity core (fills the 50-row window if it is a hard cap)
-    "pricing_summary",
-    "daily_sales",
-    "customer_metrics",
-    "product_performance",
-    "supplier_performance",
-    "order_status_delivery",
-    "events_by_type_day",
-    "nation_revenue",
-    "clean_orders",
-    "clean_customer",
     # 50th slot:
-    "clean_lineitem",
+    "stream_view_purchase_join",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {
