@@ -2881,6 +2881,102 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_top_terms",
+    "Per-document keyword extraction: top-3 terms by term frequency, ties "
+    "broken lexicographically — exact ints + deterministic rank, one "
+    "map-side-combined shuffle on (doc_id, token) then a per-doc window.",
+    oracle="""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS term_freq
+  FROM occ GROUP BY doc_id, token
+)
+SELECT doc_id, token, term_freq, CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY term_freq DESC, token ASC) AS rnk
+  FROM cnt
+)
+WHERE rnk <= 3
+""",
+    tags=("extension", "text", "training"),
+)
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    cnt = occ.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("term_freq")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("term_freq").desc(), F.col("token").asc()
+    )
+    return (
+        cnt.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "term_freq", "rank")
+    )
+
+
+@register(
+    "doc_repetition_stats",
+    "Gopher-style repetition signals per document: distinct-token ratio, "
+    "most-frequent-token fraction, top-2-token mass — all exact integer "
+    "counts with one IEEE division per emitted ratio, and the 'repetitive' "
+    "gate compared in cross-multiplied integer arithmetic (max_freq*5 > "
+    "n_tokens ⇔ ratio > 0.2) so the boolean can never drift on float "
+    "rounding.",
+    oracle="""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM occ GROUP BY doc_id, token
+),
+ranked AS (
+  SELECT doc_id, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, token ASC) AS rnk
+  FROM cnt
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(n) AS BIGINT) AS max_freq,
+       CAST(SUM(CASE WHEN rnk <= 2 THEN n ELSE 0 END) AS BIGINT) AS top2_freq,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS distinct_ratio,
+       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS max_freq_ratio,
+       MAX(n) * 5 > SUM(n) AS repetitive
+FROM ranked
+GROUP BY doc_id
+""",
+    tags=("extension", "text", "training", "quality"),
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    cnt = occ.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = cnt.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("n").cast("long").alias("max_freq"),
+        F.sum(F.when(F.col("rnk") <= 2, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("top2_freq"),
+        (F.count(F.lit(1)).cast("double") / F.sum("n").cast("double")).alias(
+            "distinct_ratio"
+        ),
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias(
+            "max_freq_ratio"
+        ),
+        (F.max("n") * 5 > F.sum("n")).alias("repetitive"),
+    )
+
+
+@register(
     "multimodal_features",
     "Arrow-batched multimodal feature extraction end-to-end: documents "
     "wrapped into the binary media contract (payload + typed meta struct), "
@@ -2952,7 +3048,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round; the window is spent on:
 #   1. queries with NO usable driver row yet — the round-2 err
 #      (multimodal_features, now scalar-projected + oracled) and this
-#      round's six new recall/diagnostic queries;
+#      round's new recall/diagnostic/text queries;
 #   2. the 29 queries whose last driver row is round 1;
 #   3. queries whose UNDERLYING OPERATORS changed this round (ADVICE r2):
 #      the LSH guard rewrite, the persisted IVF index, the bucketing cache
@@ -2969,6 +3065,8 @@ _SWEEP_FIRST = [
     "similarity_lsh_recall",
     "similarity_ivf_recall",
     "dedup_minhash_bucket_stats",
+    "doc_top_terms",
+    "doc_repetition_stats",
     # 2. last driver row is round 1
     "top_parts_per_brand",
     "churned_customers",
@@ -3003,13 +3101,11 @@ _SWEEP_FIRST = [
     "dedup_minhash_docs",
     "dedup_clusters",
     "dedup_clusters_baseline",
-    "dedup_ngram_jaccard_baseline",
     "similarity_topk_ivf",
     "daily_sales_bucketed",
     "stream_session_windows",
     "salted_segment_revenue",
     "asof_events_orders",
-    "events_tumbling_5min",
     "stream_events_windowed",
     "stream_user_stats_stateful",
     "stream_dedup_events",
