@@ -2252,6 +2252,33 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_upsert_user_latest",
+    "Streaming → incremental-table sink: foreachBatch merges each micro-"
+    "batch's per-user latest event into a persistent keyed table via the "
+    "engine's merge/upsert operator (latest-(ts,event_id)-wins, snapshot "
+    "writes). Two staged micro-batches exercise the cross-batch merge; the "
+    "deterministic survivor makes the end state equal the batch 'latest row "
+    "per user' the oracle computes.",
+    oracle="""
+SELECT user_id,
+       event_id AS last_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       value AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    tags=("extension", "streaming", "incremental", "sink"),
+)
+def q_stream_upsert_user_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.streaming.events import run_foreach_batch_upsert
+
+    return run_foreach_batch_upsert(spark, sf_dir)
+
+
+@register(
     "multimodal_meta",
     "Multimodal column plumbing: opaque binary payloads (UTF-8 encoded text "
     "standing in for image/audio bytes) with typed metadata — length + "
@@ -3108,7 +3135,7 @@ _SWEEP_FIRST = [
     "asof_events_orders",
     "stream_events_windowed",
     "stream_user_stats_stateful",
-    "stream_dedup_events",
+    "stream_upsert_user_latest",
     # 50th slot:
     "stream_view_purchase_join",
 ]

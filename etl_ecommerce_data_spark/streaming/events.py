@@ -312,3 +312,90 @@ def run_windowed_stream_to_memory(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → incremental-table sink: ``foreachBatch`` merges each
+    micro-batch's per-user latest event into a persistent keyed table using
+    the engine's merge/upsert operator (latest-(ts, event_id)-wins, snapshot
+    writes — never in place). The events file is staged as TWO micro-batches
+    (split by event_id parity, mtime-pinned in order) so the upsert really
+    runs across batches; because the merge survivor is deterministic by
+    (ts, event_id), the end state equals the batch "latest row per user"
+    regardless of how rows were batched — which is what the DuckDB oracle
+    checks. Production shape: Kafka source + Delta/Iceberg MERGE INTO with
+    the same merge_dataframes expression.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_ecommerce_data_spark.sources.incremental import merge_dataframes
+
+    ensure_nanos_as_long(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"upsert_stream_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage)
+    raw = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    b0 = os.path.join(stage, "batch0.parquet")
+    b1 = os.path.join(stage, "batch1.parquet")
+    raw.filter(F.pmod("event_id", F.lit(2)) == 0).coalesce(1).write.parquet(b0)
+    raw.filter(F.pmod("event_id", F.lit(2)) == 1).coalesce(1).write.parquet(b1)
+    # pin micro-batch order explicitly (file source sequences by mtime)
+    base = os.stat(b0).st_mtime
+    for i, d in enumerate((b0, b1)):
+        for r, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(r, f), (base + 2.0 * i, base + 2.0 * i))
+
+    current: list[str | None] = [None]
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        updates = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("__ver", F.struct("ts", "event_id"))
+        )
+        out = os.path.join(root, f"snap_{batch_id}.parquet")
+        if current[0] is None:
+            updates.drop("__ver").write.mode("overwrite").parquet(out)
+        else:
+            cur = spark.read.parquet(current[0]).withColumn(
+                "__ver", F.struct("ts", "event_id")
+            )
+            merged = merge_dataframes(cur, updates, ["user_id"], "__ver")
+            merged.drop("__ver").write.mode("overwrite").parquet(out)
+        current[0] = out
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    events = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = events.writeStream.outputMode("append").foreachBatch(upsert_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if current[0] is None:
+        raise RuntimeError("foreachBatch upsert processed no micro-batches")
+    final = spark.read.parquet(current[0])
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )

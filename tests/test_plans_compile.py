@@ -15,7 +15,7 @@ from tests.conftest import SF_SMOKE
 # tests/oracle entries instead of the compile sweep.
 _EXECUTING = {"stream_events_windowed", "stream_user_stats_stateful",
               "stream_dedup_events", "stream_view_purchase_join",
-              "stream_session_windows",
+              "stream_session_windows", "stream_upsert_user_latest",
               "dedup_clusters", "dedup_clusters_baseline",
               "daily_sales_bucketed"}  # last one materializes bucketed copies
 
