@@ -41,6 +41,31 @@ def test_asof_join_basic_tie_and_miss(spark):
     assert out.count() == left.count()  # as-of never fans out
 
 
+def test_asof_join_tolerance_filters_stale_matches(spark):
+    """tolerance_expr runs over the output columns: rows whose matched order
+    is older than the bound (or unmatched, where the expr is null) are
+    dropped — the staleness-gate composition the operator documents."""
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05T00:00:00")),  # 2 days after last order
+            (2, 10, _ts("2024-01-10T00:00:00")),  # 7 days after → stale
+            (3, 11, _ts("2024-01-01T00:00:00")),  # no orders → null → dropped
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, 102, _ts("2024-01-03T00:00:00"))],
+        "user_id long, o_orderkey long, o_orderdate timestamp",
+    )
+    out = asof_join(
+        left, right, key="user_id", left_time="ts", right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tolerance_expr="o_orderdate >= ts - INTERVAL 3 DAYS",
+    )
+    got = {r["event_id"]: r["o_orderkey"] for r in out.collect()}
+    assert got == {1: 102}
+
+
 def test_asof_join_matched_row_stays_whole(spark):
     """The matched right row travels as one struct: a NULL in one right column
     must NOT be papered over with a stale value from an older right row, and

@@ -1,0 +1,141 @@
+"""Hypothesis property tests: operator laws checked against independent
+Python models on randomized inputs (bounded example counts — every example
+round-trips through Spark).
+
+These complement the fixture-based suites: the model is written from the
+operator's CONTRACT, not its implementation, so a refactor that silently
+changes semantics (e.g. the round-3 shingle restructure) trips a property
+even where curated fixtures happen to agree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_ecommerce_data_spark.functions.text import shingle_fingerprint
+from etl_ecommerce_data_spark.operators.dedup import exact_dedup
+from etl_ecommerce_data_spark.operators.joins import salted_join
+from etl_ecommerce_data_spark.sources.incremental import merge_dataframes
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=4)
+_text = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@_SETTINGS
+@given(
+    current=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9), st.integers(0, 99)),
+        max_size=20,
+    ),
+    updates=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9), st.integers(0, 99)),
+        max_size=20,
+    ),
+)
+def test_merge_latest_wins_matches_model(spark, current, updates):
+    """merge_dataframes == per-key replay: greatest version wins, updates
+    beat current on version ties; ties WITHIN a relation must not occur for
+    the contract to be deterministic, so duplicate (key, version) rows are
+    collapsed to their max payload first (deterministic input)."""
+    cur = {}
+    for k, v, p in current:
+        cur[(k, v)] = max(cur.get((k, v), p), p)
+    upd = {}
+    for k, v, p in updates:
+        upd[(k, v)] = max(upd.get((k, v), p), p)
+    schema = "k long, ver long, payload long"
+    cur_df = spark.createDataFrame(
+        [(k, v, p) for (k, v), p in cur.items()], schema
+    )
+    upd_df = spark.createDataFrame(
+        [(k, v, p) for (k, v), p in upd.items()], schema
+    )
+    got = {
+        r["k"]: (r["ver"], r["payload"])
+        for r in merge_dataframes(cur_df, upd_df, ["k"], "ver").collect()
+    }
+    want: dict[int, tuple[int, int]] = {}
+    for (k, v), p in cur.items():  # current first; updates overwrite ties
+        if k not in want or v > want[k][0]:
+            want[k] = (v, p)
+    for (k, v), p in upd.items():
+        if k not in want or v >= want[k][0]:
+            want[k] = (v, p)
+    assert got == want
+
+
+@_SETTINGS
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 9)), max_size=25),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 9)), max_size=10),
+    buckets=st.integers(1, 5),
+    spread=st.booleans(),
+)
+def test_salted_join_equals_plain_join(spark, left, right, buckets, spread):
+    """Salting is a physical rewrite only: row multiset of salted_join must
+    equal the plain inner join for any bucket count, including salt
+    collisions on identical rows and the spread_identical mode."""
+    l_df = spark.createDataFrame(left or [(0, 0)], "k long, lv long")
+    r_df = spark.createDataFrame(right or [(0, 0)], "k long, rv long")
+    plain = sorted(
+        tuple(r) for r in l_df.join(r_df, "k", "inner").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(
+            l_df, r_df, "k", salt_buckets=buckets, spread_identical=spread
+        ).collect()
+    )
+    assert salted == plain
+
+
+@_SETTINGS
+@given(texts=st.lists(_text, min_size=1, max_size=8))
+def test_shingle_fingerprint_matches_python_model(spark, texts):
+    """Min-md5 over rolling 3-token shingles, modeled independently in
+    Python — pins the zip_with/shifted-slice formulation to the contract."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r["i"]: r["fp"]
+        for r in df.select("i", shingle_fingerprint(F.col("t"), k=3).alias("fp")).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        if len(toks) >= 3:
+            want = min(
+                hashlib.md5(" ".join(toks[j : j + 3]).encode()).hexdigest()
+                for j in range(len(toks) - 2)
+            )
+        else:
+            want = hashlib.md5(t.encode()).hexdigest()
+        assert got[i] == want, (i, t)
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 50), _text), min_size=1, max_size=30)
+)
+def test_exact_dedup_matches_model(spark, rows):
+    """One survivor per distinct text: min id, correct multiplicity."""
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["content_hash"]: (r["doc_id"], r["dup_count"])
+        for r in exact_dedup(df).collect()
+    }
+    want: dict[str, tuple[int, int]] = {}
+    for i, t in rows:
+        h = hashlib.md5(t.encode()).hexdigest()
+        prev = want.get(h)
+        want[h] = (i if prev is None else min(prev[0], i), 1 if prev is None else prev[1] + 1)
+    assert got == want
