@@ -2252,6 +2252,54 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "connector_roundtrip_orc_json",
+    "Sink/scan round-trip as driver evidence: nation is written to ORC and "
+    "JSON in a scratch dir through the engine's writers, read back through "
+    "its readers, and inner-joined on the key — the oracle is the plain "
+    "source table, so any column the round-trip mangles (types, encoding, "
+    "nulls) hash-mismatches. Exercises the S2 sink surface beyond e2e tests.",
+    oracle="""
+SELECT n_nationkey, n_name AS name_via_orc, n_name AS name_via_json,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+""",
+    tags=("source", "sink", "connector"),
+)
+def q_connector_roundtrip_orc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from etl_ecommerce_data_spark.sources.readers import (
+        read_json_table,
+        read_orc_table,
+        write_json_table,
+        write_orc_table,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"connector_rt_{tag}")
+    orc_path = os.path.join(root, "nation_orc")
+    json_path = os.path.join(root, "nation_json")
+    write_orc_table(nation, orc_path)
+    write_json_table(nation, json_path)
+    via_orc = read_orc_table(spark, orc_path).select(
+        "n_nationkey", F.col("n_name").alias("name_via_orc")
+    )
+    via_json = read_json_table(
+        spark, json_path, schema=nation.schema
+    ).select(
+        "n_nationkey",
+        F.col("n_name").alias("name_via_json"),
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+    return via_orc.join(via_json, "n_nationkey")
+
+
+@register(
     "stream_upsert_user_latest",
     "Streaming → incremental-table sink: foreachBatch merges each micro-"
     "batch's per-user latest event into a persistent keyed table via the "
