@@ -71,6 +71,18 @@ HEADLINE = [
     "olist_satisfaction_metrics",
     "olist_delivery_performance",
     "multimodal_features",
+    # round-3 additions: funnel/cohort/RFM/basket/SCD2 analytics marts and
+    # the training-data curation surface (decontamination, packing,
+    # stratified rebalance, quantization)
+    "funnel_conversion",
+    "cohort_retention",
+    "rfm_segments",
+    "basket_pairs",
+    "user_event_scd2",
+    "contamination_check",
+    "pack_concat_chunks",
+    "language_rebalance_sample",
+    "embedding_quantize",
 ]
 
 # Queries whose FIRST build performs a one-time layout step (bucketed table

@@ -146,6 +146,23 @@ def fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
+def shingle_set(text: Column, k: int = 5) -> Column:
+    """Distinct md5 hashes of all k-token shingles, as an array<string> —
+    the decontamination / near-dup blocking unit. Built with the same
+    zip_with-of-shifted-slices construction as ``shingle_fingerprint``
+    (one array traversal per shift, fully JVM-side). Docs shorter than k
+    tokens contribute their whole-text md5 as the single shingle, so every
+    doc has at least one entry and exact duplicates always collide."""
+    toks = tokens(text)
+    n = F.size(toks)
+    m = F.greatest(n - (k - 1), F.lit(1))
+    sh = F.slice(toks, 1, m)
+    for j in range(1, k):
+        sh = F.zip_with(sh, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b))
+    hashed = F.array_distinct(F.transform(sh, lambda s: F.md5(s)))
+    return F.when(n >= k, hashed).otherwise(F.array(F.md5(text)))
+
+
 def shingle_fingerprint(text: Column, k: int = 3) -> Column:
     """Rolling-shingle fingerprint: min md5 over all k-token shingles —
     a 1-permutation MinHash usable for cheap near-dup blocking.

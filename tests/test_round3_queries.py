@@ -1,0 +1,152 @@
+"""Semantic invariants for the round-3 analytics + curation queries.
+
+The DuckDB hash-parity sweep (test_oracle_parity) already pins exact values;
+these tests assert the LAWS each result must satisfy, so a future edit that
+changes both the Spark side and the oracle in the same wrong way still fails.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_ecommerce_data_spark.plans.queries import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+
+def _run(spark, name):
+    return QUERIES[name].builder(spark, SF_SMOKE)
+
+
+def test_funnel_monotone(spark):
+    row = _run(spark, "funnel_conversion").collect()[0]
+    assert row.users_view >= row.users_click >= row.users_purchase > 0
+    assert 0.0 <= row.purchase_rate <= 1.0 and 0.0 <= row.click_rate <= 1.0
+
+
+def test_cohort_retention_laws(spark):
+    pdf = _run(spark, "cohort_retention").toPandas()
+    assert (pdf.months_since >= 0).all()
+    # month-0 cohort sizes partition the customer base: every customer
+    # appears in exactly their own cohort at months_since=0
+    n_customers = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert pdf[pdf.months_since == 0].customers.sum() == n_customers
+    # retention never exceeds the cohort's month-0 size
+    m0 = pdf[pdf.months_since == 0].set_index("cohort_month").customers
+    later = pdf[pdf.months_since > 0]
+    assert (later.customers.values <= m0.loc[later.cohort_month].values).all()
+
+
+def test_rfm_scores_consistent(spark):
+    df = _run(spark, "rfm_segments")
+    bad = df.filter(
+        ~F.col("r_score").between(1, 4)
+        | ~F.col("f_score").between(1, 4)
+        | ~F.col("m_score").between(1, 4)
+        | (
+            F.col("segment")
+            != F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        )
+    )
+    assert bad.count() == 0
+    # quartile thresholds actually split: every score level is populated
+    # for frequency/monetary on the smoke data
+    assert df.select("m_score").distinct().count() >= 3
+
+
+def test_basket_pairs_laws(spark):
+    df = _run(spark, "basket_pairs")
+    assert df.filter(F.col("part_a") >= F.col("part_b")).count() == 0
+    assert df.filter(F.col("n_orders") < 2).count() == 0
+    # support never exceeds the number of orders a part appears in
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    per_part = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j = (
+        df.join(per_part.withColumnRenamed("l_partkey", "part_a"), "part_a")
+        .filter(F.col("n_orders") > F.col("n"))
+    )
+    assert j.count() == 0
+
+
+def test_scd2_intervals(spark):
+    pdf = _run(spark, "user_event_scd2").toPandas()
+    per_user = pdf.sort_values(["user_id", "run_id"]).groupby("user_id")
+    for _, g in per_user:
+        # exactly one open (current) interval per user, and it is the last
+        assert g.is_current.sum() == 1
+        assert bool(g.iloc[-1].is_current)
+        # intervals chain: valid_to == next run's valid_from
+        assert (
+            g.valid_to.iloc[:-1].values == g.valid_from.iloc[1:].values
+        ).all()
+        # runs alternate event_type (adjacent runs never share a type)
+        types = g.event_type.values
+        assert all(types[i] != types[i + 1] for i in range(len(types) - 1))
+    # run row counts add back up to the event count
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert pdf.n_events.sum() == n_events
+
+
+def test_contamination_covers_test_side_only(spark):
+    from etl_ecommerce_data_spark.functions import text as TX
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    n_test = docs.filter(TX.hash_split(F.col("text")) == "test").count()
+    pdf = _run(spark, "contamination_check").toPandas()
+    assert len(pdf) == n_test
+    assert (pdf.n_shingles >= 1).all()
+    # the synthetic corpus is highly self-similar: the scan must find some
+    # contamination, but a fully-contaminated result would be vacuous too
+    assert 0 < pdf.contaminated.sum() < len(pdf)
+
+
+def test_pack_concat_chunks_laws(spark):
+    pdf = _run(spark, "pack_concat_chunks").toPandas()
+    assert (pdf.n_chunks >= 1).all()
+    assert (pdf.end_chunk >= pdf.start_chunk).all()
+    for _, g in pdf.sort_values(["source", "doc_id"]).groupby("source"):
+        # offsets are the running sum of token counts, starting at 0
+        assert g.start_offset.iloc[0] == 0
+        assert (
+            g.start_offset.iloc[1:].values
+            == (g.start_offset + g.n_tokens).iloc[:-1].values
+        ).all()
+        # chunk ids derive from offsets at capacity 512
+        assert (g.start_chunk == g.start_offset // 512).all()
+        assert (g.end_chunk == (g.start_offset + g.n_tokens - 1) // 512).all()
+
+
+def test_language_rebalance_downsamples_en(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = _run(spark, "language_rebalance_sample").toPandas()
+    kept_counts = kept.groupby("lang").size().to_dict()
+    en_rate = kept_counts.get("en", 0) / totals["en"]
+    other_total = sum(v for k, v in totals.items() if k != "en")
+    other_kept = sum(v for k, v in kept_counts.items() if k != "en")
+    # en targeted at 25%, others at 75% — allow generous sampling noise
+    assert en_rate < 0.5
+    assert other_kept / other_total > 0.5
+
+
+def test_embedding_quantize_bounds(spark):
+    pdf = _run(spark, "embedding_quantize").toPandas()
+    assert (pdf.vmax >= pdf.vmin).all()
+    # checksum of dim-weighted levels is bounded by 255 * sum(1..dims)
+    cap = 255 * (pdf.dims * (pdf.dims + 1) // 2)
+    assert (pdf.checksum >= 0).all()
+    assert (pdf.checksum <= cap).all()
