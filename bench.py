@@ -83,6 +83,8 @@ HEADLINE = [
     "pack_concat_chunks",
     "language_rebalance_sample",
     "embedding_quantize",
+    "curation_funnel",
+    "event_counts_cms",
 ]
 
 # Queries whose FIRST build performs a one-time layout step (bucketed table

@@ -3655,6 +3655,260 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_funnel",
+    "Flagship end-to-end training-data curation pipeline as ONE declarative "
+    "plan: raw -> quality gate -> language-ID -> exact dedup -> language "
+    "rebalance -> train split -> eval-decontamination, reported as a "
+    "per-stage (docs, tokens) funnel in a single row. Stages are computed as "
+    "monotone boolean flags over one scan (dedup survivorship is a window "
+    "min, decontamination a shingle anti-join), so the whole pipeline costs "
+    "one pass + one window + one ids-only join — not seven materialized "
+    "intermediate corpora.",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN text IS NULL THEN 0
+              ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS n_tokens,
+         (text IS NOT NULL) AS f1,
+         {_lang_score_sql(TX.LANG_MARKERS["de"])} AS s_de,
+         {_lang_score_sql(TX.LANG_MARKERS["en"])} AS s_en,
+         {_lang_score_sql(TX.LANG_MARKERS["es"])} AS s_es,
+         {_lang_score_sql(TX.LANG_MARKERS["fr"])} AS s_fr,
+         {_lang_score_sql(TX.LANG_MARKERS["zh"])} AS s_zh,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> regexp_full_match(x, '[a-zA-Z]+'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> list_contains(['the','a','of','and','is','to'], x))) AS BIGINT) AS n_stop,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_tok_len
+  FROM documents
+),
+q AS (
+  SELECT *,
+         f1 AND ((CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+               + (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+               + (CASE WHEN avg_tok_len >= 2.0 AND avg_tok_len <= 12.0
+                       THEN 1.0 ELSE 0.0 END) * 0.2) >= 0.71
+            AND n_tokens >= 15 AS f2
+  FROM base
+),
+lq AS (
+  SELECT *,
+         f2 AND greatest(s_de, s_en, s_es, s_fr, s_zh) > 0 AS f3
+  FROM q
+),
+dq AS (
+  SELECT *,
+         f3 AND doc_id = MIN(CASE WHEN f3 THEN doc_id END)
+                           OVER (PARTITION BY md5(text)) AS f4
+  FROM lq
+),
+flags AS (
+  SELECT *,
+         f4 AND substr(md5(lang || ':' || text), 1, 2)
+                < CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END AS f5,
+         f4 AND substr(md5(lang || ':' || text), 1, 2)
+                < CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END
+            AND substr(md5(text), 1, 2) < 'cc' AS f6
+  FROM dq
+),
+tok5 AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM flags WHERE f5
+),
+pos AS (
+  SELECT doc_id, text, t,
+         unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+  FROM tok5
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 5 THEN md5(array_to_string(t[i:i+4], ' '))
+              ELSE md5(text) END AS shingle
+  FROM pos
+),
+heldout AS (
+  SELECT DISTINCT shingle FROM sh JOIN flags USING (doc_id)
+  WHERE flags.f5 AND NOT flags.f6
+),
+dirty AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s JOIN flags fl USING (doc_id) JOIN heldout h USING (shingle)
+  WHERE fl.f6
+),
+final AS (
+  SELECT fl.*, (d.doc_id IS NOT NULL) AS is_dirty
+  FROM flags fl LEFT JOIN dirty d USING (doc_id)
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS raw_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+  CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS quality_docs,
+  CAST(SUM(CASE WHEN f2 THEN n_tokens ELSE 0 END) AS BIGINT) AS quality_tokens,
+  CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS lang_docs,
+  CAST(SUM(CASE WHEN f3 THEN n_tokens ELSE 0 END) AS BIGINT) AS lang_tokens,
+  CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS dedup_docs,
+  CAST(SUM(CASE WHEN f4 THEN n_tokens ELSE 0 END) AS BIGINT) AS dedup_tokens,
+  CAST(SUM(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS rebalance_docs,
+  CAST(SUM(CASE WHEN f5 THEN n_tokens ELSE 0 END) AS BIGINT) AS rebalance_tokens,
+  CAST(SUM(CASE WHEN f6 THEN 1 ELSE 0 END) AS BIGINT) AS train_docs,
+  CAST(SUM(CASE WHEN f6 THEN n_tokens ELSE 0 END) AS BIGINT) AS train_tokens,
+  CAST(SUM(CASE WHEN f6 AND NOT is_dirty THEN 1 ELSE 0 END) AS BIGINT) AS clean_docs,
+  CAST(SUM(CASE WHEN f6 AND NOT is_dirty THEN n_tokens ELSE 0 END) AS BIGINT) AS clean_tokens
+FROM final
+""",
+    tags=("extension", "text", "training", "pipeline", "flagship"),
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = F.when(t.isNotNull(), TX.token_count(t)).otherwise(F.lit(0)).cast("long")
+    f1 = t.isNotNull()
+    f2 = f1 & (TX.quality_score(t) >= 0.71) & (n_tok >= 15)
+    f3 = f2 & (TX.detected_lang(t) != "und")
+    base = docs.select(
+        "doc_id", "lang", "text", n_tok.alias("n_tokens"),
+        f1.alias("f1"), f2.alias("f2"), f3.alias("f3"),
+    )
+    w = Window.partitionBy(F.md5(t))
+    f4 = F.col("f3") & (
+        F.col("doc_id") == F.min(F.when(F.col("f3"), F.col("doc_id"))).over(w)
+    )
+    dq = base.withColumn("f4", f4)
+    rebalance_keep = F.substring(
+        F.md5(F.concat_ws(":", F.col("lang"), t)), 1, 2
+    ) < F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("c0"))
+    train = F.substring(F.md5(t), 1, 2) < F.lit("cc")
+    flags = dq.withColumn("f5", F.col("f4") & rebalance_keep).withColumn(
+        "f6", F.col("f4") & rebalance_keep & train
+    )
+    # flags feeds the final aggregate plus both shingle sides of the
+    # decontamination join — compute the scan + window once.
+    flags = flags.localCheckpoint(eager=False)
+    sh = flags.filter(F.col("f5")).select(
+        "doc_id", "f6", F.explode(TX.shingle_set(t, 5)).alias("shingle")
+    )
+    sh = sh.localCheckpoint(eager=False)
+    heldout = sh.filter(~F.col("f6")).select("shingle").distinct()
+    dirty = (
+        sh.filter(F.col("f6"))
+        .join(heldout, "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dirty", F.lit(True))
+    )
+    final = flags.join(dirty, "doc_id", "left").withColumn(
+        "is_dirty", F.coalesce("is_dirty", F.lit(False))
+    )
+    def stage(flag: F.Column, label: str) -> list[F.Column]:
+        return [
+            F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias(f"{label}_docs"),
+            F.sum(F.when(flag, F.col("n_tokens")).otherwise(0)).cast("long").alias(
+                f"{label}_tokens"
+            ),
+        ]
+    return final.agg(
+        F.count(F.lit(1)).cast("long").alias("raw_docs"),
+        F.sum("n_tokens").cast("long").alias("raw_tokens"),
+        *stage(F.col("f2"), "quality"),
+        *stage(F.col("f3"), "lang"),
+        *stage(F.col("f4"), "dedup"),
+        *stage(F.col("f5"), "rebalance"),
+        *stage(F.col("f6"), "train"),
+        *stage(F.col("f6") & ~F.col("is_dirty"), "clean"),
+    )
+
+
+@register(
+    "event_counts_cms",
+    "Count-min sketch as pure relational algebra: depth-4 x width-256 cells "
+    "keyed by two md5 hex chars per (seed, value); per-key estimate = min "
+    "over seeds of its cell totals. The sketch table is a groupBy — "
+    "map-side combined, mergeable across partitions/days by cellwise "
+    "addition at 100 TB — and the never-underestimates guarantee is pinned "
+    "by the oracle via the overcount column (>= 0 by construction). All "
+    "exact integer arithmetic on both engines.",
+    oracle="""
+WITH seeds AS (SELECT unnest(generate_series(0, 3)) AS seed),
+hashed AS (
+  SELECT s.seed, e.event_type,
+         (strpos('0123456789abcdef',
+                 substr(md5(CAST(s.seed AS VARCHAR) || ':' || e.event_type), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef',
+                 substr(md5(CAST(s.seed AS VARCHAR) || ':' || e.event_type), 2, 1)) - 1)
+           AS cell
+  FROM events e CROSS JOIN seeds s
+),
+cms AS (
+  SELECT seed, cell, CAST(COUNT(*) AS BIGINT) AS total
+  FROM hashed GROUP BY seed, cell
+),
+keys AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events GROUP BY event_type
+),
+key_cells AS (
+  SELECT k.event_type, k.exact_n, s.seed,
+         (strpos('0123456789abcdef',
+                 substr(md5(CAST(s.seed AS VARCHAR) || ':' || k.event_type), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef',
+                 substr(md5(CAST(s.seed AS VARCHAR) || ':' || k.event_type), 2, 1)) - 1)
+           AS cell
+  FROM keys k CROSS JOIN seeds s
+)
+SELECT kc.event_type, kc.exact_n,
+       MIN(c.total) AS cms_estimate,
+       MIN(c.total) - kc.exact_n AS overcount
+FROM key_cells kc JOIN cms c ON kc.seed = c.seed AND kc.cell = c.cell
+GROUP BY kc.event_type, kc.exact_n
+""",
+    tags=("extension", "sketch", "analytics"),
+)
+def q_event_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    depth = 4
+
+    def cell(seed: int, value: F.Column) -> F.Column:
+        two_hex = F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), value)), 1, 2
+        )
+        return F.conv(two_hex, 16, 10).cast("long")
+
+    seed_cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("long").alias("seed"),
+                    cell(s, F.col("event_type")).alias("cell"),
+                )
+                for s in range(depth)
+            ]
+        )
+    ).alias("sc")
+    cms = (
+        ev.select(seed_cells)
+        .select("sc.seed", "sc.cell")
+        .groupBy("seed", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("total"))
+    )
+    keys = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    key_cells = keys.select("event_type", "exact_n", seed_cells).select(
+        "event_type", "exact_n", "sc.seed", "sc.cell"
+    )
+    est = (
+        key_cells.join(cms, ["seed", "cell"])
+        .groupBy("event_type", "exact_n")
+        .agg(F.min("total").alias("cms_estimate"))
+    )
+    return est.select(
+        "event_type",
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_n")).alias("overcount"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering
 # ---------------------------------------------------------------------------
@@ -3688,6 +3942,8 @@ _SWEEP_FIRST = [
     "pack_concat_chunks",
     "language_rebalance_sample",
     "embedding_quantize",
+    "curation_funnel",
+    "event_counts_cms",
     # 1. no usable driver row yet
     "multimodal_features",
     "dedup_minhash_recall",
@@ -3728,11 +3984,9 @@ _SWEEP_FIRST = [
     "curate_corpus",
     "daily_users_hll",
     "value_percentiles_approx",
-    # 3. highest-churn changed operators — re-pin under the new code
-    "dedup_minhash_docs",
-    "dedup_clusters",
+    # 3. highest-churn changed operator — re-pin under the new code
     # 50th slot:
-    "similarity_topk_ivf",
+    "dedup_minhash_docs",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

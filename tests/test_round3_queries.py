@@ -143,6 +143,33 @@ def test_language_rebalance_downsamples_en(spark):
     assert other_kept / other_total > 0.5
 
 
+def test_curation_funnel_monotone(spark):
+    row = _run(spark, "curation_funnel").collect()[0]
+    docs = (
+        f"{row.raw_docs} {row.quality_docs} {row.lang_docs} {row.dedup_docs} "
+        f"{row.rebalance_docs} {row.train_docs} {row.clean_docs}"
+    )
+    seq_docs = [row.raw_docs, row.quality_docs, row.lang_docs, row.dedup_docs,
+                row.rebalance_docs, row.train_docs, row.clean_docs]
+    seq_toks = [row.raw_tokens, row.quality_tokens, row.lang_tokens,
+                row.dedup_tokens, row.rebalance_tokens, row.train_tokens,
+                row.clean_tokens]
+    assert all(a >= b for a, b in zip(seq_docs, seq_docs[1:])), docs
+    assert all(a >= b for a, b in zip(seq_toks, seq_toks[1:]))
+    # the pipeline must actually pass something through AND filter something
+    assert 0 < row.clean_docs < row.raw_docs
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert row.raw_docs == n_docs
+
+
+def test_cms_never_underestimates(spark):
+    pdf = _run(spark, "event_counts_cms").toPandas()
+    assert (pdf.overcount >= 0).all()
+    assert (pdf.cms_estimate >= pdf.exact_n).all()
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert pdf.exact_n.sum() == n_events
+
+
 def test_embedding_quantize_bounds(spark):
     pdf = _run(spark, "embedding_quantize").toPandas()
     assert (pdf.vmax >= pdf.vmin).all()
