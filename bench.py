@@ -85,6 +85,7 @@ HEADLINE = [
     "embedding_quantize",
     "curation_funnel",
     "event_counts_cms",
+    "dedup_cross_corpus",
 ]
 
 # Queries whose FIRST build performs a one-time layout step (bucketed table

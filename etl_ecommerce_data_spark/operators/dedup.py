@@ -313,6 +313,96 @@ def minhash_lsh_pairs(
     return cross.unionByName(intra)
 
 
+def minhash_lsh_pairs_cross(
+    df_new: DataFrame,
+    df_corpus: DataFrame,
+    threshold: float = 0.6,
+    num_perms: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int | None = 512,
+) -> DataFrame:
+    """Asymmetric LSH near-dup: pairs BETWEEN a new batch and an existing
+    corpus — the incremental-ingestion dedup shape (daily crawl vs the 100 TB
+    corpus already on disk).
+
+    Deliberately NOT the self-join composed over a union: a union would pay
+    for within-side candidate pairs (quadratic in the corpus's internal
+    duplication) when only cross-side pairs are wanted. Here each side is
+    banded independently and candidates come from the new ⋈ corpus band-bucket
+    equi-join only, so candidate volume scales with the NEW batch's collision
+    count — the corpus never self-joins. At steady state the corpus band table
+    is written once at ingest and only the (small) new side is hashed per
+    batch.
+
+    Mega-bucket guard mirrors ``minhash_lsh_pairs``: a corpus-side
+    (band, bucket) group larger than ``bucket_cap`` pairs new members with the
+    bucket's min-id corpus anchor only (linear, not |new|×|corpus-bucket|).
+    Output: (new_id, corpus_id, n_inter, jaccard >= threshold), exact-Jaccard
+    verified — zero false positives. Identical id spaces are allowed; a doc
+    present on both sides pairs with itself at jaccard 1.0.
+    """
+    new_base = df_new.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).filter(F.col("__text").isNotNull())
+    old_base = df_corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).filter(F.col("__text").isNotNull())
+
+    nb = (
+        _banded_buckets(new_base, num_perms, bands)
+        .withColumnRenamed("doc_id", "new_id")
+        .localCheckpoint(eager=False)
+    )
+    ob = (
+        _banded_buckets(old_base, num_perms, bands)
+        .withColumnRenamed("doc_id", "corpus_id")
+        .localCheckpoint(eager=False)
+    )
+    if bucket_cap is not None:
+        sizes = ob.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bkt_n"), F.min("corpus_id").alias("__anchor")
+        )
+        annotated = ob.join(sizes, ["band", "bucket"])
+        small = annotated.filter(F.col("__bkt_n") <= bucket_cap).select(
+            "band", "bucket", "corpus_id"
+        )
+        plain = nb.join(small, ["band", "bucket"]).select("new_id", "corpus_id")
+        big = (
+            annotated.filter(F.col("__bkt_n") > bucket_cap)
+            .select("band", "bucket", F.col("__anchor").alias("corpus_id"))
+            .distinct()
+        )
+        star = nb.join(big, ["band", "bucket"]).select("new_id", "corpus_id")
+        cands = plain.unionByName(star).dropDuplicates(["new_id", "corpus_id"])
+    else:
+        cands = (
+            nb.join(ob, ["band", "bucket"])
+            .select("new_id", "corpus_id")
+            .dropDuplicates(["new_id", "corpus_id"])
+        )
+
+    new_toks = new_base.select(
+        F.col("doc_id").alias("new_id"), _distinct_tokens(F.col("__text")).alias("toks_a")
+    )
+    old_toks = old_base.select(
+        F.col("doc_id").alias("corpus_id"),
+        _distinct_tokens(F.col("__text")).alias("toks_b"),
+    )
+    cands = cands.join(new_toks, "new_id").join(old_toks, "corpus_id")
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("long")
+    cands = cands.withColumn("n_inter", inter)
+    jac = F.col("n_inter").cast("double") / (
+        F.size("toks_a").cast("long") + F.size("toks_b").cast("long") - F.col("n_inter")
+    )
+    return (
+        cands.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "n_inter", "jaccard")
+    )
+
+
 def minhash_lsh_bucket_stats(
     df: DataFrame,
     num_perms: int = 64,

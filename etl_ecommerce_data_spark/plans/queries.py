@@ -3909,6 +3909,143 @@ def q_event_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cross_corpus",
+    "Incremental ingestion dedup: near-dup pairs between a NEW batch "
+    "(source src0/src1, ~10% of docs) and the existing corpus via asymmetric "
+    "LSH — each side banded independently, candidates only from the "
+    "new ⋈ corpus band join, so the corpus never self-joins and per-batch "
+    "cost scales with the batch, not the corpus. Exact-Jaccard verified. "
+    "Rows-only (banding); dedup_cross_corpus_recall pins recall/precision.",
+    oracle=None,
+    tags=("extension", "dedup", "lsh", "incremental"),
+)
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin("src0", "src1")
+    return DD.minhash_lsh_pairs_cross(
+        docs.filter(is_new), docs.filter(~is_new), threshold=0.6
+    )
+
+
+@register(
+    "dedup_cross_corpus_baseline",
+    "Exact cross-side token-Jaccard (new batch vs corpus), blocked by lang — "
+    "the SQL-expressible, input-shape-bounded oracle twin of "
+    "dedup_cross_corpus. Column names (new_id, corpus_id) match the LSH "
+    "path so results line up row-for-row.",
+    oracle="""
+WITH nw AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE source IN ('src0', 'src1') AND text IS NOT NULL
+),
+old AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE source NOT IN ('src0', 'src1') AND text IS NOT NULL
+)
+SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+       CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS BIGINT) AS n_inter,
+       CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+         / (CAST(len(a.toks) AS BIGINT) + CAST(len(b.toks) AS BIGINT)
+            - CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS BIGINT))
+           AS jaccard
+FROM nw a JOIN old b ON a.lang = b.lang
+WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+        / (CAST(len(a.toks) AS BIGINT) + CAST(len(b.toks) AS BIGINT)
+           - CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS BIGINT)) >= 0.6
+""",
+    tags=("extension", "dedup", "baseline"),
+)
+def q_dedup_cross_corpus_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    is_new = F.col("source").isin("src0", "src1")
+    toks = F.array_distinct(TX.tokens(F.col("text")))
+    nw = docs.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "lang", toks.alias("toks_a")
+    )
+    old = docs.filter(~is_new).select(
+        F.col("doc_id").alias("corpus_id"), "lang", toks.alias("toks_b")
+    )
+    pairs = nw.join(old, "lang")
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("long")
+    pairs = pairs.withColumn("n_inter", inter)
+    jac = F.col("n_inter").cast("double") / (
+        F.size("toks_a").cast("long") + F.size("toks_b").cast("long") - F.col("n_inter")
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.6)
+        .select("new_id", "corpus_id", "n_inter", "jaccard")
+    )
+
+
+@register(
+    "dedup_cross_corpus_recall",
+    "Driver-checkable recall/precision floor for the asymmetric LSH path: "
+    "UNBLOCKED exact cross-side Jaccard on a capped input (doc_id < 2000) is "
+    "the ground truth; the oracle pins the exact-pair count plus recall ≥ "
+    "0.95 and zero-false-positives booleans — a green row is the proof.",
+    oracle="""
+WITH nw AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+  WHERE source IN ('src0', 'src1') AND text IS NOT NULL AND doc_id < 2000
+),
+old AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+  WHERE source NOT IN ('src0', 'src1') AND text IS NOT NULL AND doc_id < 2000
+),
+p AS (
+  SELECT a.doc_id
+  FROM nw a JOIN old b ON true
+  WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+          / (CAST(len(a.toks) AS BIGINT) + CAST(len(b.toks) AS BIGINT)
+             - CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS BIGINT)) >= 0.6
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       true AS recall_ge_095,
+       true AS no_false_positives
+FROM p
+""",
+    tags=("extension", "dedup", "lsh", "recall"),
+)
+def q_dedup_cross_corpus_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < 2000)
+    )
+    is_new = F.col("source").isin("src0", "src1")
+    new_side, old_side = docs.filter(is_new), docs.filter(~is_new)
+    toks = F.array_distinct(TX.tokens(F.col("text")))
+    nw = new_side.select(F.col("doc_id").alias("new_id"), toks.alias("toks_a"))
+    old = old_side.select(F.col("doc_id").alias("corpus_id"), toks.alias("toks_b"))
+    pairs = nw.crossJoin(F.broadcast(old))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("long")
+    jac = inter.cast("double") / (
+        F.size("toks_a").cast("long") + F.size("toks_b").cast("long") - inter
+    )
+    exact = pairs.filter(jac >= 0.6).select("new_id", "corpus_id")
+    lsh = DD.minhash_lsh_pairs_cross(new_side, old_side, threshold=0.6).select(
+        "new_id", "corpus_id"
+    )
+    found = exact.join(
+        lsh.withColumn("__f", F.lit(1)), ["new_id", "corpus_id"], "left"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum("__f").cast("long").alias("n_found"),
+    )
+    fps = lsh.join(exact, ["new_id", "corpus_id"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    return found.crossJoin(F.broadcast(fps)).select(
+        F.col("n_exact").alias("n_exact_pairs"),
+        (F.col("n_found").cast("double") / F.col("n_exact") >= 0.95).alias(
+            "recall_ge_095"
+        ),
+        (F.col("n_fp") == 0).alias("no_false_positives"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering
 # ---------------------------------------------------------------------------
@@ -3944,6 +4081,9 @@ _SWEEP_FIRST = [
     "embedding_quantize",
     "curation_funnel",
     "event_counts_cms",
+    "dedup_cross_corpus",
+    "dedup_cross_corpus_baseline",
+    "dedup_cross_corpus_recall",
     # 1. no usable driver row yet
     "multimodal_features",
     "dedup_minhash_recall",
@@ -3981,12 +4121,13 @@ _SWEEP_FIRST = [
     "revenue_grouping_sets",
     "sql_segment_priority_revenue",
     "text_tokens_bpe",
-    "curate_corpus",
-    "daily_users_hll",
-    "value_percentiles_approx",
-    # 3. highest-churn changed operator — re-pin under the new code
     # 50th slot:
-    "dedup_minhash_docs",
+    "curate_corpus",
+    # Cut for space (the window is 50): daily_users_hll and
+    # value_percentiles_approx carry only rows-only checks anyway (r1 rows,
+    # operators unchanged since), and dedup_minhash_docs keeps its r2 row
+    # while dedup_minhash_recall — in the window above — hash-pins the
+    # changed LSH guard code far more strongly than a rows-only re-run would.
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

@@ -44,6 +44,7 @@ _BNLJ_OK = {"priority_revenue_share", "similarity_topk", "similarity_topk_ivf",
             # recall-floor queries: capped exact ground-truth side is a
             # broadcast all-pairs scorer by design
             "dedup_minhash_recall", "dedup_simhash_complete",
+            "dedup_cross_corpus_recall",
             "embedding_near_dup_recall", "similarity_lsh_recall",
             "similarity_ivf_recall"}
 # Plans allowed to contain Python nodes: the declared Arrow-batched paths.

@@ -170,6 +170,25 @@ def test_cms_never_underestimates(spark):
     assert pdf.exact_n.sum() == n_events
 
 
+def test_cross_corpus_pairs_are_cross_side_only(spark):
+    pdf = _run(spark, "dedup_cross_corpus").toPandas()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    new_ids = set(docs[docs.source.isin(["src0", "src1"])].doc_id)
+    old_ids = set(docs[~docs.source.isin(["src0", "src1"])].doc_id)
+    assert set(pdf.new_id) <= new_ids
+    assert set(pdf.corpus_id) <= old_ids
+    assert (pdf.jaccard >= 0.6).all()
+    # byte-identical cross-side texts must always be found (sig equality)
+    merged = docs.merge(docs, on="text")
+    ident = {
+        (a, b)
+        for a, b in zip(merged.doc_id_x, merged.doc_id_y)
+        if a in new_ids and b in old_ids
+    }
+    found = set(zip(pdf.new_id, pdf.corpus_id))
+    assert ident <= found
+
+
 def test_embedding_quantize_bounds(spark):
     pdf = _run(spark, "embedding_quantize").toPandas()
     assert (pdf.vmax >= pdf.vmin).all()
