@@ -2144,6 +2144,31 @@ def q_stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    "Stream-STATIC enrichment join: the event stream joined per micro-batch "
+    "against the broadcast customer dimension (stateless — no state store; "
+    "the static side is re-planned each batch, so dim updates are picked "
+    "up), then watermarked tumbling-window aggregation per (window, "
+    "mktsegment). Complete-mode memory sink equals the batch twin, which is "
+    "the oracle.",
+    oracle="""
+SELECT time_bucket(INTERVAL '5 minutes', e.ts) AS window_start, c.c_mktsegment,
+       COUNT(e.event_id) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+    tags=("extension", "streaming", "join"),
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.streaming.events import (
+        run_stream_static_enrich_to_memory,
+    )
+
+    return run_stream_static_enrich_to_memory(spark, sf_dir)
+
+
+@register(
     "stream_user_stats_stateful",
     "Custom stateful streaming operator (applyInPandasWithState): per-user "
     "running count + exact integer-cents money total, state bounded by user "
@@ -4122,12 +4147,14 @@ _SWEEP_FIRST = [
     "sql_segment_priority_revenue",
     "text_tokens_bpe",
     # 50th slot:
-    "curate_corpus",
+    "stream_static_enrich",
     # Cut for space (the window is 50): daily_users_hll and
     # value_percentiles_approx carry only rows-only checks anyway (r1 rows,
-    # operators unchanged since), and dedup_minhash_docs keeps its r2 row
-    # while dedup_minhash_recall — in the window above — hash-pins the
-    # changed LSH guard code far more strongly than a rows-only re-run would.
+    # operators unchanged since); dedup_minhash_docs keeps its r2 row while
+    # dedup_minhash_recall — in the window above — hash-pins the changed LSH
+    # guard code far more strongly than a rows-only re-run would; and
+    # curate_corpus (r1-green, code untouched since r1) yields its slot to
+    # the brand-new stream_static_enrich, which has no row at all yet.
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

@@ -314,6 +314,48 @@ def run_windowed_stream_to_memory(
     return spark.table(name)
 
 
+def run_stream_static_enrich_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-STATIC enrichment join + windowed aggregation: the production
+    pattern of joining an event stream against a dimension table (here the
+    customer dim on ``user_id = c_custkey``) before aggregating per
+    (window, segment).
+
+    The join is stateless — Spark re-plans the static side each micro-batch
+    (picking up dim updates between batches) and the explicit ``broadcast``
+    keeps it shuffle-free on the stream side: each micro-batch's tasks probe
+    a broadcast hash map, no state store involved. Complete-mode memory sink
+    as in ``run_windowed_stream_to_memory`` so the final table equals the
+    batch twin (which is the DuckDB oracle).
+    """
+    from etl_ecommerce_data_spark.sources.registry import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = events.join(F.broadcast(cust), "user_id")
+    agg = (
+        joined.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).start.alias("window_start"), "c_mktsegment")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming → incremental-table sink: ``foreachBatch`` merges each
     micro-batch's per-user latest event into a persistent keyed table using
