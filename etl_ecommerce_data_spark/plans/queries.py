@@ -4071,6 +4071,64 @@ def q_dedup_cross_corpus_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pydatasource_docs",
+    "Custom Python DataSource (Spark 4 DataSource API): a partitioned, "
+    "Arrow-batched synthetic-documents source whose generation contract is "
+    "pure md5 arithmetic — the DuckDB oracle REGENERATES the 2000-doc corpus "
+    "in SQL and must agree with the source bit-for-bit, hash-pinning the "
+    "custom connector itself (partitioning, batching, and field derivation), "
+    "not just a row count. Aggregated per lang so the result is compact "
+    "while covering every generated row (token totals + id checksum).",
+    oracle="""
+WITH ids AS (SELECT unnest(generate_series(0, 1999)) AS doc_id),
+h AS (SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS h FROM ids),
+base AS (
+  SELECT doc_id, h,
+         ['de','en','es','fr','zh'][((strpos('0123456789abcdef', substr(h,1,1)) - 1) % 5) + 1] AS lang,
+         'src' || CAST((strpos('0123456789abcdef', substr(h,2,1)) - 1) % 4 AS VARCHAR) AS source,
+         5 + ((strpos('0123456789abcdef', substr(h,3,1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(h,4,1)) - 1)) % 20 AS n_toks
+  FROM h
+),
+pos AS (SELECT doc_id, unnest(generate_series(1, n_toks)) AS j FROM base),
+tok AS (
+  SELECT doc_id, j,
+         substr(md5('graft:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 4) AS t
+  FROM pos
+),
+texts AS (SELECT doc_id, string_agg(t, ' ' ORDER BY j) AS text FROM tok GROUP BY doc_id)
+SELECT b.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(t.text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT b.source) AS BIGINT) AS n_sources,
+       CAST(SUM(b.doc_id) AS BIGINT) AS id_sum
+FROM base b JOIN texts t USING (doc_id)
+GROUP BY b.lang
+""",
+    tags=("extension", "source", "pydatasource"),
+)
+def q_pydatasource_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sf_dir is unused by design: the source generates its data; the oracle
+    # regenerates it in SQL, independent of the parquet fixtures.
+    from etl_ecommerce_data_spark.sources.pydatasource import SyntheticDocsDataSource
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", "2000")
+        .option("n_partitions", "8")
+        .option("seed", "graft")
+        .load()
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering
 # ---------------------------------------------------------------------------
@@ -4145,7 +4203,7 @@ _SWEEP_FIRST = [
     "user_event_profile",
     "revenue_grouping_sets",
     "sql_segment_priority_revenue",
-    "text_tokens_bpe",
+    "pydatasource_docs",
     # 50th slot:
     "stream_static_enrich",
     # Cut for space (the window is 50): daily_users_hll and
@@ -4153,8 +4211,9 @@ _SWEEP_FIRST = [
     # operators unchanged since); dedup_minhash_docs keeps its r2 row while
     # dedup_minhash_recall — in the window above — hash-pins the changed LSH
     # guard code far more strongly than a rows-only re-run would; and
-    # curate_corpus (r1-green, code untouched since r1) yields its slot to
-    # the brand-new stream_static_enrich, which has no row at all yet.
+    # curate_corpus / text_tokens_bpe (r1-green, code untouched since r1)
+    # yield their slots to the brand-new stream_static_enrich and
+    # pydatasource_docs, which have no rows at all yet.
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

@@ -246,3 +246,37 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
     assert back.count() == 100
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """The custom Python DataSource: partition count drives task parallelism,
+    every id appears exactly once across partitions, and two reads with the
+    same seed are identical (the generation contract the oracle replays)."""
+    from etl_ecommerce_data_spark.sources.pydatasource import (
+        SyntheticDocsDataSource,
+        SyntheticDocsReader,
+        _gen_doc,
+    )
+
+    reader = SyntheticDocsReader({"n_docs": "100", "n_partitions": "7", "seed": "s"})
+    parts = reader.partitions()
+    assert len(parts) == 7
+    covered = sorted(
+        i for p in parts for i in range(p.start, p.end)
+    )
+    assert covered == list(range(100))
+    batches = list(reader.read(parts[0]))
+    assert all(type(b).__name__ == "RecordBatch" for b in batches)
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", "50")
+        .option("n_partitions", "3")
+        .option("seed", "s")
+        .load()
+    )
+    rows = sorted(df.collect())
+    assert len(rows) == 50
+    assert [tuple(r) for r in rows] == [_gen_doc("s", i) for i in range(50)]
+    assert df.rdd.getNumPartitions() == 3
