@@ -4129,6 +4129,52 @@ def q_pydatasource_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "props_variant_stats",
+    "Semi-structured VARIANT surface (Spark 4): props parsed once with "
+    "parse_json into a variant column, fields typed out via variant_get and "
+    "the inferred shape via schema_of_variant — the open-schema ingestion "
+    "path for evolving event payloads (no StructType needed up front, "
+    "unlike from_json). The oracle pins the extracted stats exactly and the "
+    "inferred schema as a literal, so variant parsing/typing itself is "
+    "hash-checked. try_variant_get on a missing path must yield NULL for "
+    "every row (missing_k = 0).",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+       CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_distinct,
+       'OBJECT<k: BIGINT>' AS variant_schema,
+       CAST(0 AS BIGINT) AS missing_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("analytics", "json", "variant"),
+)
+def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        ev.select(
+            "event_type",
+            k.alias("k"),
+            F.schema_of_variant(v).alias("vs"),
+            F.try_variant_get(v, "$.missing", "bigint").alias("miss"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.countDistinct("k").cast("long").alias("k_distinct"),
+            F.min("vs").alias("variant_schema"),
+            F.count("miss").cast("long").alias("missing_k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering
 # ---------------------------------------------------------------------------
@@ -4187,7 +4233,7 @@ _SWEEP_FIRST = [
     "daily_distinct_users",
     "repeat_buyers_intersect",
     "value_percentiles",
-    "props_json_stats",
+    "props_variant_stats",
     "priority_revenue_share",
     "nation_daily_revenue_ma",
     "text_stats",
@@ -4211,9 +4257,10 @@ _SWEEP_FIRST = [
     # operators unchanged since); dedup_minhash_docs keeps its r2 row while
     # dedup_minhash_recall — in the window above — hash-pins the changed LSH
     # guard code far more strongly than a rows-only re-run would; and
-    # curate_corpus / text_tokens_bpe (r1-green, code untouched since r1)
-    # yield their slots to the brand-new stream_static_enrich and
-    # pydatasource_docs, which have no rows at all yet.
+    # curate_corpus / text_tokens_bpe / props_json_stats (r1-green, code
+    # untouched since r1) yield their slots to the brand-new
+    # stream_static_enrich, pydatasource_docs, and props_variant_stats,
+    # which have no rows at all yet.
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {
