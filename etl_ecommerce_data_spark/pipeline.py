@@ -45,7 +45,11 @@ from etl_ecommerce_data_spark.operators.cleaning import (
 )
 from etl_ecommerce_data_spark.sources.readers import read_csv_table, write_parquet_table
 from etl_ecommerce_data_spark.sources.registry import OLIST_SCHEMAS
-from etl_ecommerce_data_spark.validation import Expectations, validate
+from etl_ecommerce_data_spark.validation import (
+    Expectations,
+    validate,
+    validate_on_write,
+)
 
 # ---------------------------------------------------------------------------
 # Bronze (to_bronze.py:17-27,56-58 — registry-driven ingest loop)
@@ -305,7 +309,18 @@ def gold_build(spark: SparkSession, lake_dir: str) -> list[str]:
         if "order_reviews" in have:
             marts["satisfaction_metrics"] = gold_satisfaction_metrics(rd("order_reviews"), orders)
     for name, df in marts.items():
-        write_parquet_table(df, os.path.join(gold, name))
+        path = os.path.join(gold, name)
+        exp = GOLD_EXPECTATIONS.get(name)
+        if exp is not None:
+            # Validation metrics ride the write job (Observation API): the
+            # gold zone is checked without re-reading it — validate_gold
+            # remains available for re-validating an existing lake.
+            validate_on_write(
+                df, exp, lambda d, p=path: write_parquet_table(d, p),
+                table=f"gold.{name}",
+            )
+        else:
+            write_parquet_table(df, path)
     return sorted(marts)
 
 
@@ -332,11 +347,12 @@ def validate_gold(spark: SparkSession, lake_dir: str) -> None:
 
 
 def run_pipeline(spark: SparkSession, csv_dir: str, lake_dir: str) -> dict[str, list[str]]:
-    """bronze ≫ silver ≫ gold ≫ validate, fail-fast."""
-    result = {
+    """bronze ≫ silver ≫ gold, fail-fast. Gold expectations are enforced
+    DURING the gold writes (validate_on_write — metrics observed on the write
+    job, no re-read); ``validate_gold`` stays available to re-check a lake
+    that was written elsewhere."""
+    return {
         "bronze": bronze_ingest(spark, csv_dir, lake_dir),
         "silver": silver_refine(spark, lake_dir),
         "gold": gold_build(spark, lake_dir),
     }
-    validate_gold(spark, lake_dir)
-    return result

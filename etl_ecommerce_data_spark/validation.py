@@ -37,17 +37,20 @@ class Expectations:
     positive: tuple[str, ...] = ()
 
 
-def validate(df: DataFrame, exp: Expectations, table: str = "<table>") -> None:
-    """Evaluate all expectations in a single aggregation job; raise on any
-    violation. Schema check is plan-only (no job)."""
-    violations: list[str] = []
-
+def _schema_violation(df: DataFrame, exp: Expectations, table: str) -> list[str]:
     if exp.schema is not None and df.schema != exp.schema:
-        violations.append(
+        return [
             f"{table}: schema mismatch: got {df.schema.simpleString()}, "
             f"want {exp.schema.simpleString()}"
-        )
+        ]
+    return []
 
+
+def _metric_aggs(exp: Expectations) -> list:
+    """The expectation metrics as plain aggregate expressions (shared by the
+    standalone agg job and the write-observed variant). ``unique_key`` is NOT
+    here: count_distinct is not a legal Observation metric, so it stays a
+    dedicated aggregation where requested."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in exp.not_null:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
@@ -56,12 +59,12 @@ def validate(df: DataFrame, exp: Expectations, table: str = "<table>") -> None:
             aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
     for c in exp.positive:
         aggs.append(F.sum((F.col(c) <= 0).cast("long")).alias(f"__nonpos_{c}"))
-    if exp.unique_key:
-        aggs.append(F.count_distinct(*[F.col(k) for k in exp.unique_key]).alias("__distinct_key"))
+    return aggs
 
-    row = df.agg(*aggs).collect()[0].asDict()
+
+def _metric_violations(row: dict, exp: Expectations, table: str) -> list[str]:
+    violations: list[str] = []
     n = row["__n"]
-
     if n < exp.min_rows:
         violations.append(f"{table}: rows {n} < min_rows {exp.min_rows}")
     for c in exp.not_null:
@@ -74,10 +77,59 @@ def validate(df: DataFrame, exp: Expectations, table: str = "<table>") -> None:
     for c in exp.positive:
         if row[f"__nonpos_{c}"] > 0:
             violations.append(f"{table}: column {c} has {row[f'__nonpos_{c}']} non-positive values")
-    if exp.unique_key and row["__distinct_key"] != n:
+    return violations
+
+
+def validate(df: DataFrame, exp: Expectations, table: str = "<table>") -> None:
+    """Evaluate all expectations in a single aggregation job; raise on any
+    violation. Schema check is plan-only (no job)."""
+    violations = _schema_violation(df, exp, table)
+
+    aggs = _metric_aggs(exp)
+    if exp.unique_key:
+        aggs.append(F.count_distinct(*[F.col(k) for k in exp.unique_key]).alias("__distinct_key"))
+
+    row = df.agg(*aggs).collect()[0].asDict()
+    violations += _metric_violations(row, exp, table)
+    if exp.unique_key and row["__distinct_key"] != row["__n"]:
         violations.append(
-            f"{table}: key {exp.unique_key} not unique: {row['__distinct_key']} distinct of {n} rows"
+            f"{table}: key {exp.unique_key} not unique: "
+            f"{row['__distinct_key']} distinct of {row['__n']} rows"
         )
+
+    if violations:
+        raise ValidationError(violations)
+
+
+def validate_on_write(df, exp: Expectations, write_fn, table: str = "<table>") -> None:
+    """Validate WHILE writing: the expectation metrics ride the write job as
+    Observation metrics, so at 100 TB validation costs zero extra scans —
+    ``validate`` after a write re-reads the table (one extra full pass per
+    zone). ``write_fn`` receives the observed DataFrame and must execute one
+    action (the write). ``unique_key`` is the one check the Observation API
+    cannot express (count_distinct is not a valid observed metric); it runs
+    as one follow-up aggregation job only when declared.
+
+    Raises ``ValidationError`` AFTER the write completes — callers treating
+    a zone as atomic should write to a staging path and promote on success
+    (the snapshot-dir pattern of sources/incremental.py).
+    """
+    from pyspark.sql import Observation
+
+    violations = _schema_violation(df, exp, table)
+    obs = Observation()
+    write_fn(df.observe(obs, *_metric_aggs(exp)))
+    row = obs.get
+    violations += _metric_violations(row, exp, table)
+    if exp.unique_key:
+        d = df.agg(
+            F.count_distinct(*[F.col(k) for k in exp.unique_key]).alias("d")
+        ).collect()[0]["d"]
+        if d != row["__n"]:
+            violations.append(
+                f"{table}: key {exp.unique_key} not unique: "
+                f"{d} distinct of {row['__n']} rows"
+            )
 
     if violations:
         raise ValidationError(violations)

@@ -280,3 +280,39 @@ def test_python_datasource_partitions_and_determinism(spark):
     assert len(rows) == 50
     assert [tuple(r) for r in rows] == [_gen_doc("s", i) for i in range(50)]
     assert df.rdd.getNumPartitions() == 3
+
+
+def test_validate_on_write_observes_write_pass(spark, tmp_path):
+    """validate_on_write: green contract writes and passes; a violating
+    contract still writes (documented) but raises with every violation, and
+    the unique_key fallback job catches duplicate keys."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_ecommerce_data_spark.validation import (
+        Expectations,
+        ValidationError,
+        validate_on_write,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).alias("dup_key"), F.lit(1).alias("pos")
+    )
+    out = str(tmp_path / "ok")
+    validate_on_write(
+        df,
+        Expectations(min_rows=10, not_null=("id",), positive=("pos",)),
+        lambda d: d.write.parquet(out),
+        table="t_ok",
+    )
+    assert spark.read.parquet(out).count() == 100
+
+    with pytest.raises(ValidationError) as ei:
+        validate_on_write(
+            df,
+            Expectations(min_rows=1000, unique_key=("dup_key",)),
+            lambda d: d.write.parquet(str(tmp_path / "bad")),
+            table="t_bad",
+        )
+    msg = str(ei.value)
+    assert "min_rows" in msg and "not unique" in msg
