@@ -2168,6 +2168,15 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_static_enrich_to_memory(spark, sf_dir)
 
 
+# NOTE: a transformWithStateInPandas twin of the stateful query below exists
+# (streaming/events.py user_type_counts_tws — typed MapState handles, the
+# arbitrary-state v2 API) but is NOT registered: its driver worker requires
+# google.protobuf, absent in this sandbox (same capability gate as the Avro
+# connector, sources/readers.py). tests/test_streaming_multimodal.py skips
+# it unless protobuf is importable; on a real cluster it registers cleanly
+# with the batch GROUP BY (user_id, event_type) oracle.
+
+
 @register(
     "stream_user_stats_stateful",
     "Custom stateful streaming operator (applyInPandasWithState): per-user "

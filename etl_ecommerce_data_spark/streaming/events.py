@@ -314,6 +314,64 @@ def run_windowed_stream_to_memory(
     return spark.table(name)
 
 
+def user_type_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-(user, event_type) running counts via ``transformWithStateInPandas``
+    — Spark 4's arbitrary-state v2 API (typed state HANDLES instead of one
+    opaque state tuple): a ``MapState`` keyed by event_type holds the counts,
+    so state grows with the user's distinct types (bounded, ~5 here), not
+    with events, and supports per-entry ops (TTL, point update/remove) that
+    ``applyInPandasWithState``'s single-value state cannot express.
+
+    Emission: after each micro-batch the processor emits the user's full
+    current map; with the events file arriving as one micro-batch the single
+    emission equals the batch ``GROUP BY user_id, event_type`` oracle.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PerTypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in rows:
+                for et, cnt in pdf.groupby("event_type").size().items():
+                    cur = self._counts.getValue((et,))
+                    self._counts.updateValue(
+                        (et,), ((cur[0] if cur else 0) + int(cnt),)
+                    )
+            pairs = [(k[0], v[0]) for k, v in self._counts.iterator()]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(pairs),
+                    "event_type": [p[0] for p in pairs],
+                    "n_events": [p[1] for p in pairs],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        PerTypeCounts(),
+        outputStructType="user_id long, event_type string, n_events long",
+        outputMode="update",
+        timeMode="none",
+    )
+
+
+def run_user_type_counts_tws_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the transformWithState processor over all available input."""
+    events = read_events_stream(spark, sf_dir)
+    return _run_to_memory(user_type_counts_tws(events), spark, "update")
+
+
 def run_stream_static_enrich_to_memory(
     spark: SparkSession,
     sf_dir: str,

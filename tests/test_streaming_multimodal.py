@@ -161,3 +161,31 @@ def test_resample_pcm_decimation(spark):
     out = {r["media_id"]: r for r in resample_pcm(media, every_n=2).collect()}
     assert np.frombuffer(bytes(out[1]["payload"]), dtype="<i2").tolist() == [0, 2, 4, 6, 8]
     assert out[2]["payload"] is None
+
+
+def test_transform_with_state_map_counts(spark):
+    """transformWithStateInPandas (arbitrary-state v2, typed MapState): equals
+    the batch GROUP BY twin. Capability-gated: the TWS driver worker needs
+    google.protobuf, absent in this sandbox (same gate as the Avro source)."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available - transformWithState gated")
+
+    from pyspark.sql import functions as F
+
+    from etl_ecommerce_data_spark.sources.registry import load_table
+    from etl_ecommerce_data_spark.streaming.events import (
+        run_user_type_counts_tws_to_memory,
+    )
+    from etl_ecommerce_data_spark.testing import normalize
+
+    out = run_user_type_counts_tws_to_memory(spark, SF_SMOKE)
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    assert normalize(out) == normalize(batch)
