@@ -619,6 +619,42 @@ def q_status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "status_priority_unpivot",
+    "Wide-to-long melt (unpivot surface, the pivot's inverse): the pivoted "
+    "status columns come back as (priority, status, n_orders) rows via "
+    "DataFrame.unpivot — zero-count cells included, so the long form is the "
+    "exact relational inverse of the report.",
+    oracle="""
+WITH p AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'F' AS status, f AS n_orders FROM p
+UNION ALL
+SELECT o_orderpriority, 'O' AS status, o AS n_orders FROM p
+UNION ALL
+SELECT o_orderpriority, 'P' AS status, p AS n_orders FROM p
+""",
+    tags=("analytics", "pivot", "unpivot"),
+)
+def q_status_priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s) for s in "FOP"],
+        )
+    )
+    return wide.unpivot(["o_orderpriority"], ["F", "O", "P"], "status", "n_orders")
+
+
+@register(
     "revenue_rollup",
     "Region/nation revenue with ROLLUP subtotals (grouping-sets surface; "
     "NULL marks the rolled-up levels on both engines).",
@@ -4236,6 +4272,7 @@ _SWEEP_FIRST = [
     "top_parts_per_brand",
     "churned_customers",
     "status_priority_pivot",
+    "status_priority_unpivot",
     "revenue_rollup",
     "part_brand_size_cube",
     "sessionize_events",
@@ -4250,7 +4287,6 @@ _SWEEP_FIRST = [
     "text_langid",
     "doc_fingerprints",
     "region_supplier_volume",
-    "event_type_distinct_props",
     "customers_no_orders",
     "suppliers_with_sales",
     "one_time_buyers_except",
@@ -4266,10 +4302,10 @@ _SWEEP_FIRST = [
     # operators unchanged since); dedup_minhash_docs keeps its r2 row while
     # dedup_minhash_recall — in the window above — hash-pins the changed LSH
     # guard code far more strongly than a rows-only re-run would; and
-    # curate_corpus / text_tokens_bpe / props_json_stats (r1-green, code
-    # untouched since r1) yield their slots to the brand-new
-    # stream_static_enrich, pydatasource_docs, and props_variant_stats,
-    # which have no rows at all yet.
+    # curate_corpus / text_tokens_bpe / props_json_stats /
+    # event_type_distinct_props (r1-green, code untouched since r1) yield
+    # their slots to the brand-new stream_static_enrich, pydatasource_docs,
+    # props_variant_stats, and status_priority_unpivot — no rows at all yet.
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {
