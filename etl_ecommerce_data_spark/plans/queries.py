@@ -4220,6 +4220,55 @@ def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "daily_activity_reconciliation",
+    "FULL OUTER join surface (reconciliation shape): orders-per-day vs "
+    "events-per-day on the calendar date, 0-filled on both sides with a "
+    "presence tag — the audit query that finds days one system saw and the "
+    "other did not. Aggregate-then-join: the outer join runs on two tiny "
+    "per-day tables, not the raw facts.",
+    oracle="""
+WITH o AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+e AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS d, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(o.d, e.d) AS activity_date,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(e.n_events, 0) AS n_events,
+       CASE WHEN o.d IS NOT NULL AND e.d IS NOT NULL THEN 'both'
+            WHEN o.d IS NOT NULL THEN 'orders_only'
+            ELSE 'events_only' END AS presence
+FROM o FULL JOIN e ON o.d = e.d
+""",
+    tags=("analytics", "join", "full-outer"),
+)
+def q_daily_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("activity_date"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("activity_date"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    j = o.join(e, "activity_date", "full_outer")
+    return j.select(
+        "activity_date",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("n_orders").isNotNull() & F.col("n_events").isNotNull(), "both")
+        .when(F.col("n_orders").isNotNull(), "orders_only")
+        .otherwise("events_only")
+        .alias("presence"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering
 # ---------------------------------------------------------------------------
@@ -4288,7 +4337,7 @@ _SWEEP_FIRST = [
     "doc_fingerprints",
     "region_supplier_volume",
     "customers_no_orders",
-    "suppliers_with_sales",
+    "daily_activity_reconciliation",
     "one_time_buyers_except",
     "status_latest_order",
     "user_event_profile",
@@ -4303,9 +4352,11 @@ _SWEEP_FIRST = [
     # dedup_minhash_recall — in the window above — hash-pins the changed LSH
     # guard code far more strongly than a rows-only re-run would; and
     # curate_corpus / text_tokens_bpe / props_json_stats /
-    # event_type_distinct_props (r1-green, code untouched since r1) yield
-    # their slots to the brand-new stream_static_enrich, pydatasource_docs,
-    # props_variant_stats, and status_priority_unpivot — no rows at all yet.
+    # event_type_distinct_props / suppliers_with_sales (r1-green, code
+    # untouched since r1) yield their slots to the brand-new
+    # stream_static_enrich, pydatasource_docs, props_variant_stats,
+    # status_priority_unpivot, and daily_activity_reconciliation — all of
+    # which have no driver rows at all yet.
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {
