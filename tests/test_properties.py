@@ -139,3 +139,94 @@ def test_exact_dedup_matches_model(spark, rows):
         prev = want.get(h)
         want[h] = (i if prev is None else min(prev[0], i), 1 if prev is None else prev[1] + 1)
     assert got == want
+
+
+@_SETTINGS
+@given(texts=st.lists(_text, min_size=1, max_size=8), k=st.integers(2, 6))
+def test_shingle_set_matches_python_model(spark, texts, k):
+    """shingle_set == the distinct md5 k-gram set computed in plain Python;
+    docs shorter than k tokens contribute exactly [md5(text)]."""
+    from etl_ecommerce_data_spark.functions.text import shingle_set
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r.i: sorted(r.s)
+        for r in df.select("i", shingle_set(F.col("t"), k).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        if len(toks) >= k:
+            want = sorted(
+                {
+                    hashlib.md5(" ".join(toks[j : j + k]).encode()).hexdigest()
+                    for j in range(len(toks) - k + 1)
+                }
+            )
+        else:
+            want = [hashlib.md5(t.encode()).hexdigest()]
+        assert got[i] == want, (i, t)
+
+
+@_SETTINGS
+@given(
+    toks=st.lists(st.integers(1, 40), min_size=1, max_size=15),
+    cap=st.sampled_from([8, 16, 512]),
+)
+def test_pack_offsets_match_python_model(spark, toks, cap):
+    """The concat-and-chunk packing arithmetic == a sequential Python fold:
+    running offsets, start/end chunk ids, span counts."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(toks)], "doc_id long, n_tokens long"
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = df.withColumn("cum", F.sum("n_tokens").over(w))
+    out = {
+        r.doc_id: (r.start, r.sc, r.ec)
+        for r in c.select(
+            "doc_id",
+            (F.col("cum") - F.col("n_tokens")).alias("start"),
+            F.floor((F.col("cum") - F.col("n_tokens")) / cap).alias("sc"),
+            F.floor((F.col("cum") - 1) / cap).alias("ec"),
+        ).collect()
+    }
+    off = 0
+    for i, n in enumerate(toks):
+        assert out[i] == (off, off // cap, (off + n - 1) // cap)
+        off += n
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=32), min_size=1, max_size=12
+    )
+)
+def test_quantize_checksum_matches_python_model(spark, vals):
+    """The embedding-quantization checksum == the same IEEE arithmetic done
+    in Python: floor((x-min)*255/(max-min)) weighted by 1-based position."""
+    import math
+
+    df = spark.createDataFrame([(0, vals)], "vec_id long, embedding array<float>")
+    vmin = F.array_min("embedding").cast("double")
+    vmax = F.array_max("embedding").cast("double")
+    base = df.select("vec_id", vmin.alias("vmin"), vmax.alias("vmax"), "embedding")
+    qv = lambda x: F.when(  # noqa: E731
+        F.col("vmax") == F.col("vmin"), F.lit(0).cast("long")
+    ).otherwise(
+        F.floor((x.cast("double") - F.col("vmin")) * 255.0 / (F.col("vmax") - F.col("vmin")))
+    )
+    checksum = F.aggregate(
+        F.transform("embedding", lambda x, i: qv(x) * (i + F.lit(1)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    got = base.select(checksum.alias("c")).collect()[0].c
+    fvals = [float(__import__("numpy").float32(v)) for v in vals]
+    lo, hi = min(fvals), max(fvals)
+    want = sum(
+        (0 if hi == lo else int(math.floor((x - lo) * 255.0 / (hi - lo)))) * (i + 1)
+        for i, x in enumerate(fvals)
+    )
+    assert got == want
