@@ -4269,6 +4269,47 @@ def q_daily_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _zorder_sql() -> str:
+    from etl_ecommerce_data_spark.functions.zorder import morton_key_sql
+
+    x = "(o_custkey % 1024)"
+    y = "(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024)"
+    return f"""
+SELECT o_orderkey,
+       CAST({x} AS BIGINT) AS x,
+       CAST({y} AS BIGINT) AS y,
+       CAST({morton_key_sql(x, y, 10)} AS BIGINT) AS zkey
+FROM orders
+"""
+
+
+@register(
+    "zorder_layout_keys",
+    "Z-order (Morton) layout keys over orders: customer and order-day "
+    "interleaved bitwise into one sort key, so a range-partitioned write "
+    "clusters BOTH dimensions and parquet min-max stats skip files for "
+    "filters on either — the multi-dimensional data-skipping layout "
+    "(Delta/Iceberg ZORDER BY) as a plain, oracle-checkable column. The "
+    "pruning effect itself is asserted in tests/test_round3_queries.py.",
+    oracle=_zorder_sql(),
+    tags=("extension", "layout", "zorder"),
+)
+def q_zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.functions.zorder import morton_key
+
+    o = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 1024).cast("long")
+    y = (
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1992-01-01"))) % 1024
+    ).cast("long")
+    return o.select(
+        "o_orderkey",
+        x.alias("x"),
+        y.alias("y"),
+        morton_key(x, y, 10).alias("zkey"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering
 # ---------------------------------------------------------------------------
@@ -4307,6 +4348,7 @@ _SWEEP_FIRST = [
     "dedup_cross_corpus",
     "dedup_cross_corpus_baseline",
     "dedup_cross_corpus_recall",
+    "zorder_layout_keys",
     # 1. no usable driver row yet
     "multimodal_features",
     "dedup_minhash_recall",
@@ -4338,15 +4380,16 @@ _SWEEP_FIRST = [
     "region_supplier_volume",
     "customers_no_orders",
     "daily_activity_reconciliation",
-    "one_time_buyers_except",
     "status_latest_order",
     "user_event_profile",
     "revenue_grouping_sets",
     "sql_segment_priority_revenue",
     "pydatasource_docs",
-    # 50th slot:
     "stream_static_enrich",
-    # Cut for space (the window is 50): daily_users_hll and
+    # Cut for space (the window is 50): one_time_buyers_except (r1-green,
+    # EXCEPT untouched since r1; its set-op twin repeat_buyers_intersect
+    # stays in the window so the family still gets fresh evidence) yields
+    # its slot to the brand-new zorder_layout_keys; daily_users_hll and
     # value_percentiles_approx carry only rows-only checks anyway (r1 rows,
     # operators unchanged since); dedup_minhash_docs keeps its r2 row while
     # dedup_minhash_recall — in the window above — hash-pins the changed LSH

@@ -189,6 +189,40 @@ def test_cross_corpus_pairs_are_cross_side_only(spark):
     assert ident <= found
 
 
+def test_zorder_layout_skips_files_on_both_dims(spark, tmp_path):
+    """The point of the Morton layout: range-partitioning by zkey localizes
+    BOTH dimensions, so a selective filter on either touches a strict subset
+    of files; a single-column layout only localizes its own column."""
+    from etl_ecommerce_data_spark.functions.zorder import morton_key
+
+    # Uniform synthetic dims: at smoke scale o_custkey spans only ~1..150,
+    # so `custkey % 1024` would leave `x < 64` covering ~40% of rows and the
+    # test would measure data skew, not layout quality. Hash to uniformity.
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    x = F.pmod(F.xxhash64("o_orderkey"), F.lit(1024)).cast("long")
+    y = F.pmod(F.xxhash64("o_orderkey", F.lit(1)), F.lit(1024)).cast("long")
+    n_files = 16
+    zdir, cdir = str(tmp_path / "z"), str(tmp_path / "c")
+    keyed = o.withColumn("x", x).withColumn("y", y).withColumn(
+        "zkey", morton_key(x, y, 10)
+    )
+    keyed.repartitionByRange(n_files, "zkey").write.parquet(zdir)
+    keyed.repartitionByRange(n_files, "x").write.parquet(cdir)
+
+    def files_touched(path, cond):
+        df = spark.read.parquet(path).filter(cond)
+        return df.select(F.input_file_name()).distinct().count()
+
+    x_pred = F.col("x") < 64
+    y_pred = F.col("y") < 64
+    # x-sorted layout: perfect on x, useless on y
+    assert files_touched(cdir, x_pred) <= 3
+    # z-order: BOTH predicates touch well under all files
+    zx, zy = files_touched(zdir, x_pred), files_touched(zdir, y_pred)
+    assert zx < n_files // 2, zx
+    assert zy < n_files // 2, zy
+
+
 def test_embedding_quantize_bounds(spark):
     pdf = _run(spark, "embedding_quantize").toPandas()
     assert (pdf.vmax >= pdf.vmin).all()
