@@ -4310,6 +4310,176 @@ def q_zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "linkage_fuzzy_docs",
+    "Blocked fuzzy entity resolution over document heads: block on the first "
+    "two tokens (cheap deterministic key), compare only within blocks with "
+    "JVM-side levenshtein, skew-guarded by a hard per-block size cap — the "
+    "classic record-linkage design that turns all-pairs O(n²) edit distance "
+    "into per-block work, shuffle-partitioned on the block key. Complements "
+    "the token/sketch dedup family (MinHash/SimHash/Jaccard) with "
+    "character-level matching. operators/linkage.py.",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, substr(text, 1, 120) AS head,
+         array_to_string(list_slice(string_split(substr(text, 1, 120), ' '), 1, 2), ' ') AS blk
+  FROM documents
+),
+ok_blocks AS (
+  SELECT blk FROM p GROUP BY blk HAVING COUNT(*) <= 1000
+),
+sized AS (
+  SELECT p.* FROM p JOIN ok_blocks USING (blk)
+)
+SELECT a.doc_id AS doc_id_l, b.doc_id AS doc_id_r,
+       CAST(levenshtein(a.head, b.head) AS BIGINT) AS distance
+FROM sized a JOIN sized b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 20
+""",
+    tags=("extension", "dedup", "linkage", "training"),
+)
+def q_linkage_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.operators.linkage import blocked_levenshtein_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("head")
+    )
+    pairs = blocked_levenshtein_pairs(
+        docs, "doc_id", "head", n_block_tokens=2, max_distance=20, max_block_size=1000
+    )
+    return pairs.select(
+        F.col("id_l").alias("doc_id_l"),
+        F.col("id_r").alias("doc_id_r"),
+        F.col("distance"),
+    )
+
+
+_TFIDF_TERMS = ("spark", "join", "query")
+
+
+@register(
+    "tfidf_search",
+    "Log-free TF-IDF retrieval: rank documents for a fixed 3-term query by "
+    "sum(tf × N/df). The idf is the raw inverse document frequency (no "
+    "ln — libm results differ across engines; the ranking is order-"
+    "equivalent), the per-term tf/df/N are exact ints, and the score is a "
+    "FIXED-ORDER expression over three doubles so it is bit-deterministic. "
+    "One shuffle on (doc_id, token) after a selective token filter that "
+    "prunes the explode output to the 3 query terms; df/N are 1-row "
+    "broadcast sides.",
+    oracle=f"""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+per AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM occ WHERE token IN ('spark', 'join', 'query')
+  GROUP BY doc_id, token
+),
+tfw AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(CASE WHEN token = 'spark' THEN tf END), 0) AS BIGINT) AS tf_spark,
+         CAST(COALESCE(SUM(CASE WHEN token = 'join'  THEN tf END), 0) AS BIGINT) AS tf_join,
+         CAST(COALESCE(SUM(CASE WHEN token = 'query' THEN tf END), 0) AS BIGINT) AS tf_query
+  FROM per GROUP BY doc_id
+),
+dfs AS (
+  SELECT CAST(COUNT(CASE WHEN token = 'spark' THEN 1 END) AS BIGINT) AS df_spark,
+         CAST(COUNT(CASE WHEN token = 'join'  THEN 1 END) AS BIGINT) AS df_join,
+         CAST(COUNT(CASE WHEN token = 'query' THEN 1 END) AS BIGINT) AS df_query
+  FROM per
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_id, tf_spark, tf_join, tf_query,
+       tf_spark * (CAST(n_docs AS DOUBLE) / df_spark)
+       + tf_join * (CAST(n_docs AS DOUBLE) / df_join)
+       + tf_query * (CAST(n_docs AS DOUBLE) / df_query) AS score
+FROM tfw, dfs, n
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+""",
+    tags=("extension", "text", "search", "training"),
+)
+def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    per = (
+        occ.filter(F.col("token").isin(*_TFIDF_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    tfw = per.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("token") == t, F.col("tf"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in _TFIDF_TERMS
+        ]
+    )
+    dfs = per.groupBy().agg(
+        *[
+            F.count(F.when(F.col("token") == t, F.lit(1)))
+            .cast("long")
+            .alias(f"df_{t}")
+            for t in _TFIDF_TERMS
+        ]
+    )
+    n = docs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = tfw.crossJoin(F.broadcast(dfs)).crossJoin(F.broadcast(n))
+    # fixed left-to-right addition order == the oracle's expression order
+    score = (
+        F.col("tf_spark") * (F.col("n_docs").cast("double") / F.col("df_spark"))
+        + F.col("tf_join") * (F.col("n_docs").cast("double") / F.col("df_join"))
+        + F.col("tf_query") * (F.col("n_docs").cast("double") / F.col("df_query"))
+    )
+    return (
+        scored.withColumn("score", score)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "tf_spark", "tf_join", "tf_query", "score")
+    )
+
+
+@register(
+    "price_histogram",
+    "Equi-width histogram of order value: bucket = floor(price/25000) — "
+    "exact IEEE double division + floor, identical in both engines (the "
+    "width_bucket built-in expressed as plain arithmetic). One map-side-"
+    "combined groupBy over a 2-column scan; per-bucket count and an exact "
+    "decimal-summed total. The binning pattern behind data profiling and "
+    "quantile sketch validation at 100 TB: no sort, no window, fully "
+    "combinable.",
+    oracle="""
+SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT) AS bucket,
+       CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 25000.0) * 25000.0 AS DOUBLE) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY 1, 2
+""",
+    tags=("extension", "profiling"),
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice").cast("double") / F.lit(25000.0)).cast(
+        "long"
+    )
+    return (
+        o.select(
+            bucket.alias("bucket"),
+            (bucket * F.lit(25000.0)).cast("double").alias("bucket_lo"),
+            "o_totalprice",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering
 # ---------------------------------------------------------------------------
@@ -4349,6 +4519,9 @@ _SWEEP_FIRST = [
     "dedup_cross_corpus_baseline",
     "dedup_cross_corpus_recall",
     "zorder_layout_keys",
+    "linkage_fuzzy_docs",
+    "tfidf_search",
+    "price_histogram",
     # 1. no usable driver row yet
     "multimodal_features",
     "dedup_minhash_recall",
@@ -4360,9 +4533,6 @@ _SWEEP_FIRST = [
     "doc_top_terms",
     "doc_repetition_stats",
     # 2. last driver row is round 1
-    "top_parts_per_brand",
-    "churned_customers",
-    "status_priority_pivot",
     "status_priority_unpivot",
     "revenue_rollup",
     "part_brand_size_cube",
@@ -4389,7 +4559,14 @@ _SWEEP_FIRST = [
     # Cut for space (the window is 50): one_time_buyers_except (r1-green,
     # EXCEPT untouched since r1; its set-op twin repeat_buyers_intersect
     # stays in the window so the family still gets fresh evidence) yields
-    # its slot to the brand-new zorder_layout_keys; daily_users_hll and
+    # its slot to the brand-new zorder_layout_keys; top_parts_per_brand
+    # (rank-per-group — doc_top_terms in-window exercises the same window
+    # family), churned_customers (date-filtered anti-join —
+    # customers_no_orders in-window covers anti-join), and
+    # status_priority_pivot (status_priority_unpivot in-window BUILDS the
+    # same pivot internally before melting it) yield their slots to the
+    # brand-new linkage_fuzzy_docs / tfidf_search / price_histogram, which
+    # have no driver rows at all; daily_users_hll and
     # value_percentiles_approx carry only rows-only checks anyway (r1 rows,
     # operators unchanged since); dedup_minhash_docs keeps its r2 row while
     # dedup_minhash_recall — in the window above — hash-pins the changed LSH

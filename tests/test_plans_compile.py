@@ -40,8 +40,9 @@ def test_register_views_covers_all_tables(spark):
 _BNLJ_OK = {"priority_revenue_share", "similarity_topk", "similarity_topk_ivf",
             "embedding_near_dup_baseline",
             # 1-row scalar sides (funnel stage counts, RFM max-date +
-            # percentile thresholds) broadcast-crossed into a parallel scan
-            "funnel_conversion", "rfm_segments",
+            # percentile thresholds, tf-idf df/N scalars) broadcast-crossed
+            # into a parallel scan
+            "funnel_conversion", "rfm_segments", "tfidf_search",
             # recall-floor queries: capped exact ground-truth side is a
             # broadcast all-pairs scorer by design
             "dedup_minhash_recall", "dedup_simhash_complete",

@@ -230,3 +230,48 @@ def test_embedding_quantize_bounds(spark):
     cap = 255 * (pdf.dims * (pdf.dims + 1) // 2)
     assert (pdf.checksum >= 0).all()
     assert (pdf.checksum <= cap).all()
+
+
+def test_linkage_fuzzy_docs_laws(spark):
+    pdf = _run(spark, "linkage_fuzzy_docs").toPandas()
+    assert len(pdf) > 0
+    assert (pdf.doc_id_l < pdf.doc_id_r).all()
+    assert (pdf.distance <= 20).all() and (pdf.distance >= 0).all()
+
+
+def test_linkage_block_cap_drops_mega_block(spark):
+    """A block over the size cap contributes NO pairs (the skew guard), and
+    block_stats reports the candidate-pair mass that was at stake."""
+    from etl_ecommerce_data_spark.operators.linkage import (
+        block_stats,
+        blocked_levenshtein_pairs,
+    )
+
+    rows = [(i, "hot gear variant %d" % i) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    capped = blocked_levenshtein_pairs(
+        df, "id", "name", n_block_tokens=2, max_distance=100, max_block_size=10
+    )
+    assert capped.count() == 0
+    uncapped = blocked_levenshtein_pairs(
+        df, "id", "name", n_block_tokens=2, max_distance=100, max_block_size=100
+    )
+    assert uncapped.count() == 50 * 49 // 2
+    stats = block_stats(df, "name", n_block_tokens=2).collect()
+    assert stats[0].block_size == 50
+    assert stats[0].n_candidate_pairs == 50 * 49 // 2
+
+
+def test_tfidf_search_scores_consistent(spark):
+    pdf = _run(spark, "tfidf_search").toPandas()
+    assert 0 < len(pdf) <= 20
+    # every returned doc contains at least one query term, scores descend
+    assert ((pdf.tf_spark + pdf.tf_join + pdf.tf_query) > 0).all()
+    assert (pdf.score.values[:-1] >= pdf.score.values[1:]).all()
+
+
+def test_price_histogram_partitions_orders(spark):
+    pdf = _run(spark, "price_histogram").toPandas()
+    n_orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    assert pdf.n_orders.sum() == n_orders
+    assert (pdf.bucket_lo == pdf.bucket * 25000.0).all()
