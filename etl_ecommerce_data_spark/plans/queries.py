@@ -4480,6 +4480,78 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "daily_revenue_anomaly",
+    "Rolling anomaly detection: z-score of each day's revenue against the "
+    "trailing-30-day window. The moments are ORDER-INDEPENDENT exact decimal "
+    "sums (Σx, Σx² — decimal × decimal stays exact) so the windowed state is "
+    "deterministic under any partitioning; the variance/sqrt finish is one "
+    "fixed-shape IEEE double expression (sub/mul/div/sqrt are correctly "
+    "rounded, so both engines produce identical bits). Scale shape: the "
+    "heavy part is the map-side-combinable daily groupBy; the global window "
+    "then runs over ≤ #days rows (~2.4k for 7 years) regardless of corpus "
+    "size, so the single-partition window is NOT a bottleneck at 100 TB.",
+    oracle="""
+WITH d AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS rev2
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT order_date, CAST(rev AS DOUBLE) AS revenue,
+         CAST(COUNT(*) OVER w30 AS BIGINT) AS n_window,
+         CAST(SUM(rev) OVER w30 AS DOUBLE) AS sx,
+         CAST(SUM(rev2) OVER w30 AS DOUBLE) AS sxx
+  FROM d
+  WINDOW w30 AS (ORDER BY order_date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT order_date, revenue, n_window,
+       sx / n_window AS mean30,
+       CASE WHEN n_window > 1
+            THEN sqrt(GREATEST((sxx - sx * sx / n_window) / (n_window - 1), 0.0))
+       END AS sd30,
+       CASE WHEN n_window > 1
+             AND sqrt(GREATEST((sxx - sx * sx / n_window) / (n_window - 1), 0.0)) > 0.0
+            THEN (revenue - sx / n_window)
+                 / sqrt(GREATEST((sxx - sx * sx / n_window) / (n_window - 1), 0.0))
+       END AS zscore
+FROM w
+""",
+    tags=("extension", "analytics", "window", "anomaly"),
+)
+def q_daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
+    ).agg(
+        F.sum(dec("o_totalprice")).alias("rev"),
+        F.sum(dec("o_totalprice") * dec("o_totalprice")).alias("rev2"),
+    )
+    w30 = Window.orderBy("order_date").rowsBetween(-29, 0)
+    base = d.select(
+        "order_date",
+        F.col("rev").cast("double").alias("revenue"),
+        F.count(F.lit(1)).over(w30).cast("long").alias("n_window"),
+        F.sum("rev").over(w30).cast("double").alias("sx"),
+        F.sum("rev2").over(w30).cast("double").alias("sxx"),
+    )
+    n_d = F.col("n_window").cast("double")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n_d) / (n_d - F.lit(1.0))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return base.select(
+        "order_date",
+        "revenue",
+        "n_window",
+        (F.col("sx") / n_d).alias("mean30"),
+        F.when(F.col("n_window") > 1, sd).alias("sd30"),
+        F.when(
+            (F.col("n_window") > 1) & (sd > F.lit(0.0)),
+            (F.col("revenue") - F.col("sx") / n_d) / sd,
+        ).alias("zscore"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering
 # ---------------------------------------------------------------------------
@@ -4522,6 +4594,7 @@ _SWEEP_FIRST = [
     "linkage_fuzzy_docs",
     "tfidf_search",
     "price_histogram",
+    "daily_revenue_anomaly",
     # 1. no usable driver row yet
     "multimodal_features",
     "dedup_minhash_recall",
@@ -4535,7 +4608,6 @@ _SWEEP_FIRST = [
     # 2. last driver row is round 1
     "status_priority_unpivot",
     "revenue_rollup",
-    "part_brand_size_cube",
     "sessionize_events",
     "daily_distinct_users",
     "repeat_buyers_intersect",
@@ -4566,7 +4638,10 @@ _SWEEP_FIRST = [
     # status_priority_pivot (status_priority_unpivot in-window BUILDS the
     # same pivot internally before melting it) yield their slots to the
     # brand-new linkage_fuzzy_docs / tfidf_search / price_histogram, which
-    # have no driver rows at all; daily_users_hll and
+    # have no driver rows at all; part_brand_size_cube (CUBE is the same
+    # grouping-sets machinery as the in-window revenue_rollup +
+    # revenue_grouping_sets) yields its slot to the brand-new
+    # daily_revenue_anomaly; daily_users_hll and
     # value_percentiles_approx carry only rows-only checks anyway (r1 rows,
     # operators unchanged since); dedup_minhash_docs keeps its r2 row while
     # dedup_minhash_recall — in the window above — hash-pins the changed LSH

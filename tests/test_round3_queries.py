@@ -275,3 +275,17 @@ def test_price_histogram_partitions_orders(spark):
     n_orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
     assert pdf.n_orders.sum() == n_orders
     assert (pdf.bucket_lo == pdf.bucket * 25000.0).all()
+
+
+def test_daily_revenue_anomaly_laws(spark):
+    pdf = _run(spark, "daily_revenue_anomaly").toPandas().sort_values("order_date")
+    assert (pdf.n_window <= 30).all() and (pdf.n_window >= 1).all()
+    # the window ramps: first row sees only itself
+    assert pdf.n_window.iloc[0] == 1
+    # z-score of a constant-revenue window is null, never inf/NaN
+    assert not pdf.zscore.dropna().apply(lambda v: v != v or abs(v) == float("inf")).any()
+    # mean30 really is the trailing mean of the revenue column
+    import numpy as np
+
+    roll = pdf.revenue.rolling(30, min_periods=1).mean().values
+    assert np.allclose(pdf.mean30.values, roll)
