@@ -86,6 +86,13 @@ HEADLINE = [
     "curation_funnel",
     "event_counts_cms",
     "dedup_cross_corpus",
+    # round-3 late additions: layout keys, record linkage, retrieval,
+    # profiling, rolling anomaly detection
+    "zorder_layout_keys",
+    "linkage_fuzzy_docs",
+    "tfidf_search",
+    "price_histogram",
+    "daily_revenue_anomaly",
 ]
 
 # Queries whose FIRST build performs a one-time layout step (bucketed table

@@ -4,6 +4,7 @@ physical plan without execution; SQL views register for all tables."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_ecommerce_data_spark.plans.queries import QUERIES
 from etl_ecommerce_data_spark.plans.sql_api import register_views
@@ -108,3 +109,42 @@ def test_daily_sales_bucketed_join_has_no_exchange(spark):
     for name in ("dedup_minhash_docs", "dedup_clusters", "embedding_near_dup",
                  "dedup_simhash_docs"):
         assert "lsh" in QUERIES[name].tags, f"{name} must be the LSH scale path"
+
+
+def test_runtime_bloom_filter_fires_at_scale_thresholds(spark):
+    """100 TB posture: when a selective dim side is too big to broadcast,
+    Spark's runtime bloom filter (enabled by our session defaults) must
+    inject a might_contain semi-join reduction on the fact scan, so only
+    candidate rows survive to the shuffle. The default application-side
+    threshold (10 GB) keeps it OFF at local test scale; we lower it to the
+    local equivalent of "both sides are big" and assert the injection —
+    proving the session config + join shape qualify for the rewrite."""
+    from etl_ecommerce_data_spark.sources.registry import load_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = (
+            load_table(spark, SF_SMOKE, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
