@@ -93,6 +93,7 @@ HEADLINE = [
     "tfidf_search",
     "price_histogram",
     "daily_revenue_anomaly",
+    "inverted_index",
 ]
 
 # Queries whose FIRST build performs a one-time layout step (bucketed table

