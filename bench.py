@@ -94,6 +94,7 @@ HEADLINE = [
     "price_histogram",
     "daily_revenue_anomaly",
     "inverted_index",
+    "events_sliding_10x5",
 ]
 
 # Queries whose FIRST build performs a one-time layout step (bucketed table

@@ -4603,6 +4603,44 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_sliding_10x5",
+    "Sliding (hopping) window aggregation: 10-minute windows every 5 "
+    "minutes, so each event lands in exactly size/slide = 2 overlapping "
+    "windows. Spark's F.window(ts, size, slide) assigns rows to all their "
+    "windows MAP-SIDE before the one shuffle — the overlap factor is the "
+    "shuffle-volume multiplier, which is why slide >= size/4 is the usual "
+    "scale guidance. The oracle mirrors the assignment as a 2-way UNION "
+    "ALL of shifted tumbling buckets.",
+    oracle="""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+         event_type, event_id, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+         event_type, event_id, value
+  FROM events
+)
+SELECT window_start, event_type,
+       COUNT(event_id) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM assigned
+GROUP BY window_start, event_type
+""",
+    tags=("extension", "events", "window-agg"),
+)
+def q_events_sliding_10x5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.window("ts", "10 minutes", "5 minutes").start.alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count("event_id").alias("n_events"),
+        money_sum("value").alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering
 # ---------------------------------------------------------------------------
@@ -4647,6 +4685,7 @@ _SWEEP_FIRST = [
     "price_histogram",
     "daily_revenue_anomaly",
     "inverted_index",
+    "events_sliding_10x5",
     # 1. no usable driver row yet
     "multimodal_features",
     "dedup_minhash_recall",
@@ -4666,7 +4705,6 @@ _SWEEP_FIRST = [
     "props_variant_stats",
     "priority_revenue_share",
     "nation_daily_revenue_ma",
-    "text_stats",
     "text_quality",
     "text_langid",
     "doc_fingerprints",
@@ -4689,7 +4727,10 @@ _SWEEP_FIRST = [
     # status_priority_pivot (status_priority_unpivot in-window BUILDS the
     # same pivot internally before melting it) yield their slots to the
     # brand-new linkage_fuzzy_docs / tfidf_search / price_histogram, which
-    # have no driver rows at all; sessionize_events (lag+cumsum
+    # have no driver rows at all; text_stats (length/punct/token scalar
+    # ratios — the in-window text_quality computes a superset of the same
+    # per-document ratio machinery) yields its slot to the brand-new
+    # events_sliding_10x5; sessionize_events (lag+cumsum
     # gaps-and-islands — the r2-green in-window user_event_scd2 runs the
     # same islands machinery on the same events table) yields its slot to
     # the brand-new inverted_index; part_brand_size_cube (CUBE is the same

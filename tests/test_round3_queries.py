@@ -300,3 +300,11 @@ def test_inverted_index_consistent_with_tfidf(spark):
         ids = [int(x) for x in idx.loc[token].postings.split(",")]
         assert ids == sorted(set(ids))
         assert len(ids) == min(idx.loc[token].doc_freq, 100)
+
+
+def test_sliding_window_doubles_tumbling_mass(spark):
+    """Overlap law: with size = 2 x slide, every event lands in exactly two
+    windows, so total sliding event mass is exactly 2 x the event count."""
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    pdf = _run(spark, "events_sliding_10x5").toPandas()
+    assert pdf.n_events.sum() == 2 * n_events
