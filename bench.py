@@ -95,6 +95,7 @@ HEADLINE = [
     "daily_revenue_anomaly",
     "inverted_index",
     "events_sliding_10x5",
+    "profile_orders",
 ]
 
 # Queries whose FIRST build performs a one-time layout step (bucketed table

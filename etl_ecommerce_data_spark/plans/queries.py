@@ -4641,6 +4641,56 @@ def q_events_sliding_10x5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "profile_orders",
+    "Single-pass column profiling of the orders table: per-column null "
+    "count, exact distinct count, and min/max (rendered as strings so one "
+    "long result schema covers every column type) — the ingest-validation "
+    "primitive. All measures compute in ONE wide aggregate over one scan "
+    "(Catalyst plans the multi-distinct via Expand: one extra shuffle, no "
+    "extra scans) and the result is |columns| rows regardless of table "
+    "size.",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{c}' AS column_name,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+    tags=("extension", "profiling", "validation"),
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return wide.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.column_name", "p.n_nulls", "p.n_distinct", "p.min_value", "p.max_value")
+
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering
 # ---------------------------------------------------------------------------
@@ -4686,6 +4736,7 @@ _SWEEP_FIRST = [
     "daily_revenue_anomaly",
     "inverted_index",
     "events_sliding_10x5",
+    "profile_orders",
     # 1. no usable driver row yet
     "multimodal_features",
     "dedup_minhash_recall",
@@ -4699,7 +4750,6 @@ _SWEEP_FIRST = [
     # 2. last driver row is round 1
     "status_priority_unpivot",
     "revenue_rollup",
-    "daily_distinct_users",
     "repeat_buyers_intersect",
     "value_percentiles",
     "props_variant_stats",
@@ -4727,7 +4777,10 @@ _SWEEP_FIRST = [
     # status_priority_pivot (status_priority_unpivot in-window BUILDS the
     # same pivot internally before melting it) yield their slots to the
     # brand-new linkage_fuzzy_docs / tfidf_search / price_histogram, which
-    # have no driver rows at all; text_stats (length/punct/token scalar
+    # have no driver rows at all; daily_distinct_users (exact
+    # count-distinct via Expand — the brand-new profile_orders in this
+    # window runs the same multi-distinct machinery) yields its slot to
+    # profile_orders; text_stats (length/punct/token scalar
     # ratios — the in-window text_quality computes a superset of the same
     # per-document ratio machinery) yields its slot to the brand-new
     # events_sliding_10x5; sessionize_events (lag+cumsum

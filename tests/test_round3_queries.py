@@ -308,3 +308,13 @@ def test_sliding_window_doubles_tumbling_mass(spark):
     n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
     pdf = _run(spark, "events_sliding_10x5").toPandas()
     assert pdf.n_events.sum() == 2 * n_events
+
+
+def test_profile_orders_laws(spark):
+    pdf = _run(spark, "profile_orders").toPandas().set_index("column_name")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    n = o.count()
+    assert (pdf.n_nulls + pdf.n_distinct <= pdf.n_nulls + n).all()
+    assert pdf.loc["o_orderkey"].n_distinct == n  # primary key
+    assert pdf.loc["o_orderkey"].n_nulls == 0
+    assert (pdf.n_distinct >= 1).all()
