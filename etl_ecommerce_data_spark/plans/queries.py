@@ -4691,6 +4691,37 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.column_name", "p.n_nulls", "p.n_distinct", "p.min_value", "p.max_value")
 
 
+@register(
+    "linkage_block_stats",
+    "The record-linkage skew dashboard: block-size distribution with the "
+    "candidate-pair mass n_blocks × C(size,2) each size class contributes — "
+    "the number the per-block cap bounds. Pins the linkage cost model as "
+    "driver evidence (same pattern as dedup_minhash_bucket_stats).",
+    oracle="""
+WITH p AS (
+  SELECT array_to_string(list_slice(string_split(substr(text, 1, 120), ' '), 1, 2), ' ') AS blk
+  FROM documents
+),
+sizes AS (
+  SELECT blk, CAST(COUNT(*) AS BIGINT) AS block_size FROM p GROUP BY blk
+)
+SELECT block_size,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(COUNT(*) * CAST(block_size * (block_size - 1) / 2 AS BIGINT) AS BIGINT) AS n_candidate_pairs
+FROM sizes
+GROUP BY block_size
+""",
+    tags=("extension", "dedup", "linkage", "stats"),
+)
+def q_linkage_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.operators.linkage import block_stats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("head")
+    )
+    return block_stats(docs, "head", n_block_tokens=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering
 # ---------------------------------------------------------------------------
