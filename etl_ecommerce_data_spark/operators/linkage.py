@@ -58,26 +58,28 @@ def blocked_levenshtein_pairs(
         F.col(text_col).alias("_text"),
         block_key(F.col(text_col), n_block_tokens).alias("_block"),
     )
-    sizes = keyed.groupBy("_block").agg(F.count(F.lit(1)).alias("_bsz"))
-    keyed = keyed.join(
-        sizes.filter(F.col("_bsz") <= max_block_size).select("_block"), "_block"
+    # Group-and-pair: collect each block once (sorted by id so i<j implies
+    # id_l < id_r), generate the within-block pairs as a JVM higher-order
+    # expression, explode. ONE corpus scan + ONE shuffle on the block key —
+    # vs the naive sizes-join + self-join shape, which scans the corpus 4×
+    # and shuffles 5×. The size cap is also what bounds a collected block's
+    # memory (max_block_size rows of (id, text) per group).
+    blocks = (
+        keyed.groupBy("_block")
+        .agg(F.sort_array(F.collect_list(F.struct("_id", "_text"))).alias("_arr"))
+        .filter(F.size("_arr").between(2, max_block_size))
     )
-    left = keyed.select(
-        F.col("_block"),
-        F.col("_id").alias("id_l"),
-        F.col("_text").alias("text_l"),
-    )
-    right = keyed.select(
-        F.col("_block"),
-        F.col("_id").alias("id_r"),
-        F.col("_text").alias("text_r"),
+    pairs_expr = (
+        "flatten(transform(_arr, (x, i) -> "
+        "transform(slice(_arr, i + 2, size(_arr)), y -> "
+        "struct(x._id as id_l, y._id as id_r, "
+        "x._text as text_l, y._text as text_r))))"
     )
     return (
-        left.join(right, "_block")
-        .filter(F.col("id_l") < F.col("id_r"))
+        blocks.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.*")
         .withColumn("distance", F.levenshtein("text_l", "text_r").cast("long"))
         .filter(F.col("distance") <= max_distance)
-        .select("id_l", "id_r", "text_l", "text_r", "distance")
     )
 
 

@@ -4424,9 +4424,13 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _TFIDF_TERMS
         ]
     )
-    dfs = per.groupBy().agg(
+    # df_t derived from tfw (tf_t > 0 ⇔ doc contains t) rather than from
+    # `per`: the dfs branch then shares tfw's whole aggregation subtree, so
+    # Spark plans it as a ReusedExchange — one scan+shuffle chain feeds both
+    # the per-doc scores and the 1-row df scalars.
+    dfs = tfw.groupBy().agg(
         *[
-            F.count(F.when(F.col("token") == t, F.lit(1)))
+            F.count(F.when(F.col(f"tf_{t}") > 0, F.lit(1)))
             .cast("long")
             .alias(f"df_{t}")
             for t in _TFIDF_TERMS
