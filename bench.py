@@ -122,6 +122,15 @@ def main() -> None:
     # Warm the JVM/codegen path once so per-query numbers measure the engine,
     # not first-call class loading.
     QUERIES["pricing_summary"].builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Warm the Python worker pool the same way (session infrastructure, like
+    # codegen): the Arrow-batched queries should measure steady-state Arrow
+    # transfer + numpy, not one-time worker fork/import cost.
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+    spark.range(32).repartition(32).select(_warm("id")).write.mode("overwrite").format(
+        "noop"
+    ).save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(run_one(spark, name, sf_dir), 3)

@@ -52,7 +52,10 @@ _BNLJ_OK = {"priority_revenue_share", "similarity_topk", "similarity_topk_ivf",
             "similarity_ivf_recall"}
 # Plans allowed to contain Python nodes: the declared Arrow-batched paths.
 _PYTHON_OK = {"user_value_ewma", "multimodal_meta", "multimodal_features",
-              "doc_chunks_udtf"}
+              "doc_chunks_udtf",
+              # SRP signature generation is a per-VECTOR matrix product
+              # (vectorized numpy, O(n) rows); all per-PAIR work stays JVM
+              "embedding_near_dup", "embedding_near_dup_recall"}
 
 
 @pytest.mark.parametrize("name", [n for n in QUERIES if n not in _EXECUTING])
