@@ -4498,9 +4498,13 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic under any partitioning; the variance/sqrt finish is one "
     "fixed-shape IEEE double expression (sub/mul/div/sqrt are correctly "
     "rounded, so both engines produce identical bits). Scale shape: the "
-    "heavy part is the map-side-combinable daily groupBy; the global window "
-    "then runs over ≤ #days rows (~2.4k for 7 years) regardless of corpus "
-    "size, so the single-partition window is NOT a bottleneck at 100 TB.",
+    "heavy part is the map-side-combinable daily groupBy; the trailing "
+    "window is YEAR-BUCKETED two-pass — each year partition is augmented "
+    "with the previous year's last 29 daily rows (carry), the 30-row window "
+    "runs per partition, carry rows are dropped — so no operator in the "
+    "plan funnels through a single task (precondition: every year bucket "
+    "has ≥ 29 active days, trivially true for daily retail data; result is "
+    "bit-identical to the global window).",
     oracle="""
 WITH d AS (
   SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
@@ -4542,14 +4546,44 @@ def q_daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("o_totalprice")).alias("rev"),
         F.sum(dec("o_totalprice") * dec("o_totalprice")).alias("rev2"),
     )
-    w30 = Window.orderBy("order_date").rowsBetween(-29, 0)
-    base = d.select(
+    # Year-bucketed two-pass trailing window (no global Window.orderBy):
+    # each year's partition is extended with the previous year's last 29
+    # daily rows, so every row sees its full 29 preceding rows inside ONE
+    # partition; the carry rows compute throwaway window values and are
+    # dropped after. Identical to the global window whenever each year has
+    # ≥ 29 active days (guaranteed for daily aggregates of retail orders).
+    d = d.withColumn("__yr", F.substring("order_date", 1, 4).cast("int"))
+    rn_desc = F.row_number().over(
+        Window.partitionBy("__yr").orderBy(F.col("order_date").desc())
+    )
+    carry = (
+        d.withColumn("__rnd", rn_desc)
+        .filter(F.col("__rnd") <= 29)
+        .select(
+            (F.col("__yr") + 1).alias("__grp"),
+            "order_date",
+            "rev",
+            "rev2",
+            F.lit(True).alias("__carry"),
+        )
+    )
+    own = d.select(
+        F.col("__yr").alias("__grp"),
+        "order_date",
+        "rev",
+        "rev2",
+        F.lit(False).alias("__carry"),
+    )
+    u = own.unionByName(carry)
+    w30 = Window.partitionBy("__grp").orderBy("order_date").rowsBetween(-29, 0)
+    base = u.select(
         "order_date",
         F.col("rev").cast("double").alias("revenue"),
         F.count(F.lit(1)).over(w30).cast("long").alias("n_window"),
         F.sum("rev").over(w30).cast("double").alias("sx"),
         F.sum("rev2").over(w30).cast("double").alias("sxx"),
-    )
+        "__carry",
+    ).filter(~F.col("__carry")).drop("__carry")
     n_d = F.col("n_window").cast("double")
     var = (F.col("sxx") - F.col("sx") * F.col("sx") / n_d) / (n_d - F.lit(1.0))
     sd = F.sqrt(F.greatest(var, F.lit(0.0)))
