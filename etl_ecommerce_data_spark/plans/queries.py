@@ -1844,6 +1844,80 @@ def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_error_floor",
+    "Driver-checkable ERROR floor for the HyperLogLog++ path "
+    "(daily_users_hll's sketch): per event_type, approx_count_distinct "
+    "(rsd 2%) vs exact count_distinct, computed Spark-side (not hard-coded); "
+    "the oracle computes the exact scalars in SQL and pins max relative "
+    "error ≤ 0.05 to TRUE, so a green row is the error-bound proof "
+    "(measured 0.000 at sf0.01, 0.004 at sf0.1 — HLL++ sparse mode is exact "
+    "at small cardinalities).",
+    oracle="""
+WITH t AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS eu FROM events GROUP BY event_type
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(eu) AS BIGINT) AS exact_users_sum,
+       true AS rel_error_le_005
+FROM t
+""",
+    tags=("analytics", "sketch", "recall"),
+)
+def q_hll_error_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+        F.count_distinct("user_id").alias("e"),
+    )
+    rel = F.abs(F.col("a") - F.col("e")).cast("double") / F.col("e").cast("double")
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("e").cast("long").alias("exact_users_sum"),
+        (F.max(rel) <= 0.05).alias("rel_error_le_005"),
+    )
+
+
+@register(
+    "gk_percentile_floor",
+    "Driver-checkable ERROR floor for the Greenwald-Khanna quantile sketch "
+    "(value_percentiles_approx's path): per event_type, the exact RANK of "
+    "each percentile_approx(accuracy 10000) answer is bracketed against the "
+    "target quantile — rank_err = max(0, q − frac_at_or_below, frac_below − "
+    "q) — and the oracle pins max rank error ≤ 0.001 to TRUE (theoretical "
+    "GK bound is 1e-4 at this accuracy; measured 9.9e-5 at sf0.1). The "
+    "exact n_types scalar keeps the row hash-anchored.",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       true AS p50_rank_error_le_001,
+       true AS p95_rank_error_le_001
+FROM events
+""",
+    tags=("analytics", "sketch", "recall"),
+)
+def q_gk_percentile_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gk = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("a50"),
+        F.percentile_approx("value", 0.95, 10000).alias("a95"),
+        F.count("value").alias("n"),
+    )
+    nd = F.first("n").cast("double")
+    j = ev.join(gk, "event_type").groupBy("event_type").agg(
+        (F.sum((F.col("value") < F.col("a50")).cast("long")) / nd).alias("fb50"),
+        (F.sum((F.col("value") <= F.col("a50")).cast("long")) / nd).alias("fab50"),
+        (F.sum((F.col("value") < F.col("a95")).cast("long")) / nd).alias("fb95"),
+        (F.sum((F.col("value") <= F.col("a95")).cast("long")) / nd).alias("fab95"),
+    )
+    err50 = F.greatest(F.lit(0.0), F.lit(0.5) - F.col("fab50"), F.col("fb50") - F.lit(0.5))
+    err95 = F.greatest(F.lit(0.0), F.lit(0.95) - F.col("fab95"), F.col("fb95") - F.lit(0.95))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        (F.max(err50) <= 0.001).alias("p50_rank_error_le_001"),
+        (F.max(err95) <= 0.001).alias("p95_rank_error_le_001"),
+    )
+
+
+@register(
     "similarity_topk",
     "Exact brute-force cosine top-5 neighbors for query vectors (vec_id < 10) "
     "— deterministic double fold over double-cast embeddings; rank ties "
@@ -4783,92 +4857,84 @@ def q_linkage_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      sf0.001 oracle sweep (tests/test_oracle_parity.py) on current code.
 # Every query remains registered and locally verified regardless.
 _SWEEP_FIRST = [
-    # 0. new this round
-    "funnel_conversion",
-    "cohort_retention",
-    "rfm_segments",
-    "basket_pairs",
-    "user_event_scd2",
-    "contamination_check",
-    "pack_concat_chunks",
-    "language_rebalance_sample",
-    "embedding_quantize",
-    "curation_funnel",
-    "event_counts_cms",
+    # Round-4 ordering: the driver window is ~50 rows and the registry is
+    # 119 queries, so the window is spent on EVIDENCE DEBT (VERDICT r3 ask
+    # #1), not breadth. Order: (a) queries with NO driver row ever, (b) the
+    # new sketch error floors, (c) every query whose underlying operator
+    # changed this round (minhash signature family, embedding near-dup
+    # prefilter, anomaly window), (d) the 15 queries stuck on round-1
+    # evidence, (e) the reference-parity marts whose freshest row is r2.
+    # (a) never driver-checked
+    "connector_roundtrip_orc_json",
+    "stream_upsert_user_latest",
+    "linkage_block_stats",
+    # (b) new oracled error floors for the two sketch paths (r3 ask #2)
+    "hll_error_floor",
+    "gk_percentile_floor",
+    # (c) operators changed this round -> every dependent query re-verifies
+    "dedup_minhash_recall",
+    "dedup_minhash_docs",
+    "dedup_clusters",
     "dedup_cross_corpus",
     "dedup_cross_corpus_baseline",
     "dedup_cross_corpus_recall",
-    "zorder_layout_keys",
-    "linkage_fuzzy_docs",
-    "tfidf_search",
-    "price_histogram",
-    "daily_revenue_anomaly",
-    "inverted_index",
-    "events_sliding_10x5",
-    "profile_orders",
-    # 1. no usable driver row yet
-    "multimodal_features",
-    "dedup_minhash_recall",
-    "dedup_simhash_complete",
+    "embedding_near_dup",
+    "embedding_near_dup_baseline",
     "embedding_near_dup_recall",
-    "similarity_lsh_recall",
-    "similarity_ivf_recall",
-    "dedup_minhash_bucket_stats",
-    "doc_top_terms",
-    "doc_repetition_stats",
-    # 2. last driver row is round 1
-    "status_priority_unpivot",
-    "revenue_rollup",
-    "repeat_buyers_intersect",
-    "value_percentiles",
-    "props_variant_stats",
-    "priority_revenue_share",
-    "nation_daily_revenue_ma",
-    "text_quality",
-    "text_langid",
-    "doc_fingerprints",
-    "region_supplier_volume",
-    "customers_no_orders",
-    "daily_activity_reconciliation",
-    "status_latest_order",
-    "user_event_profile",
-    "revenue_grouping_sets",
-    "sql_segment_priority_revenue",
-    "pydatasource_docs",
-    "stream_static_enrich",
-    # Cut for space (the window is 50): one_time_buyers_except (r1-green,
-    # EXCEPT untouched since r1; its set-op twin repeat_buyers_intersect
-    # stays in the window so the family still gets fresh evidence) yields
-    # its slot to the brand-new zorder_layout_keys; top_parts_per_brand
-    # (rank-per-group — doc_top_terms in-window exercises the same window
-    # family), churned_customers (date-filtered anti-join —
-    # customers_no_orders in-window covers anti-join), and
-    # status_priority_pivot (status_priority_unpivot in-window BUILDS the
-    # same pivot internally before melting it) yield their slots to the
-    # brand-new linkage_fuzzy_docs / tfidf_search / price_histogram, which
-    # have no driver rows at all; daily_distinct_users (exact
-    # count-distinct via Expand — the brand-new profile_orders in this
-    # window runs the same multi-distinct machinery) yields its slot to
-    # profile_orders; text_stats (length/punct/token scalar
-    # ratios — the in-window text_quality computes a superset of the same
-    # per-document ratio machinery) yields its slot to the brand-new
-    # events_sliding_10x5; sessionize_events (lag+cumsum
-    # gaps-and-islands — the r2-green in-window user_event_scd2 runs the
-    # same islands machinery on the same events table) yields its slot to
-    # the brand-new inverted_index; part_brand_size_cube (CUBE is the same
-    # grouping-sets machinery as the in-window revenue_rollup +
-    # revenue_grouping_sets) yields its slot to the brand-new
-    # daily_revenue_anomaly; daily_users_hll and
-    # value_percentiles_approx carry only rows-only checks anyway (r1 rows,
-    # operators unchanged since); dedup_minhash_docs keeps its r2 row while
-    # dedup_minhash_recall — in the window above — hash-pins the changed LSH
-    # guard code far more strongly than a rows-only re-run would; and
-    # curate_corpus / text_tokens_bpe / props_json_stats /
-    # event_type_distinct_props / suppliers_with_sales (r1-green, code
-    # untouched since r1) yield their slots to the brand-new
-    # stream_static_enrich, pydatasource_docs, props_variant_stats,
-    # status_priority_unpivot, and daily_activity_reconciliation — all of
-    # which have no driver rows at all yet.
+    "daily_revenue_anomaly",
+    # (d) round-1-stale evidence, rotated in (r3 ask #1)
+    "top_parts_per_brand",
+    "churned_customers",
+    "status_priority_pivot",
+    "part_brand_size_cube",
+    "sessionize_events",
+    "daily_distinct_users",
+    "props_json_stats",
+    "text_stats",
+    "event_type_distinct_props",
+    "suppliers_with_sales",
+    "one_time_buyers_except",
+    "text_tokens_bpe",
+    "curate_corpus",
+    "daily_users_hll",
+    "value_percentiles_approx",
+    # (e) reference-parity core on r2 evidence
+    "pricing_summary",
+    "daily_sales",
+    "daily_sales_bucketed",
+    "customer_metrics",
+    "product_performance",
+    "supplier_performance",
+    "order_status_delivery",
+    "nation_revenue",
+    "events_by_type_day",
+    "clean_orders",
+    "clean_customer",
+    "clean_lineitem",
+    "olist_daily_sales",
+    "olist_customer_metrics",
+    "olist_product_performance",
+    "olist_seller_performance",
+    "olist_satisfaction_metrics",
+    "olist_delivery_performance",
+    "dedup_exact_docs",
+    "dedup_simhash_docs",
+    # Cut for space (still r2-green, operators untouched this round, each
+    # family anchored by an in-window or r3-green sibling):
+    # similarity_topk / _lsh / _ivf and their r3-green recall floors pin the
+    # similarity family; asof_events_orders / range_join_view_purchase /
+    # events_tumbling_5min / session_window_stats / daily_value_gapfilled
+    # (temporal-join + windowed-agg family, code untouched since r2);
+    # stream_events_windowed / _user_stats_stateful / _dedup_events /
+    # _view_purchase_join / _session_windows (streaming family gets fresh
+    # evidence via stream_upsert_user_latest above and r3-green
+    # stream_static_enrich); multimodal_meta (multimodal_features r3-green
+    # covers the Arrow path); corpus_split / text_normalize_dedup /
+    # doc_chunks / doc_chunks_udtf / vocab_stats / user_value_ewma /
+    # order_value_ranking_suite / salted_segment_revenue /
+    # merge_upsert_orders / dedup_ngram_jaccard_baseline /
+    # dedup_clusters_baseline (r2-green, untouched; the changed-operator
+    # set (c) above re-pins everything their shared operators touch).
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

@@ -63,11 +63,15 @@ SYNTHETIC_SCHEMAS: dict[str, T.StructType] = {
         ("l_discount", D), ("l_tax", D), ("l_returnflag", S),
         ("l_linestatus", S), ("l_shipdate", TS),
     ),
-    # events.ts is stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    # rejects ([PARQUET_TYPE_ILLEGAL]). We read it as raw long nanos (with
-    # spark.sql.legacy.parquet.nanosAsLong) and convert to a microsecond
-    # timestamp in load_table via exact integer division — the same ns→µs
-    # truncation DuckDB applies, so oracle comparisons agree.
+    # events.ts encoding varies by testdata generation: legacy files store
+    # parquet TIMESTAMP(NANOS) (Spark rejects it — [PARQUET_TYPE_ILLEGAL] —
+    # so we read raw long nanos via spark.sql.legacy.parquet.nanosAsLong and
+    # divide), newer files store TIMESTAMP(MICROS) (native read). The
+    # declared ts type here is the legacy long; ``load_table`` probes the
+    # actual file ONCE per path (``events_ts_kind``) and swaps in the
+    # timestamp variant when the file is micros — both paths normalize to a
+    # session-TZ (UTC) TimestampType column with identical values, matching
+    # DuckDB's read of the same file.
     "events": _struct(
         ("event_id", L), ("ts", L), ("user_id", L), ("event_type", S),
         ("value", D), ("props", S),
@@ -133,6 +137,49 @@ OLIST_SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+_EVENTS_TS_KIND: dict[str, str] = {}
+
+
+def events_ts_kind(spark: SparkSession, events_path: str) -> str:
+    """``'nanos'`` (legacy TIMESTAMP(NANOS): read as raw long + ns→µs
+    divide) or ``'micros'`` (TIMESTAMP(MICROS): native timestamp read).
+
+    Probed once per path through Spark's own schema inference — works on any
+    Spark-readable filesystem, no separate footer reader: with the
+    nanosAsLong conf set, a NANOS column infers LongType while a MICROS
+    column infers a timestamp type. Cached per path (a driver-side footer
+    read, not a scan)."""
+    if events_path not in _EVENTS_TS_KIND:
+        ensure_nanos_as_long(spark)
+        dt = spark.read.parquet(events_path).schema["ts"].dataType
+        _EVENTS_TS_KIND[events_path] = (
+            "nanos" if isinstance(dt, T.LongType) else "micros"
+        )
+    return _EVENTS_TS_KIND[events_path]
+
+
+def events_read_schema(kind: str) -> T.StructType:
+    """The declared events schema for one ts encoding (see SYNTHETIC_SCHEMAS
+    comment): ts is a raw long for 'nanos', a naive timestamp for 'micros'."""
+    ts_type = T.LongType() if kind == "nanos" else T.TimestampNTZType()
+    return T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", ts_type)
+            for f in SYNTHETIC_SCHEMAS["events"].fields
+        ]
+    )
+
+
+def events_normalize_ts(df: DataFrame, kind: str) -> DataFrame:
+    """Normalize either encoding to a session-TZ TimestampType ``ts`` with
+    microsecond values identical to DuckDB's read of the same file (ns→µs is
+    exact integer truncation; NTZ→LTZ is value-preserving in the pinned UTC
+    session)."""
+    if kind == "nanos":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table as parquet with its declared schema.
 
@@ -146,9 +193,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SYNTHETIC_SCHEMAS)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        ensure_nanos_as_long(spark)
-        df = spark.read.schema(SYNTHETIC_SCHEMAS[name]).parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        kind = events_ts_kind(spark, path)
+        df = spark.read.schema(events_read_schema(kind)).parquet(path)
+        return events_normalize_ts(df, kind)
     return spark.read.schema(SYNTHETIC_SCHEMAS[name]).parquet(path)
 
 

@@ -16,38 +16,36 @@ from __future__ import annotations
 import uuid
 from collections.abc import Iterator
 
+import os as _os
+
 import pandas as pd
-from etl_ecommerce_data_spark.session import ensure_nanos_as_long
+from etl_ecommerce_data_spark.sources.registry import (
+    events_normalize_ts,
+    events_read_schema,
+    events_ts_kind,
+)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# Stream-side schema: ts arrives as raw long nanos (see sources/registry.py —
-# the parquet files store TIMESTAMP(NANOS), which Spark reads via nanosAsLong).
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# Stream-side ts handling matches the batch reader: the encoding (legacy
+# TIMESTAMP(NANOS)-as-long vs native TIMESTAMP(MICROS)) is probed per source
+# file and both normalize to a UTC-session TimestampType column — see
+# sources/registry.py events_ts_kind/events_read_schema/events_normalize_ts.
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one micro-batch
     locally; in production this is the Kafka source with the same schema)."""
-    ensure_nanos_as_long(spark)
+    kind = events_ts_kind(spark, _os.path.join(sf_dir, "events.parquet"))
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(events_read_schema(kind))
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")  # only the events file
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return events_normalize_ts(stream, kind)
 
 
 def windowed_event_aggregation(
@@ -240,17 +238,25 @@ def run_session_windows_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)
     shutil.copyfile(src, os.path.join(stage, "batch0_events.parquet"))
-    # raw-long nanos ts, matching EVENTS_STREAM_SCHEMA
-    ensure_nanos_as_long(spark)
-    max_ns = (
-        spark.read.schema(EVENTS_STREAM_SCHEMA)
+    # advancer row in the SAME ts encoding as the staged events file, one
+    # day past its max event time (see registry events_ts_kind)
+    kind = events_ts_kind(spark, os.path.join(stage, "batch0_events.parquet"))
+    schema = events_read_schema(kind)
+    max_ts = (
+        spark.read.schema(schema)
         .parquet(os.path.join(stage, "batch0_events.parquet"))
         .agg(F.max("ts").alias("m"))
         .first()["m"]
     )
+    if kind == "nanos":
+        adv_ts = int(max_ts) + 86_400_000_000_000
+    else:
+        import datetime
+
+        adv_ts = max_ts + datetime.timedelta(days=1)
     advancer = spark.createDataFrame(
-        [(-1, int(max_ns) + 86_400_000_000_000, _ADVANCER_USER, "advance", 0.0, None)],
-        EVENTS_STREAM_SCHEMA,
+        [(-1, adv_ts, _ADVANCER_USER, "advance", 0.0, None)],
+        schema,
     )
     adv_dir = os.path.join(stage, "batch1_advance.parquet")
     advancer.coalesce(1).write.mode("overwrite").parquet(adv_dir)
@@ -264,13 +270,13 @@ def run_session_windows_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame
         for f in files:
             os.utime(os.path.join(root, f), (pin, pin))
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
         .option("recursiveFileLookup", "true")
         .parquet(stage)
     )
-    events = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = events_normalize_ts(stream, kind)
     out = _run_to_memory(session_window_aggregation(events), spark, "append")
     result = out.filter(F.col("user_id") != _ADVANCER_USER)
     if result.limit(1).count() == 0:
@@ -433,13 +439,14 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_ecommerce_data_spark.sources.incremental import merge_dataframes
 
-    ensure_nanos_as_long(spark)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), f"upsert_stream_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     stage = os.path.join(root, "stage")
     os.makedirs(stage)
-    raw = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(
+    kind = events_ts_kind(spark, os.path.join(sf_dir, "events.parquet"))
+    schema = events_read_schema(kind)
+    raw = spark.read.schema(schema).parquet(
         os.path.join(sf_dir, "events.parquet")
     )
     b0 = os.path.join(stage, "batch0.parquet")
@@ -479,12 +486,12 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         current[0] = out
 
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
         .parquet(stage)
     )
-    events = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = events_normalize_ts(stream, kind)
     q = events.writeStream.outputMode("append").foreachBatch(upsert_batch).start()
     try:
         q.processAllAvailable()
