@@ -316,3 +316,46 @@ def test_validate_on_write_observes_write_pass(spark, tmp_path):
         )
     msg = str(ei.value)
     assert "min_rows" in msg and "not unique" in msg
+
+
+def test_events_ts_kind_adapts_to_both_parquet_encodings(spark, tmp_path):
+    """The events reader must decode BOTH historical ts encodings to the same
+    UTC timestamps: legacy TIMESTAMP(NANOS) (read as raw long + ns→µs divide)
+    and TIMESTAMP(MICROS) (native read). Regression for the silent 1970-
+    collapse when a micros file was decoded through the nanos path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_ecommerce_data_spark.sources.registry import events_ts_kind
+
+    micros = [1704067207_179575, 1704070000_000001, 1706655432_194062]
+    cols = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+        "event_type": pa.array(["view", "cart", "purchase"]),
+        "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"]),
+    }
+
+    def write_variant(dirname, ts_arr):
+        d = tmp_path / dirname
+        d.mkdir()
+        tbl = pa.table({"event_id": cols["event_id"], "ts": ts_arr, **{
+            k: v for k, v in cols.items() if k != "event_id"}})
+        pq.write_table(tbl, str(d / "events.parquet"))
+        return str(d)
+
+    nanos_dir = write_variant(
+        "nanos", pa.array([m * 1000 for m in micros], pa.timestamp("ns"))
+    )
+    micros_dir = write_variant(
+        "micros", pa.array(micros, pa.timestamp("us"))
+    )
+    assert events_ts_kind(spark, f"{nanos_dir}/events.parquet") == "nanos"
+    assert events_ts_kind(spark, f"{micros_dir}/events.parquet") == "micros"
+
+    got_n = load_table(spark, nanos_dir, "events").select("event_id", "ts").collect()
+    got_m = load_table(spark, micros_dir, "events").select("event_id", "ts").collect()
+    assert [r["ts"] for r in got_n] == [r["ts"] for r in got_m]
+    # sanity: values are the real 2024 instants, not a 1970 collapse
+    assert all(r["ts"].year == 2024 for r in got_m)
