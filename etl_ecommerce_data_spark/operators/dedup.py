@@ -15,8 +15,11 @@ Four families, all shuffle-conscious:
 - ``embedding_near_dup_pairs`` — cosine near-dup over embeddings (see
                         operators/similarity.py for the ANN machinery).
 
-Everything is DataFrame-native: hashing via ``xxhash64``/``md5``/``crc32``,
-set math via higher-order functions. No Python UDFs anywhere.
+Everything per-PAIR is DataFrame-native: hashing via ``xxhash64``/``md5``,
+set math via hash-based ``array_intersect``. The ONE Python crossing is the
+Arrow-batched SimHash bit-vote (``_simhash_votes_udf``) — a per-DOCUMENT
+numpy kernel replacing a measured-slow higher-order-function fold; no
+row-at-a-time UDFs anywhere.
 """
 
 from __future__ import annotations
@@ -507,33 +510,57 @@ def minhash_lsh_bucket_stats(
     )
 
 
+_SIMHASH_UDF = None
+
+
+def _simhash_votes_udf():
+    """Arrow-batched SimHash bit-vote: array<long> token hashes → packed
+    64-bit SimHash (bit b set iff a strict majority of tokens set bit b).
+
+    The JVM side still does ALL the string work (tokenize + one xxhash64 per
+    distinct token); only the 64-bit majority vote crosses to numpy — the
+    higher-order-function fold it replaces cost ~0.7 ms/row (64 shift-adds
+    per token, ~200 ns per interpreted element-op), i.e. 3.6 s of the 4.8 s
+    query at sf0.1; the vectorized vote is ~30 µs/row. Bit-for-bit identical
+    output: same hashes, same strict-majority rule, same two's-complement
+    packing (bit 63 is the sign bit)."""
+    global _SIMHASH_UDF
+    if _SIMHASH_UDF is None:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        shifts = np.arange(64, dtype=np.uint64)
+
+        def vote(hashes_series):
+            out = []
+            for hs in hashes_series:
+                if hs is None:
+                    out.append(None)
+                    continue
+                k = len(hs)
+                if k == 0:
+                    out.append(0)
+                    continue
+                u = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                bits = (u[:, None] >> shifts) & np.uint64(1)  # (k, 64)
+                maj = bits.sum(axis=0, dtype=np.int64) * 2 > k
+                word = (maj.astype(np.uint64) << shifts).sum(dtype=np.uint64)
+                out.append(int(np.int64(word)))
+            return pd.Series(out, dtype="object")
+
+        _SIMHASH_UDF = pandas_udf(vote, "long")
+    return _SIMHASH_UDF
+
+
 def simhash64(text_col: Column) -> Column:
     """64-bit SimHash from token xxhash64 bits: per bit, sign of the sum of
-    ±1 votes across tokens (equivalently: majority of set bits).
+    ±1 votes across tokens (equivalently: strict majority of set bits).
 
-    One hash per TOKEN (not per token × bit): tokens are hashed once, then a
-    single fold accumulates all 64 bit-counts in an array accumulator —
-    64 shift-and-adds per token instead of 64 re-hashes per token (~3×
-    cheaper end-to-end). Still pure JVM expressions, scan-parallel.
-    """
-    toks = _distinct_tokens(text_col)
-    n = F.size(toks)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bits = F.sequence(F.lit(0), F.lit(63))
-    counts = F.aggregate(
-        hashes,
-        F.transform(bits, lambda _: F.lit(0).cast("long")),
-        lambda acc, h: F.zip_with(
-            acc, bits, lambda a, b: a + F.bit_get(h, b.cast("int")).cast("long")
-        ),
-    )
-    weights = [1 << bit if bit < 63 else -(1 << 63) for bit in range(64)]
-    signed = F.zip_with(
-        counts,
-        F.array(*[F.lit(w).cast("long") for w in weights]),
-        lambda c, w: F.when(c * 2 > n, w).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    One hash per TOKEN, hashed JVM-side; the 64-way majority vote is the
+    Arrow-batched numpy kernel ``_simhash_votes_udf`` (see its docstring for
+    the measured JVM-fold cost that justifies the exception)."""
+    return _simhash_votes_udf()(_token_hashes(text_col))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -55,7 +55,10 @@ _PYTHON_OK = {"user_value_ewma", "multimodal_meta", "multimodal_features",
               "doc_chunks_udtf",
               # SRP signature generation is a per-VECTOR matrix product
               # (vectorized numpy, O(n) rows); all per-PAIR work stays JVM
-              "embedding_near_dup", "embedding_near_dup_recall"}
+              "embedding_near_dup", "embedding_near_dup_recall",
+              # SimHash majority vote is a per-DOCUMENT numpy kernel over
+              # JVM-computed token hashes; banding/Hamming stay JVM
+              "dedup_simhash_docs", "dedup_simhash_complete"}
 
 
 @pytest.mark.parametrize("name", [n for n in QUERIES if n not in _EXECUTING])
