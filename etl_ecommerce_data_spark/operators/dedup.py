@@ -118,20 +118,18 @@ def minhash_signature(text_col: Column, num_perms: int = 64) -> Column:
     return _sig_from_hashes(_token_hashes(text_col), num_perms)
 
 
-def _banded_buckets(
-    docs: DataFrame, num_perms: int, bands: int, text_col: str = "__text"
+def _banded_buckets_from_hashes(
+    pre: DataFrame, num_perms: int, bands: int
 ) -> DataFrame:
-    """(doc_id, band, bucket, n_toks) rows: MinHash signatures in one scan
-    pass (no shuffle), banding explodes IDS ONLY — band-bucket joins shuffle
-    narrow rows, never token arrays. ``n_toks`` (distinct token count, one
-    long per row) rides along so candidate pairs can be size-ratio
-    prefiltered BEFORE the token-array re-join (see ``minhash_lsh_pairs``)."""
+    """(doc_id, band, bucket, n_toks) rows from a pre-hashed ``(doc_id,
+    __hs)`` frame (see ``_token_hashes``): signatures in one pass (no
+    shuffle), banding explodes IDS ONLY — band-bucket joins shuffle narrow
+    rows, never token arrays. ``n_toks`` (distinct token count, one long per
+    row) rides along so candidate pairs can be size-ratio prefiltered BEFORE
+    the re-join (see ``minhash_lsh_pairs``). Taking the hash frame as input
+    lets callers compute the tokenize+hash scan ONCE and reuse it for exact
+    verification."""
     rows_per_band = num_perms // bands
-    # Two-step select: token hashes materialize as a real column so the 64
-    # permutation expressions share ONE tokenize+string-hash pass (a column
-    # reference, not 64 re-evaluations — Catalyst CSE is not guaranteed
-    # across higher-order-function lambdas).
-    pre = docs.select("doc_id", _token_hashes(F.col(text_col)).alias("__hs"))
     sigs = pre.select(
         "doc_id",
         _sig_from_hashes(F.col("__hs"), num_perms).alias("sig"),
@@ -159,6 +157,16 @@ def _banded_buckets(
         F.col("bh.bucket").alias("bucket"),
         "n_toks",
     )
+
+
+def _banded_buckets(
+    docs: DataFrame, num_perms: int, bands: int, text_col: str = "__text"
+) -> DataFrame:
+    """Text-input convenience wrapper over ``_banded_buckets_from_hashes``
+    (tokenizes + hashes in place; use the hash-frame form when the caller
+    also needs the hashes for verification)."""
+    pre = docs.select("doc_id", _token_hashes(F.col(text_col)).alias("__hs"))
+    return _banded_buckets_from_hashes(pre, num_perms, bands)
 
 
 def _size_ratio_ok(n_a: Column, n_b: Column, threshold: float) -> Column:
@@ -216,13 +224,15 @@ def minhash_lsh_pairs(
        distinct-token counts ride the banded table as one long per row — so
        candidates that cannot possibly verify are dropped BEFORE the pair
        dedup shuffle and the token re-join, with zero recall cost;
-    6. token arrays are re-attached to the deduped candidate pairs by an
+    6. token-HASH arrays (the same single tokenize+hash scan the signatures
+       came from) are re-attached to the deduped candidate pairs by an
        equi-join on doc id (AQE broadcasts the doc-side at small scale; at
-       100 TB it is a shuffle join carrying each doc's tokens once, not once
-       per band);
-    7. exact-Jaccard verification via hash-based ``array_intersect``
-       (O(|a|+|b|); the arrays are distinct so the count is the intersect
-       size) — zero false positives, ever.
+       100 TB it is a shuffle join carrying each doc's hashes once, not
+       once per band);
+    7. exact-Jaccard verification via hash-based ``array_intersect`` over
+       fixed-width longs (O(|a|+|b|); distinct tokens ↔ distinct hashes up
+       to a ~|toks|²/2⁶⁵ collision probability, far below the sketch's own
+       error) — no false positives beyond that vanishing bound.
 
     With 64 perms / 16 bands / rows-per-band 4 the S-curve midpoint is
     ~(1/16)^(1/4) ≈ 0.5 — good recall at threshold 0.6.
@@ -242,10 +252,16 @@ def minhash_lsh_pairs(
     ).select("doc_id", "rep_id")
     rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "__text")
 
-    toks_tbl = rep_docs.select(
-        "doc_id", _distinct_tokens(F.col("__text")).alias("toks")
-    )
-    banded = _banded_buckets(rep_docs, num_perms, bands)
+    # ONE tokenize+hash scan: the hash arrays feed BOTH the banding
+    # signatures and the exact-Jaccard verification (distinct tokens ↔
+    # distinct hashes; a 64-bit hash collision inside one document has
+    # probability ~|toks|²/2⁶⁵ — negligible), so the text column is scanned
+    # once and no string work repeats. Verification intersects fixed-width
+    # longs instead of strings — same counts, cheaper hashing.
+    rep_hs = rep_docs.select(
+        "doc_id", _token_hashes(F.col("__text")).alias("__hs")
+    ).localCheckpoint(eager=False)
+    banded = _banded_buckets_from_hashes(rep_hs, num_perms, bands)
     # Lazy local checkpoint: every read of the band table (both self-join
     # sides AND the bucket-size pass) hits the SAME materialized rows, so the
     # 64-permutation signatures are computed once (−18% measured at sf0.1).
@@ -295,16 +311,16 @@ def minhash_lsh_pairs(
             .dropDuplicates(["doc_a", "doc_b"])
         )
     cands = cands.join(
-        toks_tbl.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")),
+        rep_hs.select(F.col("doc_id").alias("doc_a"), F.col("__hs").alias("hs_a")),
         "doc_a",
     ).join(
-        toks_tbl.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")),
+        rep_hs.select(F.col("doc_id").alias("doc_b"), F.col("__hs").alias("hs_b")),
         "doc_b",
     )
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("long")
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("long")
     cands = cands.withColumn("n_inter", inter)
     jac = F.col("n_inter").cast("double") / (
-        F.size("toks_a").cast("long") + F.size("toks_b").cast("long") - F.col("n_inter")
+        F.size("hs_a").cast("long") + F.size("hs_b").cast("long") - F.col("n_inter")
     )
     verified = (
         cands.withColumn("jaccard", jac)
@@ -336,8 +352,8 @@ def minhash_lsh_pairs(
     # too). A group larger than bucket_cap emits a star around the
     # representative rather than all B²/2 pairs — same guard, same
     # connectivity argument as the band buckets.
-    nt = toks_tbl.select(
-        F.col("doc_id").alias("rep_id"), F.size("toks").cast("long").alias("__nt")
+    nt = rep_hs.select(
+        F.col("doc_id").alias("rep_id"), F.size("__hs").cast("long").alias("__nt")
     )
     dup_members = (
         mapping.join(groups.filter(F.col("grp_n") > 1).select("rep_id", "grp_n"), "rep_id")
@@ -411,14 +427,22 @@ def minhash_lsh_pairs_cross(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     ).filter(F.col("__text").isNotNull())
 
+    # one tokenize+hash scan per side, reused by banding AND verification
+    # (see minhash_lsh_pairs)
+    new_hs = new_base.select(
+        "doc_id", _token_hashes(F.col("__text")).alias("__hs")
+    ).localCheckpoint(eager=False)
+    old_hs = old_base.select(
+        "doc_id", _token_hashes(F.col("__text")).alias("__hs")
+    ).localCheckpoint(eager=False)
     nb = (
-        _banded_buckets(new_base, num_perms, bands)
+        _banded_buckets_from_hashes(new_hs, num_perms, bands)
         .withColumnRenamed("doc_id", "new_id")
         .withColumnRenamed("n_toks", "__n_new")
         .localCheckpoint(eager=False)
     )
     ob = (
-        _banded_buckets(old_base, num_perms, bands)
+        _banded_buckets_from_hashes(old_hs, num_perms, bands)
         .withColumnRenamed("doc_id", "corpus_id")
         .withColumnRenamed("n_toks", "__n_old")
         .localCheckpoint(eager=False)
@@ -454,18 +478,17 @@ def minhash_lsh_pairs_cross(
             .dropDuplicates(["new_id", "corpus_id"])
         )
 
-    new_toks = new_base.select(
-        F.col("doc_id").alias("new_id"), _distinct_tokens(F.col("__text")).alias("toks_a")
+    cands = cands.join(
+        new_hs.select(F.col("doc_id").alias("new_id"), F.col("__hs").alias("hs_a")),
+        "new_id",
+    ).join(
+        old_hs.select(F.col("doc_id").alias("corpus_id"), F.col("__hs").alias("hs_b")),
+        "corpus_id",
     )
-    old_toks = old_base.select(
-        F.col("doc_id").alias("corpus_id"),
-        _distinct_tokens(F.col("__text")).alias("toks_b"),
-    )
-    cands = cands.join(new_toks, "new_id").join(old_toks, "corpus_id")
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("long")
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("long")
     cands = cands.withColumn("n_inter", inter)
     jac = F.col("n_inter").cast("double") / (
-        F.size("toks_a").cast("long") + F.size("toks_b").cast("long") - F.col("n_inter")
+        F.size("hs_a").cast("long") + F.size("hs_b").cast("long") - F.col("n_inter")
     )
     return (
         cands.withColumn("jaccard", jac)
