@@ -152,16 +152,17 @@ def events_ts_kind(spark: SparkSession, events_path: str) -> str:
     if events_path not in _EVENTS_TS_KIND:
         ensure_nanos_as_long(spark)
         dt = spark.read.parquet(events_path).schema["ts"].dataType
-        _EVENTS_TS_KIND[events_path] = (
-            "nanos" if isinstance(dt, T.LongType) else "micros"
-        )
+        _EVENTS_TS_KIND[events_path] = "nanos" if isinstance(dt, T.LongType) else dt
     return _EVENTS_TS_KIND[events_path]
 
 
-def events_read_schema(kind: str) -> T.StructType:
+def events_read_schema(kind) -> T.StructType:
     """The declared events schema for one ts encoding (see SYNTHETIC_SCHEMAS
-    comment): ts is a raw long for 'nanos', a naive timestamp for 'micros'."""
-    ts_type = T.LongType() if kind == "nanos" else T.TimestampNTZType()
+    comment): ts is a raw long for 'nanos'; otherwise ``kind`` IS the
+    inferred timestamp type (NTZ for isAdjustedToUTC=false files, LTZ for
+    adjusted ones) — declaring the inferred type avoids any reinterpretation
+    shift, and ``events_normalize_ts`` casts both to session-TZ timestamps."""
+    ts_type = T.LongType() if kind == "nanos" else kind
     return T.StructType(
         [
             f if f.name != "ts" else T.StructField("ts", ts_type)

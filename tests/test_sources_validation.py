@@ -352,7 +352,8 @@ def test_events_ts_kind_adapts_to_both_parquet_encodings(spark, tmp_path):
         "micros", pa.array(micros, pa.timestamp("us"))
     )
     assert events_ts_kind(spark, f"{nanos_dir}/events.parquet") == "nanos"
-    assert events_ts_kind(spark, f"{micros_dir}/events.parquet") == "micros"
+    micros_kind = events_ts_kind(spark, f"{micros_dir}/events.parquet")
+    assert micros_kind != "nanos" and isinstance(micros_kind, T.TimestampNTZType)
 
     got_n = load_table(spark, nanos_dir, "events").select("event_id", "ts").collect()
     got_m = load_table(spark, micros_dir, "events").select("event_id", "ts").collect()
