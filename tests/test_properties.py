@@ -230,3 +230,71 @@ def test_quantize_checksum_matches_python_model(spark, vals):
         for i, x in enumerate(fvals)
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.sets(st.integers(0, 50), min_size=1, max_size=30),
+                  st.sets(st.integers(0, 50), min_size=1, max_size=30)),
+        min_size=1, max_size=20,
+    ),
+    st.sampled_from([0.3, 0.5, 0.6, 0.8]),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_size_ratio_prefilter_is_lossless(spark, pairs, threshold):
+    """_size_ratio_ok must NEVER reject a pair whose exact Jaccard >= t
+    (the lossless-prefilter contract minhash_lsh_pairs relies on)."""
+    from etl_ecommerce_data_spark.operators.dedup import _size_ratio_ok
+
+    rows = [
+        (len(a), len(b), len(a & b) / len(a | b)) for a, b in pairs
+    ]
+    df = spark.createDataFrame(rows, "n_a long, n_b long, jaccard double")
+    violated = df.filter(
+        (F.col("jaccard") >= threshold)
+        & ~_size_ratio_ok(F.col("n_a"), F.col("n_b"), threshold)
+    ).count()
+    assert violated == 0
+
+
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=4, max_size=4),
+       st.lists(st.integers(-(2**63), 2**63 - 1), min_size=4, max_size=4))
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hamming_words_matches_python_popcount(spark, wa, wb):
+    from etl_ecommerce_data_spark.operators.similarity import _hamming_words
+
+    expect = sum(bin((a ^ b) & (2**64 - 1)).count("1") for a, b in zip(wa, wb))
+    df = spark.createDataFrame([(wa, wb)], "a array<long>, b array<long>")
+    got = df.select(_hamming_words(F.col("a"), F.col("b"), 4).alias("h")).first()["h"]
+    assert got == expect
+
+
+def test_prefilter_max_ham_monotone_and_sane():
+    """Higher cosine thresholds must give tighter (smaller) Hamming cuts, and
+    the cut must sit between the true-pair mean and the random-pair mean so
+    it can separate at all."""
+    from etl_ecommerce_data_spark.operators.similarity import _prefilter_max_ham
+
+    cuts = [_prefilter_max_ham(t, 256) for t in (0.2, 0.4, 0.6, 0.8, 0.95)]
+    assert cuts == sorted(cuts, reverse=True)
+    import math
+    for t in (0.2, 0.4, 0.6, 0.8):
+        q = math.acos(t) / math.pi
+        # the cut always accepts the true-pair mean; from threshold 0.4 up
+        # it also sits below the random-pair mean (128) so it separates —
+        # at looser thresholds the gate degrades to weak, never to lossy
+        assert 256 * q <= _prefilter_max_ham(t, 256)
+        if t >= 0.4:
+            assert _prefilter_max_ham(t, 256) < 128
+
+
+def test_bench_headline_queries_all_registered():
+    """bench.py must never KeyError at driver bench time: every HEADLINE and
+    _SETUP_ONCE name must exist in the registry."""
+    import bench
+
+    from etl_ecommerce_data_spark.plans.queries import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, missing
+    assert set(bench._SETUP_ONCE) <= set(QUERIES)
