@@ -569,7 +569,10 @@ def _simhash_votes_udf():
                 bits = (u[:, None] >> shifts) & np.uint64(1)  # (k, 64)
                 maj = bits.sum(axis=0, dtype=np.int64) * 2 > k
                 word = (maj.astype(np.uint64) << shifts).sum(dtype=np.uint64)
-                out.append(int(np.int64(word)))
+                # astype wraps out-of-range uint64→int64 in every NumPy
+                # version; int(np.int64(x)) raises OverflowError on NumPy 2.x
+                # whenever the majority sets bit 63
+                out.append(int(word.astype(np.int64)))
             return pd.Series(out, dtype="object")
 
         _SIMHASH_UDF = pandas_udf(vote, "long")

@@ -528,7 +528,14 @@ def embedding_near_dup_pairs(
     produce. On a loose threshold over a near-isotropic corpus (where banding
     alone barely prunes) this cuts the exact-verification volume ~20×; the
     driver-green ``embedding_near_dup_recall`` floor measures the combined
-    recall. ``prefilter_bits=None`` disables the gate."""
+    recall. ``prefilter_bits=None`` disables the gate (it must otherwise be
+    a multiple of 64 ≥ 64 — the Hamming gate counts whole packed words, so a
+    ragged tail would be silently excluded from the count while
+    ``_prefilter_max_ham`` budgeted for it, weakening the gate)."""
+    if prefilter_bits is not None and (prefilter_bits < 64 or prefilter_bits % 64):
+        raise ValueError(
+            f"prefilter_bits must be a positive multiple of 64, got {prefilter_bits}"
+        )
     a = df.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("__va"),
@@ -548,7 +555,12 @@ def embedding_near_dup_pairs(
         # once per deduped pair by an id equi-join (AQE broadcasts small
         # corpora; at scale it is a shuffle join shipping each vector once,
         # not once per colliding band).
-        ab = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
+        # null embeddings can never be near-dups; dropping them here also
+        # protects the numpy np.stack in the signature UDF, which has no
+        # None handling (a single null row would crash the whole job)
+        ab = df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va")
+        )
         width = num_bits // bands
         total_bits = max(num_bits, prefilter_bits or 0)
         # ONE Arrow-batched signature pass yields every bit this operator

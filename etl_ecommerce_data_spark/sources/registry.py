@@ -68,7 +68,7 @@ SYNTHETIC_SCHEMAS: dict[str, T.StructType] = {
     # so we read raw long nanos via spark.sql.legacy.parquet.nanosAsLong and
     # divide), newer files store TIMESTAMP(MICROS) (native read). The
     # declared ts type here is the legacy long; ``load_table`` probes the
-    # actual file ONCE per path (``events_ts_kind``) and swaps in the
+    # actual file per (path, mtime, size) (``events_ts_kind``) and swaps in the
     # timestamp variant when the file is micros — both paths normalize to a
     # session-TZ (UTC) TimestampType column with identical values, matching
     # DuckDB's read of the same file.
@@ -137,23 +137,36 @@ OLIST_SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-_EVENTS_TS_KIND: dict[str, str] = {}
+_EVENTS_TS_KIND: dict[tuple[str, float, int], "str | T.DataType"] = {}
 
 
-def events_ts_kind(spark: SparkSession, events_path: str) -> str:
+def events_ts_kind(spark: SparkSession, events_path: str) -> "str | T.DataType":
     """``'nanos'`` (legacy TIMESTAMP(NANOS): read as raw long + ns→µs
-    divide) or ``'micros'`` (TIMESTAMP(MICROS): native timestamp read).
+    divide) or the inferred timestamp type for TIMESTAMP(MICROS) files
+    (native timestamp read).
 
-    Probed once per path through Spark's own schema inference — works on any
+    Probed through Spark's own schema inference — works on any
     Spark-readable filesystem, no separate footer reader: with the
     nanosAsLong conf set, a NANOS column infers LongType while a MICROS
-    column infers a timestamp type. Cached per path (a driver-side footer
-    read, not a scan)."""
-    if events_path not in _EVENTS_TS_KIND:
+    column infers a timestamp type. Cached per (path, mtime, size) — NOT per
+    path alone: the test fixtures are regenerated in place between rounds
+    with changing physical encodings, and a path-keyed cache in a long-lived
+    session would decode a regenerated file with a stale kind (silent
+    timestamp corruption). Non-local paths (stat fails) probe fresh each
+    call; the probe is a driver-side footer read, not a scan."""
+    try:
+        st = os.stat(events_path)
+        key = (events_path, st.st_mtime, st.st_size)
+    except OSError:
+        key = None
+    if key is None or key not in _EVENTS_TS_KIND:
         ensure_nanos_as_long(spark)
         dt = spark.read.parquet(events_path).schema["ts"].dataType
-        _EVENTS_TS_KIND[events_path] = "nanos" if isinstance(dt, T.LongType) else dt
-    return _EVENTS_TS_KIND[events_path]
+        kind = "nanos" if isinstance(dt, T.LongType) else dt
+        if key is None:
+            return kind
+        _EVENTS_TS_KIND[key] = kind
+    return _EVENTS_TS_KIND[key]
 
 
 def events_read_schema(kind) -> T.StructType:

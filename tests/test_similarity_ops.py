@@ -81,6 +81,37 @@ def test_banded_near_dup_recall_at_registered_config(spark, emb):
     assert recall >= 0.95, f"recall {recall:.4f}"
 
 
+def test_banded_near_dup_rejects_ragged_prefilter_bits(spark, emb):
+    """The Hamming gate counts whole packed 64-bit words; a non-multiple
+    would silently count fewer bits than _prefilter_max_ham budgets for
+    (weakened gate), so the operator must reject it loudly."""
+    import pytest
+
+    for bad in (100, 32, -64):
+        with pytest.raises(ValueError, match="multiple of 64"):
+            SIM.embedding_near_dup_pairs(emb, exact=False, prefilter_bits=bad)
+
+
+def test_banded_near_dup_ignores_null_embeddings(spark, emb):
+    """A null embedding row must not crash the signature UDF (numpy
+    np.stack has no None handling) — it is dropped: null vectors can never
+    be near-dups."""
+    with_null = emb.unionByName(
+        spark.createDataFrame(
+            [(999_999, None)], schema=emb.select("vec_id", "embedding").schema
+        ),
+        allowMissingColumns=True,
+    )
+    out = SIM.embedding_near_dup_pairs(
+        with_null, threshold=0.4, exact=False, num_bits=48, bands=16
+    ).collect()
+    assert all(r["vec_a"] != 999_999 and r["vec_b"] != 999_999 for r in out)
+    baseline = SIM.embedding_near_dup_pairs(
+        emb, threshold=0.4, exact=False, num_bits=48, bands=16
+    ).collect()
+    assert len(out) == len(baseline)
+
+
 def test_ivf_fit_centroids_deterministic_and_bounded(spark, emb):
     c1 = SIM.ivf_fit_centroids(emb, n_centroids=8, lloyd_iters=2)
     c2 = SIM.ivf_fit_centroids(emb, n_centroids=8, lloyd_iters=2)

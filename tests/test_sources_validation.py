@@ -360,3 +360,43 @@ def test_events_ts_kind_adapts_to_both_parquet_encodings(spark, tmp_path):
     assert [r["ts"] for r in got_n] == [r["ts"] for r in got_m]
     # sanity: values are the real 2024 instants, not a 1970 collapse
     assert all(r["ts"].year == 2024 for r in got_m)
+
+
+def test_events_ts_kind_cache_survives_in_place_regeneration(spark, tmp_path):
+    """The ts-kind probe cache must key on (path, mtime, size), not path
+    alone: the driver regenerates testdata at a FIXED path between rounds
+    with changing physical encodings, and a path-keyed cache in a long-lived
+    session would decode the regenerated file with the stale kind (the exact
+    silent-1970-corruption the probe exists to prevent)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_ecommerce_data_spark.sources.registry import events_ts_kind
+
+    path = str(tmp_path / "events.parquet")
+    micros = [1704067207_179575, 1706655432_194062]
+
+    def write(ts_arr):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2], pa.int64()),
+                    "ts": ts_arr,
+                    "user_id": pa.array([10, 20], pa.int64()),
+                    "event_type": pa.array(["view", "cart"]),
+                    "value": pa.array([1.5, 2.5], pa.float64()),
+                    "props": pa.array(["{}", "{}"]),
+                }
+            ),
+            path,
+        )
+
+    write(pa.array([m * 1000 for m in micros], pa.timestamp("ns")))
+    assert events_ts_kind(spark, path) == "nanos"
+
+    write(pa.array(micros, pa.timestamp("us")))
+    os.utime(path, (os.path.getmtime(path) + 10,) * 2)  # force distinct mtime
+    regen_kind = events_ts_kind(spark, path)
+    assert regen_kind != "nanos" and isinstance(regen_kind, T.TimestampNTZType)
