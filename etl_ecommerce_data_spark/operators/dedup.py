@@ -214,11 +214,17 @@ def minhash_lsh_pairs(
        anchor only (B−1 candidates, linear). Verified star pairs are still
        exact-Jaccard-true pairs, and for the downstream clustering consumer
        a star keeps every bucket member reachable through the anchor, so
-       cluster connectivity of genuine near-dup cliques survives the cap.
-       The recall cost is pair-LISTING completeness inside oversized buckets
-       only (measure with ``minhash_lsh_bucket_stats``; the default cap
-       never triggers at the oracle scale factors, so the driver-checked
-       recall floor is unaffected). ``bucket_cap=None`` disables the guard.
+       cluster connectivity of genuine near-dup CLIQUES survives the cap.
+       Non-clique chains can split: similarity is not transitive, so a
+       member whose anchor pair fails verification may lose connectivity
+       all-pairs banding would have found — measured ≤1% of docs moving
+       cluster at the oracle SFs with a forced cap=64, and driver-pinned by
+       ``dedup_star_cap_floor`` (agreement ≥98%, anchor-pair recall 1.0,
+       zero false pairs, listing degraded). The recall cost is pair-LISTING
+       completeness inside oversized buckets only (measure with
+       ``minhash_lsh_bucket_stats``; the default cap never triggers at the
+       oracle scale factors, so the driver-checked recall floor is
+       unaffected). ``bucket_cap=None`` disables the guard.
     5. SIZE-RATIO PREFILTER (lossless): Jaccard >= t forces
        min(|A|,|B|) >= t·max(|A|,|B|) (see ``_size_ratio_ok``), and the
        distinct-token counts ride the banded table as one long per row — so

@@ -20,6 +20,7 @@ _EXECUTING = {"stream_events_windowed", "stream_user_stats_stateful",
               "stream_static_enrich",
               "connector_roundtrip_orc_json",  # writes scratch ORC/JSON
               "dedup_clusters", "dedup_clusters_baseline",
+              "dedup_star_cap_floor",  # two CC fixpoints inside the build
               "daily_sales_bucketed"}  # last one materializes bucketed copies
 
 
