@@ -64,7 +64,50 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_benign_accumulator_race(spark)
     return spark
+
+
+def _silence_benign_accumulator_race(spark: SparkSession) -> None:
+    """Deny-filter the DAGScheduler's ``Failed to update accumulator``
+    ERROR burst, and nothing else.
+
+    Local mode can double-report a task completion when two concurrently
+    scheduled jobs race to materialize the same cached/checkpointed block
+    (``WARN BlockManager: Block ... already exists`` immediately precedes
+    it); the late completion then updates stage accumulators that were
+    already GC'd, and DAGScheduler logs one ERROR line per accumulator per
+    task — a benign Spark race (results and exit code unaffected) that
+    floods the evidence channel with ~70-line ERROR bursts. A log4j2
+    RegexFilter on exactly that message keeps every other DAGScheduler
+    ERROR visible. Installed once per logger config; a foreign session
+    whose log4j classes are absent or incompatible is left untouched
+    (genuine failures still surface as driver exceptions either way)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        name = "org.apache.spark.scheduler.DAGScheduler"
+        ctx = jvm.org.apache.logging.log4j.core.LoggerContext.getContext(False)
+        config = ctx.getConfiguration()
+        if config.getLoggerConfig(name).getName() == name:
+            return  # already installed (getOrCreate reuse)
+        result = jvm.org.apache.logging.log4j.core.Filter.Result
+        rf = jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+            ".*Failed to update accumulator.*", None, True,
+            result.DENY, result.NEUTRAL,
+        )
+        lc = (
+            jvm.org.apache.logging.log4j.core.config.LoggerConfig.newBuilder()
+            .withLoggerName(name)
+            .withLevel(config.getLoggerConfig(name).getLevel())
+            .withAdditivity(True)
+            .withConfig(config)
+            .build()
+        )
+        lc.addFilter(rf)
+        config.addLogger(name, lc)
+        ctx.updateLoggers()
+    except Exception:  # pragma: no cover - foreign log4j / classpath drift
+        pass
 
 
 def ensure_nanos_as_long(spark: SparkSession) -> None:
