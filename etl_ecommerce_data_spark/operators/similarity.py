@@ -505,7 +505,7 @@ def ivf_topk(
     )
 
 
-def _bucket_blas_verify(threshold: float, chunk_cells: int = 64_000_000):
+def _bucket_blas_verify(threshold: float, chunk_cells: int = 8_000_000):
     """``applyInPandas`` kernel for the banded near-dup path: one (band,
     bucket) group in, exactly-verified pairs out.
 

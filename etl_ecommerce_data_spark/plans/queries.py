@@ -4993,48 +4993,53 @@ def q_linkage_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      sf0.001 oracle sweep (tests/test_oracle_parity.py) on current code.
 # Every query remains registered and locally verified regardless.
 _SWEEP_FIRST = [
-    # Round-4 ordering: the driver window is ~50 rows and the registry is
-    # 119 queries, so the window is spent on EVIDENCE DEBT (VERDICT r3 ask
-    # #1), not breadth. Order: (a) queries with NO driver row ever, (b) the
-    # new sketch error floors, (c) every query whose underlying operator
-    # changed this round (minhash signature family, embedding near-dup
-    # prefilter, anomaly window), (d) the 15 queries stuck on round-1
-    # evidence, (e) the reference-parity marts whose freshest row is r2.
-    # (a) never driver-checked
-    "connector_roundtrip_orc_json",
-    "stream_upsert_user_latest",
-    "linkage_block_stats",
-    # (b) new oracled error floors for the two sketch paths (r3 ask #2)
-    "hll_error_floor",
-    "gk_percentile_floor",
-    # (c) operators changed this round -> every dependent query re-verifies
-    "dedup_minhash_recall",
-    "dedup_minhash_docs",
-    "dedup_clusters",
-    "dedup_cross_corpus",
-    "dedup_cross_corpus_baseline",
-    "dedup_cross_corpus_recall",
+    # Round-5 ordering (VERDICT r4 ask #1): the ~50-row driver window is
+    # spent on the 23 queries whose freshest driver row is round 2 — two
+    # rounds stale, the declared limit — plus the queries whose operators
+    # changed THIS round, plus a parity-core sample. Order: (a) the new
+    # star-cap floor (first driver row ever), (b) changed operators this
+    # round (embedding near-dup verify rewrite, simhash packed-word cast),
+    # (c) the entire round-2-stale set: the 5-query streaming family, the
+    # temporal-join family, and the remaining r2 singles, (d) parity-core
+    # marts + the minhash floors rotating from r4 to r5 evidence.
+    # (a) new oracled floor for the star-cap contract (r4 ask #3)
+    "dedup_star_cap_floor",
+    # (b) operators changed this round -> dependent queries re-verify
     "embedding_near_dup",
     "embedding_near_dup_baseline",
     "embedding_near_dup_recall",
-    "daily_revenue_anomaly",
-    # (d) round-1-stale evidence, rotated in (r3 ask #1)
-    "top_parts_per_brand",
-    "churned_customers",
-    "status_priority_pivot",
-    "part_brand_size_cube",
-    "sessionize_events",
-    "daily_distinct_users",
-    "props_json_stats",
-    "text_stats",
-    "event_type_distinct_props",
-    "suppliers_with_sales",
-    "one_time_buyers_except",
-    "text_tokens_bpe",
-    "curate_corpus",
-    "daily_users_hll",
-    "value_percentiles_approx",
-    # (e) reference-parity core on r2 evidence
+    "dedup_simhash_docs",
+    # (c) round-2-stale evidence, rotated in (r4 ask #1): streaming family
+    "stream_events_windowed",
+    "stream_user_stats_stateful",
+    "stream_dedup_events",
+    "stream_view_purchase_join",
+    "stream_session_windows",
+    # (c) temporal joins + event windows
+    "asof_events_orders",
+    "range_join_view_purchase",
+    "events_tumbling_5min",
+    "session_window_stats",
+    "daily_value_gapfilled",
+    # (c) remaining round-2 singles
+    "similarity_topk",
+    "order_value_ranking_suite",
+    "multimodal_meta",
+    "merge_upsert_orders",
+    "salted_segment_revenue",
+    "corpus_split",
+    "doc_chunks",
+    "doc_chunks_udtf",
+    "user_value_ewma",
+    "vocab_stats",
+    "text_normalize_dedup",
+    "dedup_ngram_jaccard_baseline",
+    "dedup_clusters_baseline",
+    # (d) reference-parity core (r4-green -> r5) + minhash floors, which
+    # share the star-cap machinery exercised by (a)
+    "dedup_minhash_recall",
+    "dedup_minhash_docs",
+    "dedup_cross_corpus_recall",
     "pricing_summary",
     "daily_sales",
     "daily_sales_bucketed",
@@ -5054,23 +5059,15 @@ _SWEEP_FIRST = [
     "olist_satisfaction_metrics",
     "olist_delivery_performance",
     "dedup_exact_docs",
-    "dedup_simhash_docs",
-    # Cut for space (still r2-green, operators untouched this round, each
-    # family anchored by an in-window or r3-green sibling):
-    # similarity_topk / _lsh / _ivf and their r3-green recall floors pin the
-    # similarity family; asof_events_orders / range_join_view_purchase /
-    # events_tumbling_5min / session_window_stats / daily_value_gapfilled
-    # (temporal-join + windowed-agg family, code untouched since r2);
-    # stream_events_windowed / _user_stats_stateful / _dedup_events /
-    # _view_purchase_join / _session_windows (streaming family gets fresh
-    # evidence via stream_upsert_user_latest above and r3-green
-    # stream_static_enrich); multimodal_meta (multimodal_features r3-green
-    # covers the Arrow path); corpus_split / text_normalize_dedup /
-    # doc_chunks / doc_chunks_udtf / vocab_stats / user_value_ewma /
-    # order_value_ranking_suite / salted_segment_revenue /
-    # merge_upsert_orders / dedup_ngram_jaccard_baseline /
-    # dedup_clusters_baseline (r2-green, untouched; the changed-operator
-    # set (c) above re-pins everything their shared operators touch).
+    # Cut for space (r3/r4-green, operators untouched this round, each at
+    # most two rounds old after this window): connector_roundtrip_orc_json,
+    # stream_upsert_user_latest, stream_static_enrich, linkage_block_stats,
+    # hll/gk error floors, daily_revenue_anomaly, top_parts_per_brand,
+    # churned_customers, pivot/cube/set-op family, sessionize/daily-distinct
+    # events family, text_stats/_tokens_bpe/curate_corpus, hll/percentile
+    # approx twins, similarity_topk_lsh/_ivf + their r3-green recall floors,
+    # multimodal_features, curation + analytics marts (r3-green),
+    # dedup_simhash_complete, dedup_cross_corpus(_baseline), dedup_clusters.
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

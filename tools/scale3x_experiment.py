@@ -1,0 +1,125 @@
+"""Second scaling point for the dedup/similarity family (round 5).
+
+SCALE.md's measured table covers sf0.01 → sf0.1 (10× rows). This experiment
+adds a 3× point ABOVE sf0.1 without synthesizing new driver inputs: it
+builds a corpus of three structurally-identical, mutually-disjoint copies of
+the sf0.1 tables in a scratch dir and times the fuzzy-dedup scale paths on
+1× vs 3×.
+
+Construction keeps the per-copy similarity structure EXACTLY that of sf0.1
+while making cross-copy pairs non-similar, so true-pair mass and bucket
+populations scale exactly 3× — the cleanest possible linearity probe:
+
+- documents: every whitespace token in copy i>0 is prefixed with ``c{i}·``
+  (token sets of different copies are disjoint ⇒ MinHash/SimHash signatures
+  decorrelate; within a copy, Jaccard structure is untouched).
+- embeddings: copy i>0 applies a fixed dimension permutation (norms and
+  within-copy cosines are exactly preserved; cross-copy cosines drop to
+  near-isotropic noise).
+
+A linear-ish operator on a not-yet-saturated local[32] should show ≤3× wall
+time at 3× rows; ≥9× would flag quadratic cross-copy work (banding failing
+to separate the copies).
+
+Usage: python tools/scale3x_experiment.py [sf_dir] (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import etl_ecommerce_data_spark.operators.dedup as DD
+import etl_ecommerce_data_spark.operators.similarity as SIM
+from etl_ecommerce_data_spark.session import get_spark
+from etl_ecommerce_data_spark.sources.registry import load_table
+
+SCRATCH = "/tmp/spark_graft_scale3x"
+ID_STRIDE = 10_000_000
+PERMS = {1: [(17 * j + 5) % 64 for j in range(64)],  # affine permutations of 64 dims
+         2: [(29 * j + 11) % 64 for j in range(64)]}
+
+
+def build_3x(spark, sf_dir: str) -> str:
+    out = os.path.join(SCRATCH, "3x")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    copies = [docs]
+    for i in (1, 2):
+        prefixed = F.array_join(
+            F.transform(F.split(F.col("text"), " "), lambda x: F.concat(F.lit(f"c{i}·"), x)),
+            " ",
+        )
+        copies.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * ID_STRIDE))
+            .withColumn("text", prefixed)
+        )
+    copies[0].unionByName(copies[1]).unionByName(copies[2]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "documents.parquet"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ecopies = [emb]
+    for i in (1, 2):
+        permuted = F.array(*[F.get(F.col("embedding"), p) for p in PERMS[i]])
+        ecopies.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_STRIDE))
+            .withColumn("embedding", permuted)
+        )
+    ecopies[0].unionByName(ecopies[1]).unionByName(ecopies[2]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "embeddings.parquet"))
+    return out
+
+
+def timed(fn, runs: int = 3) -> tuple[float, int]:
+    best, n = float("inf"), -1
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        n = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, n
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale3x")
+    tdir = build_3x(spark, sf_dir)
+
+    def inputs(d):
+        return load_table(spark, d, "documents").cache(), load_table(
+            spark, d, "embeddings"
+        ).cache()
+
+    d1, e1 = inputs(sf_dir)
+    d3, e3 = inputs(tdir)
+    print(f"rows: documents {d1.count()} -> {d3.count()}, embeddings {e1.count()} -> {e3.count()}")
+
+    ops = {
+        "dedup_minhash_docs": lambda d, e: DD.minhash_lsh_pairs(d, threshold=0.6).count(),
+        "dedup_simhash_docs": lambda d, e: DD.simhash_pairs(d, max_hamming=3).count(),
+        "embedding_near_dup": lambda d, e: SIM.embedding_near_dup_pairs(
+            e, threshold=0.4, exact=False, num_bits=48, bands=16
+        ).count(),
+    }
+    # warm python workers / codegen
+    for fn in ops.values():
+        fn(d1, e1)
+    print(f"{'operator':<24} {'1x best(s)':>10} {'3x best(s)':>10} {'ratio':>6} {'out 1x':>9} {'out 3x':>9} {'out ratio':>9}")
+    for name, fn in ops.items():
+        t1, n1 = timed(lambda: fn(d1, e1))
+        t3, n3 = timed(lambda: fn(d3, e3))
+        print(
+            f"{name:<24} {t1:>10.2f} {t3:>10.2f} {t3 / t1:>6.2f} {n1:>9} {n3:>9} {n3 / max(n1, 1):>9.2f}"
+        )
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
