@@ -288,6 +288,107 @@ def test_prefilter_max_ham_monotone_and_sane():
             assert _prefilter_max_ham(t, 256) < 128
 
 
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False, allow_infinity=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bucket_blas_near_dup_matches_numpy_model(spark, vecs):
+    """The banded group-and-verify path == a fully independent numpy model
+    of the SAME contract (deterministic SRP planes → packed signature →
+    band buckets → exact in-bucket cosine ≥ t): identical pair sets, and
+    cosines equal to the model's within float tolerance. Zero vectors make
+    nan cosines, which the contract excludes on both sides."""
+    import numpy as np
+
+    from etl_ecommerce_data_spark.operators.similarity import (
+        _planes_matrix,
+        embedding_near_dup_pairs,
+    )
+
+    threshold, num_bits, bands, dim = 0.5, 8, 2, 4
+    width = num_bits // bands
+    mat = np.array(vecs, dtype=np.float64)
+    bits = (mat @ _planes_matrix(num_bits, dim).T) >= 0
+    words = np.zeros(len(vecs), dtype=np.uint64)
+    for j in range(num_bits):
+        words |= bits[:, j].astype(np.uint64) << np.uint64(j)
+    nrm = np.linalg.norm(mat, axis=1)
+    expect = {}
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            collides = any(
+                (int(words[i]) >> (b * width)) & ((1 << width) - 1)
+                == (int(words[j]) >> (b * width)) & ((1 << width) - 1)
+                for b in range(bands)
+            )
+            if not collides or nrm[i] == 0 or nrm[j] == 0:
+                continue
+            cos = float(mat[i] @ mat[j]) / (nrm[i] * nrm[j])
+            if cos >= threshold:
+                expect[(i, j)] = cos
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+        for r in embedding_near_dup_pairs(
+            df, threshold=threshold, exact=False,
+            num_bits=num_bits, bands=bands, dim=dim,
+        ).collect()
+    }
+    assert set(got) == set(expect), (set(got) ^ set(expect))
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False, allow_infinity=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=20,
+    ),
+    chunk_cells=st.integers(1, 50),
+)
+@settings(max_examples=25, deadline=None)
+def test_bucket_blas_verify_chunking_invariant(vecs, chunk_cells):
+    """_bucket_blas_verify must emit the same pairs for ANY chunk size —
+    chunking is a memory bound, never a semantics knob (each pair must be
+    seen exactly once per direction regardless of which chunk row i lands
+    in)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_ecommerce_data_spark.operators.similarity import _bucket_blas_verify
+
+    pdf = pd.DataFrame(
+        {
+            "vec_a": np.arange(len(vecs), dtype=np.int64),
+            "__va": [np.array(v, dtype=np.float64) for v in vecs],
+        }
+    )
+    tiny = _bucket_blas_verify(0.3, chunk_cells=chunk_cells)(pdf)
+    big = _bucket_blas_verify(0.3, chunk_cells=10**9)(pdf)
+    key = lambda d: sorted(map(tuple, d[["vec_a", "vec_b"]].values.tolist()))
+    assert key(tiny) == key(big)
+    merged = tiny.merge(big, on=["vec_a", "vec_b"], suffixes=("_t", "_b"))
+    assert (merged["cosine_sim_t"] == merged["cosine_sim_b"]).all()
+
+
 def test_bench_headline_queries_all_registered():
     """bench.py must never KeyError at driver bench time: every HEADLINE and
     _SETUP_ONCE name must exist in the registry."""
