@@ -68,6 +68,9 @@ def get_spark(
     return spark
 
 
+_ACC_FILTER_INSTALLED: set[int] = set()
+
+
 def _silence_benign_accumulator_race(spark: SparkSession) -> None:
     """Deny-filter the DAGScheduler's ``Failed to update accumulator``
     ERROR burst, and nothing else.
@@ -82,7 +85,14 @@ def _silence_benign_accumulator_race(spark: SparkSession) -> None:
     RegexFilter on exactly that message keeps every other DAGScheduler
     ERROR visible. Installed once per logger config; a foreign session
     whose log4j classes are absent or incompatible is left untouched
-    (genuine failures still surface as driver exceptions either way)."""
+    (genuine failures still surface as driver exceptions either way).
+    ``load_table`` also calls this so FOREIGN sessions (the external
+    correctness driver's own SparkSession) get the same clean evidence
+    tail; the python-side memo keeps that per-query call free after the
+    first install."""
+    key = id(spark.sparkContext)
+    if key in _ACC_FILTER_INSTALLED:
+        return
     try:
         jvm = spark.sparkContext._jvm
         name = "org.apache.spark.scheduler.DAGScheduler"
@@ -106,8 +116,9 @@ def _silence_benign_accumulator_race(spark: SparkSession) -> None:
         lc.addFilter(rf)
         config.addLogger(name, lc)
         ctx.updateLoggers()
+        _ACC_FILTER_INSTALLED.add(key)
     except Exception:  # pragma: no cover - foreign log4j / classpath drift
-        pass
+        _ACC_FILTER_INSTALLED.add(key)  # don't retry a broken classpath
 
 
 def ensure_nanos_as_long(spark: SparkSession) -> None:
