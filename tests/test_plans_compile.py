@@ -97,6 +97,25 @@ def test_quadratic_plans_only_behind_capped_baselines(spark):
     assert "baseline" in QUERIES["dedup_clusters_baseline"].tags
 
 
+def test_embedding_near_dup_plan_shape(spark):
+    """The group-and-verify near-dup plan must stay exactly two shuffles —
+    the (band, bucket) groupBy feeding the Gram verify and the cross-band
+    pair dedup — with the two declared Python nodes (signature UDF, bucket
+    verify) and no per-pair payload joins (a regression to the join-verify
+    tail would add SortMergeJoin/BroadcastHashJoin nodes and ~2s at sf0.1)."""
+    plan = (
+        QUERIES["embedding_near_dup"]
+        .builder(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2, plan
+    assert "FlatMapGroupsInPandas" in plan and "ArrowEvalPython" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"unexpected {node} in group-and-verify plan"
+
+
 def test_daily_sales_bucketed_join_has_no_exchange(spark):
     """The registered bucketed mart must actually deliver the shuffle-free
     fact-fact join: with broadcast disabled (forcing the join strategy a
