@@ -156,17 +156,24 @@ def _srp_words_udf(num_bits: int, dim: int):
     Bit layout: bit ``j`` of word ``w`` is plane ``64·w + j`` — extract with
     ``shiftrightunsigned(word, j) & 1`` (little-endian packbits + '<i8' view
     match JVM long semantics).
+
+    ``dim`` is only the EXPECTED width: the kernel derives the actual
+    dimension from each Arrow batch and builds the (deterministic,
+    per-worker-cached) plane matrix for it, so a regenerated embeddings
+    table with a different width keeps working instead of dying inside a
+    shape-mismatched matmul. Signatures are only comparable within one
+    width — fine for a self-join operator where every row goes through the
+    same kernel.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    planes_t = _planes_matrix(num_bits, dim).T  # dim × num_bits
-
     n_words = (num_bits + 63) // 64
 
     def srp_words(vecs):
         x = np.stack(vecs.values).astype(np.float64)  # batch × dim
+        planes_t = _planes_matrix(num_bits, x.shape[1]).T  # dim × num_bits
         bits = (x @ planes_t) >= 0  # batch × num_bits
         if num_bits % 64:  # pad to whole words so the int64 view is valid
             pad = np.zeros((bits.shape[0], 64 * n_words - num_bits), dtype=bool)
@@ -510,9 +517,14 @@ def _bucket_blas_verify(threshold: float, chunk_cells: int = 8_000_000):
     bucket) group in, exactly-verified pairs out.
 
     The group's vectors form a (B × dim) matrix; a chunked ``M[s:e] @ M.T``
-    computes every in-bucket cosine at BLAS speed (float64, fixed
-    accumulation order — deterministic), and only pairs ≥ threshold leave
-    Python. Chunk rows are sized so the partial Gram matrix stays under
+    computes every in-bucket cosine at BLAS speed in float64, and only
+    pairs ≥ threshold leave Python. BLAS accumulation order is an
+    implementation detail (SIMD/blocking), so a dot product whose terms
+    cancel to within float64 epsilon of the threshold can land on either
+    side versus a sequential fold — a measure-zero boundary for real
+    corpora (the driver-green recall floor compares this path against the
+    JVM-fold exact twin on actual data); within one run the computation is
+    deterministic. Chunk rows are sized so the partial Gram matrix stays under
     ``chunk_cells`` doubles regardless of bucket size — a degenerate bucket
     costs quadratic FLOPS (inherent to banding, same skew surface as the
     minhash star cap) but bounded MEMORY. Zero-norm vectors yield nan

@@ -112,6 +112,27 @@ def test_banded_near_dup_ignores_null_embeddings(spark, emb):
     assert len(out) == len(baseline)
 
 
+def test_banded_near_dup_adapts_to_regenerated_dim(spark):
+    """The signature kernel derives the vector width from each Arrow batch
+    (planes are deterministic per (bits, dim)), so a regenerated embeddings
+    table with a different dimension keeps working instead of dying inside
+    a shape-mismatched matmul — the testdata-drift failure mode."""
+    import random
+
+    random.seed(11)
+    base = [random.uniform(-1, 1) for _ in range(32)]
+    rows = [
+        (i, [x + random.uniform(-0.05, 0.05) for x in base]) for i in range(20)
+    ] + [(100 + i, [random.uniform(-1, 1) for _ in range(32)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.embedding_near_dup_pairs(
+        df, threshold=0.9, exact=False, num_bits=48, bands=16
+    ).collect()
+    # the 20 jittered copies of one base vector are mutual near-dups
+    assert len(out) >= 150
+    assert all(r["cosine_sim"] >= 0.9 for r in out)
+
+
 def test_ivf_fit_centroids_deterministic_and_bounded(spark, emb):
     c1 = SIM.ivf_fit_centroids(emb, n_centroids=8, lloyd_iters=2)
     c2 = SIM.ivf_fit_centroids(emb, n_centroids=8, lloyd_iters=2)
