@@ -171,8 +171,17 @@ def _srp_words_udf(num_bits: int, dim: int):
 
     n_words = (num_bits + 63) // 64
 
+    seen_width: list[int] = []  # per-worker: catches mixed-width tables
+
     def srp_words(vecs):
         x = np.stack(vecs.values).astype(np.float64)  # batch × dim
+        if seen_width and seen_width[0] != x.shape[1]:
+            raise ValueError(
+                f"embedding width drift within one run: saw {seen_width[0]} "
+                f"and {x.shape[1]} — signatures from different widths are "
+                "not comparable (mixed-width source files?)"
+            )
+        seen_width[:] = [x.shape[1]]
         planes_t = _planes_matrix(num_bits, x.shape[1]).T  # dim × num_bits
         bits = (x @ planes_t) >= 0  # batch × num_bits
         if num_bits % 64:  # pad to whole words so the int64 view is valid
@@ -582,6 +591,7 @@ def embedding_near_dup_pairs(
     prefilter_bits: int | None = 256,
     prefilter_z: float = 2.8,
     verify: str = "bucket",
+    bucket_cap: int | None = 8192,
 ) -> DataFrame:
     """Pairs (a < b) with cosine ≥ threshold. ``exact=True`` does the full
     self cross-product (oracle-checkable); ``exact=False`` uses SRP-LSH
@@ -598,7 +608,15 @@ def embedding_near_dup_pairs(
       than the pairs path at sf0.1 and asymptotically lighter on
       self-similar corpora, where band collisions ≫ corpus size makes
       per-pair payload joins (O(collisions) rows × vector width) dominate.
-      The group-and-pair shape follows ``linkage.block_pairs``.
+      The group-and-pair shape follows ``linkage.block_pairs``. Because a
+      grouped-map UDF materializes its whole group in one Python worker,
+      ``bucket_cap`` guards task memory: a (band, bucket) with more than
+      ``bucket_cap`` members degrades to linear STAR candidates around its
+      min-id anchor, exact-verified through the narrow id-join tail — the
+      same skew contract as the minhash mega-bucket guard (``None``
+      disables). Zero-norm and null vectors are dropped up front (they can
+      never verify, and all-zero vectors would otherwise share one bucket
+      in every band).
     - ``verify="pairs"`` — the band self-join ships ids only; candidates are
       gated by a packed-bits HAMMING PREFILTER (``prefilter_bits`` SRP sign
       bits per vector; a pair survives only if its signature Hamming
@@ -643,13 +661,19 @@ def embedding_near_dup_pairs(
         # once per deduped pair by an id equi-join (AQE broadcasts small
         # corpora; at scale it is a shuffle join shipping each vector once,
         # not once per colliding band).
-        # null embeddings can never be near-dups; dropping them here also
-        # protects the numpy np.stack in the signature UDF, which has no
-        # None handling (a single null row would crash the whole job)
-        ab = df.filter(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va")
-        )
+        # null and zero-norm embeddings can never be near-dups (cosine is
+        # null/nan); dropping them here also protects the numpy np.stack in
+        # the signature UDF AND removes the classic degenerate-bucket source
+        # (all-zero vectors share the all-ones SRP signature, so they would
+        # otherwise pile into one bucket in every band)
+        ab = df.filter(
+            F.col(vec_col).isNotNull() & (norm(F.col(vec_col)) > 0)
+        ).select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
         width = num_bits // bands
+        if num_bits > 64:
+            raise ValueError(
+                f"banding bits must fit one packed word, got num_bits={num_bits}"
+            )
         if verify == "bucket":
             id_dt = df.schema[id_col].dataType.simpleString()
             if id_dt not in ("bigint", "int", "smallint"):
@@ -657,7 +681,6 @@ def embedding_near_dup_pairs(
                     f"bucket verify needs an integral id column, got {id_dt}; "
                     "use verify='pairs' for non-integral ids"
                 )
-            assert num_bits <= 64, "banding bits must fit one packed word"
             srp = _srp_words_udf(num_bits, dim)
             packed = ab.select(
                 F.col("vec_a").cast("long").alias("vec_a"),
@@ -686,15 +709,66 @@ def embedding_near_dup_pairs(
                 F.col("bh.band").alias("band"),
                 F.col("bh.bucket").alias("bucket"),
             )
-            scored = banded.groupBy("band", "bucket").applyInPandas(
+            if bucket_cap is not None:
+                # MEGA-BUCKET GUARD, the applyInPandas edition: a grouped-map
+                # UDF materializes the WHOLE group in one Python worker, so a
+                # degenerate (band, bucket) would be unbounded task memory no
+                # matter how the Gram matrix is chunked. Same degradation as
+                # minhash_lsh_pairs: oversized buckets emit linear STAR
+                # candidates around the min-id anchor, exact-verified through
+                # the narrow id-join tail (volume B−1 per bucket, vectors
+                # shipped per surviving candidate only). Connectivity/recall
+                # semantics match the minhash star cap (driver-pinned by
+                # dedup_star_cap_floor for the shared contract).
+                # The guard gives the band table several consumers (size agg,
+                # annotate join, star branch) — checkpoint so the signature
+                # UDF and explode run once, not once per branch.
+                banded = banded.localCheckpoint(eager=False)
+                sizes = banded.groupBy("band", "bucket").agg(
+                    F.count(F.lit(1)).alias("__bkt_n"),
+                    F.min("vec_a").alias("__anchor"),
+                )
+                annotated = banded.join(sizes, ["band", "bucket"])
+                grouped = annotated.filter(F.col("__bkt_n") <= bucket_cap).select(
+                    "vec_a", "__va", "band", "bucket"
+                )
+                star_ids = (
+                    annotated.filter(F.col("__bkt_n") > bucket_cap)
+                    .filter(F.col("vec_a") != F.col("__anchor"))
+                    .select(
+                        F.least("__anchor", "vec_a").alias("vec_a"),
+                        F.greatest("__anchor", "vec_a").alias("vec_b"),
+                    )
+                    .dropDuplicates(["vec_a", "vec_b"])
+                )
+                star_scored = (
+                    star_ids.join(a, "vec_a")
+                    .join(b, "vec_b")
+                    .withColumn(
+                        "cosine_sim",
+                        cosine_from_parts(
+                            dot(F.col("__va"), F.col("__vb")),
+                            F.col("__na"),
+                            F.col("__nb"),
+                        ),
+                    )
+                    .filter(F.col("cosine_sim") >= threshold)
+                    .select("vec_a", "vec_b", "cosine_sim")
+                )
+            else:
+                grouped, star_scored = banded, None
+            scored = grouped.groupBy("band", "bucket").applyInPandas(
                 _bucket_blas_verify(threshold),
                 "vec_a long, vec_b long, cosine_sim double",
             )
-            # a pair verified in several bands carries the identical cosine
-            # (same float64 Gram computation), so the survivor is
-            # value-deterministic
-            return scored.dropDuplicates(["vec_a", "vec_b"]).select(
-                "vec_a", "vec_b", "cosine_sim"
+            if star_scored is not None:
+                scored = scored.unionByName(star_scored)
+            # a pair can verify in several bands (and, under the cap, via
+            # both the Gram and the star path, whose BLAS vs sequential-fold
+            # cosines can differ in the last ulp) — aggregate max() instead
+            # of dropDuplicates so the surviving value is deterministic
+            return scored.groupBy("vec_a", "vec_b").agg(
+                F.max("cosine_sim").alias("cosine_sim")
             )
         total_bits = max(num_bits, prefilter_bits or 0)
         # ONE Arrow-batched signature pass yields every bit this operator
@@ -704,9 +778,8 @@ def embedding_near_dup_pairs(
         # below is JVM shift/mask/XOR/popcount on the packed longs.
         srp = _srp_words_udf(total_bits, dim)
         packed = ab.select("vec_a", srp(F.col("__va")).alias("__w"))
-        # band i covers bits [i·width, (i+1)·width) of word bit·64⁻¹ — with
-        # num_bits ≤ 64 every band lives in word 0
-        assert num_bits <= 64, "banding bits must fit one packed word"
+        # band i covers bits [i·width, (i+1)·width) of word 0 (num_bits ≤ 64
+        # validated above)
         banded = packed.select(
             "vec_a",
             F.explode(

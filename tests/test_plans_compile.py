@@ -98,11 +98,13 @@ def test_quadratic_plans_only_behind_capped_baselines(spark):
 
 
 def test_embedding_near_dup_plan_shape(spark):
-    """The group-and-verify near-dup plan must stay exactly two shuffles —
-    the (band, bucket) groupBy feeding the Gram verify and the cross-band
-    pair dedup — with the two declared Python nodes (signature UDF, bucket
-    verify) and no per-pair payload joins (a regression to the join-verify
-    tail would add SortMergeJoin/BroadcastHashJoin nodes and ~2s at sf0.1)."""
+    """The group-and-verify near-dup plan: the Gram verify runs as ONE
+    grouped-map Python node over the checkpointed band table (the signature
+    UDF executes once behind the checkpoint, not once per guard branch),
+    the mega-bucket star tail joins are broadcast at this scale, and there
+    is no cartesian/nested-loop anywhere. A regression to the per-pair
+    join-verify tail would multiply FlatMapGroupsInPandas away and re-add
+    ~2s at sf0.1."""
     plan = (
         QUERIES["embedding_near_dup"]
         .builder(spark, SF_SMOKE)
@@ -110,9 +112,11 @@ def test_embedding_near_dup_plan_shape(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Exchange") == 2, plan
-    assert "FlatMapGroupsInPandas" in plan and "ArrowEvalPython" in plan
-    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    # the band table is checkpointed: its signature UDF must not re-run in
+    # any guard branch (it would show up as ArrowEvalPython nodes)
+    assert plan.count("ArrowEvalPython") == 0, plan
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
         assert node not in plan, f"unexpected {node} in group-and-verify plan"
 
 

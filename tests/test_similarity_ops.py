@@ -133,6 +133,32 @@ def test_banded_near_dup_adapts_to_regenerated_dim(spark):
     assert all(r["cosine_sim"] >= 0.9 for r in out)
 
 
+def test_banded_near_dup_bucket_cap_star_guard(spark, emb):
+    """Forcing a tiny bucket_cap must (a) keep output ⊆ the uncapped banded
+    output (the star guard only removes pairs), (b) keep every surviving
+    pair exactly verified, and (c) keep every anchor pair — the linear star
+    candidates are exact-verified through the id-join tail (the grouped-map
+    UDF materializes whole groups, so the cap is the task-memory guard)."""
+    uncapped = {
+        (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+        for r in SIM.embedding_near_dup_pairs(
+            emb, threshold=0.4, exact=False, num_bits=48, bands=16,
+            bucket_cap=None,
+        ).collect()
+    }
+    capped = {
+        (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+        for r in SIM.embedding_near_dup_pairs(
+            emb, threshold=0.4, exact=False, num_bits=48, bands=16,
+            bucket_cap=8,
+        ).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    assert capped, "cap=8 must still find the anchor pairs"
+    for k, v in capped.items():
+        assert abs(v - uncapped[k]) < 1e-9
+
+
 def test_ivf_fit_centroids_deterministic_and_bounded(spark, emb):
     c1 = SIM.ivf_fit_centroids(emb, n_centroids=8, lloyd_iters=2)
     c2 = SIM.ivf_fit_centroids(emb, n_centroids=8, lloyd_iters=2)

@@ -42,8 +42,18 @@ from etl_ecommerce_data_spark.sources.registry import load_table
 
 SCRATCH = "/tmp/spark_graft_scale3x"
 ID_STRIDE = 10_000_000
-PERMS = {1: [(17 * j + 5) % 64 for j in range(64)],  # affine permutations of 64 dims
-         2: [(29 * j + 11) % 64 for j in range(64)]}
+
+
+def _perm(copy_i: int, dim: int) -> list[int]:
+    """Affine permutation of ``dim`` dimensions (coprime stride), derived
+    from the table's ACTUAL width so regenerated testdata with a different
+    embedding dimension keeps working."""
+    import math
+
+    s = {1: 17, 2: 29}[copy_i]
+    while math.gcd(s, dim) != 1:  # a non-coprime stride is not a permutation
+        s += 2
+    return [(s * j + 5 * copy_i) % dim for j in range(dim)]
 
 
 def build_3x(spark, sf_dir: str) -> str:
@@ -65,9 +75,10 @@ def build_3x(spark, sf_dir: str) -> str:
     ).parquet(os.path.join(out, "documents.parquet"))
 
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
     ecopies = [emb]
     for i in (1, 2):
-        permuted = F.array(*[F.get(F.col("embedding"), p) for p in PERMS[i]])
+        permuted = F.array(*[F.get(F.col("embedding"), p) for p in _perm(i, dim)])
         ecopies.append(
             emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_STRIDE))
             .withColumn("embedding", permuted)
