@@ -4914,7 +4914,15 @@ FROM orders"""
     tags=("extension", "profiling", "validation"),
 )
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    if o.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        # The multi-distinct Expand multiplies every row ×(distincts+1)
+        # BEFORE the partial aggregate, so a low-parallelism scan (the
+        # single-row-group fixture files scan as one task) serializes 5×
+        # the table on one core. Spreading the pruned 4-column projection
+        # first wins ~25% here; at real scale the scan already has ≥ cores
+        # partitions and this branch never fires (no shuffle added).
+        o = o.repartition(spark.sparkContext.defaultParallelism)
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
