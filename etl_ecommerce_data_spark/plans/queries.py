@@ -92,6 +92,21 @@ def day_diff(end: str, start: str) -> F.Column:
     return F.datediff(F.to_date(F.col(end)), F.to_date(F.col(start))).cast("long")
 
 
+def _spread_if_narrow(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's default parallelism ONLY when the input
+    has fewer partitions (single-row-group fixture files scan as one task;
+    a real-scale scan already exceeds cores and this is a no-op — no
+    shuffle added). Worth one narrow shuffle ONLY where downstream work is
+    row-MULTIPLYING — the Expand behind rollup/cube/multi-distinct
+    replicates every row ×(levels+1) before the partial aggregate, so
+    serializing it on one core costs more than spreading the pruned
+    projection. Measured: plain map-side-combinable aggs LOSE from this
+    (pricing_summary 0.7 → 1.0 s at sf0.1) and correctly do not use it."""
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 # ============================================================================
 # Gold analytics (reference to_gold.py semantics over the synthetic star)
 # ============================================================================
@@ -678,7 +693,8 @@ GROUP BY ROLLUP(r.r_name, n.n_name)
     tags=("analytics", "rollup"),
 )
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # rollup = Expand ×3 after the fact join; see _spread_if_narrow
+    li = _spread_if_narrow(spark, load_table(spark, sf_dir, "lineitem"))
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -4914,15 +4930,10 @@ FROM orders"""
     tags=("extension", "profiling", "validation"),
 )
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
-    if o.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        # The multi-distinct Expand multiplies every row ×(distincts+1)
-        # BEFORE the partial aggregate, so a low-parallelism scan (the
-        # single-row-group fixture files scan as one task) serializes 5×
-        # the table on one core. Spreading the pruned 4-column projection
-        # first wins ~25% here; at real scale the scan already has ≥ cores
-        # partitions and this branch never fires (no shuffle added).
-        o = o.repartition(spark.sparkContext.defaultParallelism)
+    # multi-distinct = Expand ×(distincts+1); see _spread_if_narrow
+    o = _spread_if_narrow(
+        spark, load_table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    )
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
