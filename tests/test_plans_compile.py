@@ -120,6 +120,24 @@ def test_embedding_near_dup_plan_shape(spark):
         assert node not in plan, f"unexpected {node} in group-and-verify plan"
 
 
+def test_spread_if_narrow_only_fires_below_default_parallelism(spark):
+    """_spread_if_narrow must add its round-robin shuffle ONLY for
+    narrow inputs (fixture files scanning as one task) — an input already
+    at/above default parallelism passes through untouched, which is what
+    makes the helper a no-op at real scale."""
+    from etl_ecommerce_data_spark.plans.queries import _spread_if_narrow
+
+    wide = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism + 4)
+    assert _spread_if_narrow(spark, wide) is wide
+    narrow = spark.range(0, 1000, 1, 1)
+    spread = _spread_if_narrow(spark, narrow)
+    assert spread is not narrow
+    assert (
+        spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+    assert sorted(r["id"] for r in spread.collect()) == list(range(1000))
+
+
 def test_daily_sales_bucketed_join_has_no_exchange(spark):
     """The registered bucketed mart must actually deliver the shuffle-free
     fact-fact join: with broadcast disabled (forcing the join strategy a
