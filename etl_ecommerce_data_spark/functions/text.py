@@ -186,3 +186,35 @@ def shingle_fingerprint(text: Column, k: int = 3) -> Column:
         sh = F.zip_with(sh, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b))
     shingles = F.transform(sh, lambda s: F.md5(s))
     return F.when(n >= k, F.array_min(shingles)).otherwise(F.md5(text))
+
+
+# --- PII redaction (training-data hygiene) ----------------------------------
+# Patterns are deliberately dialect-portable: the same source strings compile
+# identically under Java regex (Spark) and RE2 (DuckDB) — ASCII classes,
+# bounded repetition, \b word boundaries, no lookaround/backrefs. Applied in
+# a FIXED order (email → ipv4 → phone) because redaction placeholders must
+# not create new matches for later patterns.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}-\d{4}\b", "<PHONE>"),
+}
+
+PII_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts on the ORIGINAL text (counted before any
+    replacement so categories are independent of redaction order)."""
+    return {k: F.regexp_count(text, F.lit(PII_PATTERNS[k][0])) for k in PII_ORDER}
+
+
+def pii_redact(text: Column) -> Column:
+    """Redact all PII categories in the fixed ``PII_ORDER``: each match is
+    replaced by its typed placeholder. Pure JVM ``regexp_replace`` chain —
+    codegen'd, scan-speed, no Python."""
+    out = text
+    for k in PII_ORDER:
+        pat, repl = PII_PATTERNS[k]
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -1560,6 +1560,133 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_pii_redact",
+    "PII redaction (training-data hygiene, Dolma/FineWeb-style): typed "
+    "regexp placeholders for emails, IPv4s, and phone numbers in a fixed "
+    "order, plus per-category match counts on the original text. The "
+    "synthetic corpus carries no PII, so both engines first append the SAME "
+    "deterministic doc_id-derived PII suffix — the redaction path is "
+    "exercised on every row and hash-pinned, not vacuously green. Patterns "
+    "are dialect-portable (ASCII classes, bounded repetition, \\b) so Java "
+    "regex and RE2 agree byte-for-byte; pure JVM regexp chain at scan speed.",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.17 tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS pii_text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(pii_text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+           '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(pii_text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(pii_text,
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(pii_text,
+           '\\b\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones
+FROM p
+""",
+    tags=("extension", "text", "cleaning"),
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".17 tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    counts = TX.pii_counts(pii_text)
+    return docs.select(
+        "doc_id",
+        TX.pii_redact(pii_text).alias("clean_text"),
+        counts["email"].cast("long").alias("n_emails"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        counts["phone"].cast("long").alias("n_phones"),
+    )
+
+
+@register(
+    "corpus_boilerplate_removal",
+    "Corpus-level boilerplate removal (CCNet/Dolma paragraph dedup, adapted "
+    "to the single-line synthetic corpus with 8-token chunks as paragraphs): "
+    "a chunk appearing in >= 3 DISTINCT documents is boilerplate; every doc "
+    "is re-emitted with its boilerplate chunks dropped (original chunk order "
+    "preserved) plus kept/removed counts. Two shuffles at scale — chunk-"
+    "frequency aggregate, then per-doc regroup; the anti-join side is the "
+    "frequency table itself, never a pair blowup.",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1) + 1, 8)) AS st
+  FROM t
+),
+c AS (
+  SELECT doc_id, CAST((st - 1) // 8 AS BIGINT) AS pos,
+         array_to_string(list_slice(toks, st, st + 7), ' ') AS chunk
+  FROM s
+),
+f AS (SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM c GROUP BY chunk),
+j AS (
+  SELECT c.doc_id, c.pos, c.chunk, (f.n_docs >= 3) AS is_boiler
+  FROM c JOIN f ON c.chunk = f.chunk
+)
+SELECT doc_id,
+       coalesce(string_agg(chunk, ' ' ORDER BY pos)
+                  FILTER (WHERE NOT is_boiler), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM j
+GROUP BY doc_id
+""",
+    tags=("extension", "text", "dedup", "training"),
+)
+def q_corpus_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(TX.chunk_texts(F.col("text"), 8)).alias("pos", "chunk"),
+    )
+    # Join side is the FILTERED boilerplate set, not the full chunk-frequency
+    # table: boilerplate is by definition high-frequency, so its distinct-
+    # chunk count stays broadcastable long after the full frequency table
+    # stops being so. Membership (left-join null test) is the boiler flag.
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .select("chunk")
+        .withColumn("__boiler", F.lit(True))
+    )
+    flagged = chunks.join(boiler, "chunk", "left").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "chunk",
+        F.coalesce(F.col("__boiler"), F.lit(False)).alias("is_boiler"),
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("is_boiler"), F.struct("pos", "chunk"))
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ", F.transform(kept_structs, lambda x: x["chunk"])
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+    )
+
+
 _COS_SQL = (
     "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (acc, x) -> acc + x)"
 )
@@ -5021,8 +5148,12 @@ _SWEEP_FIRST = [
     # (c) the entire round-2-stale set: the 5-query streaming family, the
     # temporal-join family, and the remaining r2 singles, (d) parity-core
     # marts + the minhash floors rotating from r4 to r5 evidence.
-    # (a) new oracled floor for the star-cap contract (r4 ask #3)
+    # (a) new oracled floor for the star-cap contract (r4 ask #3) + the two
+    #     queries NEW this round (first driver rows): PII redaction and
+    #     corpus-level boilerplate removal
     "dedup_star_cap_floor",
+    "text_pii_redact",
+    "corpus_boilerplate_removal",
     # (b) operators changed this round -> dependent queries re-verify
     "embedding_near_dup",
     "embedding_near_dup_baseline",

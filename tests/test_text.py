@@ -107,3 +107,61 @@ def test_percentile_approx_within_rank_error(spark):
         for q, got in ((0.5, p50), (0.95, p95)):
             rank = bisect.bisect_left(vals, got)
             assert abs(rank - q * n) <= max(2, 0.01 * n), (etype, q, got, rank, q * n)
+
+
+# --- PII redaction ----------------------------------------------------------
+
+def test_pii_redact_all_categories(spark):
+    txt = "mail a.b+c@ex-ample.org ip 192.168.0.1 call 555-0042 done"
+    out = _one(spark, txt, TX.pii_redact)
+    assert out == "mail <EMAIL> ip <IP> call <PHONE> done"
+
+
+def test_pii_redact_clean_text_unchanged(spark):
+    txt = "no pii here just words and 42 numbers"
+    assert _one(spark, txt, TX.pii_redact) == txt
+
+
+def test_pii_counts_on_original_text(spark):
+    # Counts are taken on the ORIGINAL text, so categories are independent
+    # of redaction order (an IP inside an email-like token still counts).
+    txt = "x@y.com and 1.2.3.4 and 10.0.0.1 and 555-1234 and 555-9999"
+    df = spark.createDataFrame([(txt,)], "text string")
+    counts = TX.pii_counts(F.col("text"))
+    row = df.select(
+        counts["email"].alias("e"), counts["ipv4"].alias("i"), counts["phone"].alias("p")
+    ).first()
+    assert (row["e"], row["i"], row["p"]) == (1, 2, 2)
+
+
+def test_pii_placeholders_do_not_cascade(spark):
+    # A redacted placeholder must not create a match for a later pattern:
+    # <EMAIL> etc. contain no digits or @, so the chain is order-stable.
+    txt = "a@b.io 9.9.9.9 555-1111"
+    out = _one(spark, txt, TX.pii_redact)
+    assert out.count("<") == 3
+
+
+def test_pii_ipv4_word_boundary(spark):
+    # Version-like strings with >4 dotted groups are still matched on their
+    # first 4 groups (documented greedy behavior shared by both engines);
+    # a plain decimal is never matched.
+    assert _one(spark, "pi is 3.14 ok", TX.pii_redact) == "pi is 3.14 ok"
+
+
+# --- corpus boilerplate removal (query-level behavior at sf0.001) ------------
+
+def test_boilerplate_removal_preserves_all_docs(spark):
+    from etl_ecommerce_data_spark.plans.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    df = QUERIES["corpus_boilerplate_removal"].builder(spark, SF_SMOKE)
+    rows = df.collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r["n_chunks"] >= 1
+        assert 0 <= r["n_removed"] <= r["n_chunks"]
+        # kept text has exactly n_chunks - n_removed chunks' worth of tokens
+        if r["n_removed"] == r["n_chunks"]:
+            assert r["clean_text"] == ""
