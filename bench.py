@@ -96,6 +96,11 @@ HEADLINE = [
     "inverted_index",
     "events_sliding_10x5",
     "profile_orders",
+    # round-5 additions: training-data hygiene (PII redaction, corpus-level
+    # boilerplate chunk removal)
+    "text_pii_redact",
+    "corpus_boilerplate_removal",
+    "doc_rarity_score",
 ]
 
 # Queries whose FIRST build performs a one-time layout step (bucketed table

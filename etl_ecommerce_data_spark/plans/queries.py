@@ -1687,6 +1687,59 @@ def q_corpus_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_rarity_score",
+    "Corpus-frequency quality signal (CCNet-style, log-free so both engines "
+    "agree bit-for-bit): per-document mean/min token document-frequency and "
+    "the share of tokens rarer than the corpus-mean DF. Two-pass over a "
+    "(doc, distinct-token) explode: token-DF aggregate, then a token-keyed "
+    "join back and a per-doc regroup — all counts exact ints, the only "
+    "doubles are single IEEE divisions of exact ints. The corpus-mean "
+    "scalar rides a broadcast crossJoin, never a driver collect.",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs FROM tok GROUP BY token),
+s AS (SELECT CAST(SUM(n_docs) AS DOUBLE) / COUNT(*) AS mean_df FROM df),
+j AS (SELECT t.doc_id, d.n_docs FROM tok t JOIN df d USING (token))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(SUM(n_docs) AS DOUBLE) / COUNT(*) AS mean_token_df,
+       CAST(MIN(n_docs) AS BIGINT) AS min_token_df,
+       CAST(SUM(CASE WHEN CAST(n_docs AS DOUBLE) < (SELECT mean_df FROM s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN CAST(n_docs AS DOUBLE) < (SELECT mean_df FROM s)
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_ratio
+FROM j
+GROUP BY doc_id
+""",
+    tags=("extension", "text", "training"),
+)
+def q_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # One row per (doc, distinct token): array_distinct before the explode, so
+    # the DF aggregate is a plain count — no second distinct shuffle.
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scal = dfreq.agg(
+        (F.sum("n_docs").cast("double") / F.count(F.lit(1))).alias("mean_df")
+    )
+    j = tok.join(dfreq, "token").crossJoin(F.broadcast(scal))
+    is_rare = (F.col("n_docs").cast("double") < F.col("mean_df")).cast("long")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        (F.sum("n_docs").cast("double") / F.count(F.lit(1))).alias("mean_token_df"),
+        F.min("n_docs").cast("long").alias("min_token_df"),
+        F.sum(is_rare).cast("long").alias("n_rare"),
+        (F.sum(is_rare).cast("double") / F.count(F.lit(1))).alias("rare_ratio"),
+    )
+
+
 _COS_SQL = (
     "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (acc, x) -> acc + x)"
 )
@@ -5154,6 +5207,7 @@ _SWEEP_FIRST = [
     "dedup_star_cap_floor",
     "text_pii_redact",
     "corpus_boilerplate_removal",
+    "doc_rarity_score",
     # (b) operators changed this round -> dependent queries re-verify
     "embedding_near_dup",
     "embedding_near_dup_baseline",

@@ -45,6 +45,7 @@ _BNLJ_OK = {"priority_revenue_share", "similarity_topk", "similarity_topk_ivf",
             # percentile thresholds, tf-idf df/N scalars) broadcast-crossed
             # into a parallel scan
             "funnel_conversion", "rfm_segments", "tfidf_search",
+            "doc_rarity_score",
             # recall-floor queries: capped exact ground-truth side is a
             # broadcast all-pairs scorer by design
             "dedup_minhash_recall", "dedup_simhash_complete",

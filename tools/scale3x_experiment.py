@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 import etl_ecommerce_data_spark.operators.dedup as DD
 import etl_ecommerce_data_spark.operators.similarity as SIM
+from etl_ecommerce_data_spark.functions import text as TX
 from etl_ecommerce_data_spark.session import get_spark
 from etl_ecommerce_data_spark.sources.registry import load_table
 
@@ -112,12 +113,46 @@ def main() -> None:
     d3, e3 = inputs(tdir)
     print(f"rows: documents {d1.count()} -> {d3.count()}, embeddings {e1.count()} -> {e3.count()}")
 
+    def cross(d, e):
+        is_new = F.col("source").isin("src0", "src1")
+        return DD.minhash_lsh_pairs_cross(
+            d.filter(is_new), d.filter(~is_new), threshold=0.6
+        ).count()
+
+    def linkage(d, e):
+        from etl_ecommerce_data_spark.operators.linkage import blocked_levenshtein_pairs
+
+        heads = d.select("doc_id", F.substring("text", 1, 120).alias("head"))
+        return blocked_levenshtein_pairs(
+            heads, "doc_id", "head", n_block_tokens=2, max_distance=20, max_block_size=1000
+        ).count()
+
+    def boilerplate(d, e):
+        chunks = d.select(
+            "doc_id", F.posexplode(TX.chunk_texts(F.col("text"), 8)).alias("pos", "chunk")
+        )
+        boiler = (
+            chunks.groupBy("chunk")
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_docs") >= 3)
+            .select("chunk", F.lit(True).alias("__boiler"))
+        )
+        return (
+            chunks.join(boiler, "chunk", "left")
+            .groupBy("doc_id")
+            .agg(F.sum(F.coalesce(F.col("__boiler"), F.lit(False)).cast("long")).alias("nr"))
+            .count()
+        )
+
     ops = {
         "dedup_minhash_docs": lambda d, e: DD.minhash_lsh_pairs(d, threshold=0.6).count(),
         "dedup_simhash_docs": lambda d, e: DD.simhash_pairs(d, max_hamming=3).count(),
         "embedding_near_dup": lambda d, e: SIM.embedding_near_dup_pairs(
             e, threshold=0.4, exact=False, num_bits=48, bands=16
         ).count(),
+        "dedup_cross_corpus": cross,
+        "linkage_fuzzy_docs": linkage,
+        "corpus_boilerplate": boilerplate,
     }
     # warm python workers / codegen
     for fn in ops.values():
