@@ -706,3 +706,53 @@ def connected_components(
             "rounds (graph diameter exceeds the iteration cap); raise max_iters"
         )
     return labels.select(F.col("n").alias(node_col), F.col("lbl").alias("cluster_id"))
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (CCNet/Dolma paragraph dedup over
+    fixed-size token chunks): a chunk appearing in >= ``min_docs`` DISTINCT
+    documents is boilerplate; every document is re-emitted with those chunks
+    dropped, original chunk order preserved.
+
+    Returns ``(id_col, clean_text, n_chunks, n_removed)`` — one row per input
+    document, including documents whose every chunk was removed
+    (``clean_text = ''``).
+
+    Scale shape: chunk explode → chunk-frequency aggregate FILTERED to the
+    boilerplate set (high-frequency by definition, so its distinct-chunk
+    count stays broadcastable long after the full frequency table stops
+    being so) → membership left-join → per-doc regroup. Two real shuffles;
+    the join side never carries the full vocabulary.
+    """
+    from etl_ecommerce_data_spark.functions.text import chunk_texts
+
+    chunks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(chunk_texts(F.col(text_col), chunk_tokens)).alias("pos", "chunk"),
+    )
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("__id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chunk", F.lit(True).alias("__boiler"))
+    )
+    flagged = chunks.join(boiler, "chunk", "left").select(
+        "__id",
+        F.col("pos").cast("long").alias("pos"),
+        "chunk",
+        F.coalesce(F.col("__boiler"), F.lit(False)).alias("is_boiler"),
+    )
+    kept = F.array_sort(
+        F.collect_list(F.when(~F.col("is_boiler"), F.struct("pos", "chunk")))
+    )
+    return flagged.groupBy("__id").agg(
+        F.concat_ws(" ", F.transform(kept, lambda x: x["chunk"])).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+    ).withColumnRenamed("__id", id_col)

@@ -1652,38 +1652,8 @@ GROUP BY doc_id
 )
 def q_corpus_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    chunks = docs.select(
-        "doc_id",
-        F.posexplode(TX.chunk_texts(F.col("text"), 8)).alias("pos", "chunk"),
-    )
-    # Join side is the FILTERED boilerplate set, not the full chunk-frequency
-    # table: boilerplate is by definition high-frequency, so its distinct-
-    # chunk count stays broadcastable long after the full frequency table
-    # stops being so. Membership (left-join null test) is the boiler flag.
-    boiler = (
-        chunks.groupBy("chunk")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= 3)
-        .select("chunk")
-        .withColumn("__boiler", F.lit(True))
-    )
-    flagged = chunks.join(boiler, "chunk", "left").select(
-        "doc_id",
-        F.col("pos").cast("long").alias("pos"),
-        "chunk",
-        F.coalesce(F.col("__boiler"), F.lit(False)).alias("is_boiler"),
-    )
-    kept_structs = F.array_sort(
-        F.collect_list(
-            F.when(~F.col("is_boiler"), F.struct("pos", "chunk"))
-        )
-    )
-    return flagged.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ", F.transform(kept_structs, lambda x: x["chunk"])
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+    return DD.boilerplate_removal(
+        docs, id_col="doc_id", text_col="text", chunk_tokens=8, min_docs=3
     )
 
 

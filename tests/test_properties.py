@@ -411,3 +411,51 @@ def test_bench_headline_queries_all_registered():
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, missing
     assert set(bench._SETUP_ONCE) <= set(QUERIES)
+
+
+# --- corpus boilerplate removal ---------------------------------------------
+# Model: split each text into fixed-size token chunks (last ragged); a chunk
+# kept by >= min_docs distinct docs is dropped everywhere; order preserved.
+
+def _model_boilerplate(texts, chunk_tokens, min_docs):
+    def chunks_of(t):
+        toks = t.split(" ")
+        return [" ".join(toks[i : i + chunk_tokens]) for i in range(0, max(len(toks), 1), chunk_tokens)]
+
+    per_doc = {i: chunks_of(t) for i, t in enumerate(texts)}
+    from collections import Counter
+
+    df = Counter()
+    for cs in per_doc.values():
+        for c in set(cs):
+            df[c] += 1
+    out = {}
+    for i, cs in per_doc.items():
+        kept = [c for c in cs if df[c] < min_docs]
+        out[i] = (" ".join(kept), len(cs), len(cs) - len(kept))
+    return out
+
+
+@_SETTINGS
+@given(texts=st.lists(_text, min_size=1, max_size=10))
+def test_boilerplate_removal_matches_model(spark, texts):
+    from etl_ecommerce_data_spark.operators.dedup import boilerplate_removal
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_chunks"], r["n_removed"])
+        for r in boilerplate_removal(df, chunk_tokens=3, min_docs=2).collect()
+    }
+    assert got == _model_boilerplate(texts, chunk_tokens=3, min_docs=2)
+
+
+def test_boilerplate_removal_identity_on_unique_corpus(spark):
+    # No chunk repeats across docs -> every doc survives verbatim.
+    texts = [f"u{i} v{i} w{i} x{i} y{i}" for i in range(6)]
+    from etl_ecommerce_data_spark.operators.dedup import boilerplate_removal
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in boilerplate_removal(df, chunk_tokens=2, min_docs=2).collect()}
+    for i, t in enumerate(texts):
+        assert rows[i]["clean_text"] == t
+        assert rows[i]["n_removed"] == 0

@@ -37,7 +37,6 @@ from pyspark.sql import functions as F
 
 import etl_ecommerce_data_spark.operators.dedup as DD
 import etl_ecommerce_data_spark.operators.similarity as SIM
-from etl_ecommerce_data_spark.functions import text as TX
 from etl_ecommerce_data_spark.session import get_spark
 from etl_ecommerce_data_spark.sources.registry import load_table
 
@@ -128,21 +127,7 @@ def main() -> None:
         ).count()
 
     def boilerplate(d, e):
-        chunks = d.select(
-            "doc_id", F.posexplode(TX.chunk_texts(F.col("text"), 8)).alias("pos", "chunk")
-        )
-        boiler = (
-            chunks.groupBy("chunk")
-            .agg(F.countDistinct("doc_id").alias("n_docs"))
-            .filter(F.col("n_docs") >= 3)
-            .select("chunk", F.lit(True).alias("__boiler"))
-        )
-        return (
-            chunks.join(boiler, "chunk", "left")
-            .groupBy("doc_id")
-            .agg(F.sum(F.coalesce(F.col("__boiler"), F.lit(False)).cast("long")).alias("nr"))
-            .count()
-        )
+        return DD.boilerplate_removal(d, chunk_tokens=8, min_docs=3).count()
 
     ops = {
         "dedup_minhash_docs": lambda d, e: DD.minhash_lsh_pairs(d, threshold=0.6).count(),
