@@ -5230,10 +5230,11 @@ _SWEEP_FIRST = [
     "olist_customer_metrics",
     "olist_product_performance",
     "olist_seller_performance",
-    "olist_satisfaction_metrics",
-    "olist_delivery_performance",
-    "dedup_exact_docs",
     # Cut for space (r3/r4-green, operators untouched this round, each at
+    # most two rounds old after this window): olist_satisfaction_metrics,
+    # olist_delivery_performance, dedup_exact_docs — displaced by the three
+    # queries NEW this round so the list stays exactly at the driver's
+    # 50-row window;
     # most two rounds old after this window): connector_roundtrip_orc_json,
     # stream_upsert_user_latest, stream_static_enrich, linkage_block_stats,
     # hll/gk error floors, daily_revenue_anomaly, top_parts_per_brand,
