@@ -101,6 +101,7 @@ HEADLINE = [
     "text_pii_redact",
     "corpus_boilerplate_removal",
     "doc_rarity_score",
+    "embedding_pca_variance",
 ]
 
 # Queries whose FIRST build performs a one-time layout step (bucketed table

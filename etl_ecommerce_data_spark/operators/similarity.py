@@ -836,3 +836,87 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", "cosine_sim")
     )
+
+
+# --- covariance / PCA statistics (embedding-pipeline preprocessing) ---------
+
+def gram_upper_quantized(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    scale: float = 1e9,
+) -> DataFrame:
+    """Upper-triangle Gram matrix Σ x xᵀ with per-row products quantized to
+    scaled BIGINTs — the exact, engine-portable VERIFICATION path.
+
+    Each row contributes ``round(x_i * x_j * scale)`` per (i ≤ j) cell; the
+    integer sums are exact and order-independent, so the result is bit-identical
+    under any partitioning and matches a DuckDB oracle (both engines round
+    ties away from zero, and a tie needs a dyadic product with ~33 trailing
+    zero mantissa bits — vanishing for real embeddings). Returns
+    ``(i, j, gram_q, n_vectors)`` with ``gram_q = round(scale · Σ x_i x_j)``
+    up to per-row rounding (|error| ≤ rows/2 quanta).
+
+    Scale posture: the d²/2-per-row explode is affordable for verification
+    sweeps and small d; the PRODUCTION path at 100 TB is
+    :func:`gram_upper_arrow` (fixed-size per-partition partials). This twin
+    exists to hash-pin that path's numerics, mirroring the exact-baseline /
+    approximate-primary pattern used across the dedup family.
+    """
+    v = F.col(vec_col)
+    cells = F.flatten(
+        F.transform(
+            v,
+            lambda x, i: F.transform(
+                F.slice(v, i + 1, F.size(v) - i),
+                lambda y, k: F.struct(
+                    i.cast("long").alias("i"),
+                    (i + k).cast("long").alias("j"),
+                    F.round(x.cast("double") * y.cast("double") * F.lit(scale), 0)
+                    .cast("long")
+                    .alias("pq"),
+                ),
+            ),
+        )
+    )
+    exploded = emb.select(F.explode(cells).alias("c")).select("c.i", "c.j", "c.pq")
+    n_row = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    return (
+        exploded.groupBy("i", "j")
+        .agg(F.sum("pq").cast("long").alias("gram_q"))
+        .crossJoin(F.broadcast(n_row))
+    )
+
+
+def gram_upper_arrow(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Upper-triangle Gram matrix via Arrow-batched per-partition partials —
+    the 100 TB path: each batch contributes ONE d×d partial (``Vᵀ V`` over
+    the batch, BLAS), flattened to (i ≤ j, value) rows; a single groupBy
+    sums partials. State is O(d²) per batch regardless of row count — the
+    same mergeable-sketch shape as the HLL/GK family — so a 1000-executor
+    cluster aggregates exactly |cells| = d(d+1)/2 rows no matter how many
+    billions of vectors it scanned. Float partial sums make this rows-only
+    (cross-partition accumulation order is nondeterministic);
+    :func:`gram_upper_quantized` is its hash-green numeric pin.
+    """
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].values).astype(np.float64)
+            g = mat.T @ mat
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"i": iu.astype("int64"), "j": ju.astype("int64"), "part": g[iu, ju]}
+            )
+
+    rows = emb.select(vec_col).mapInPandas(partials, "i long, j long, part double")
+    return rows.groupBy("i", "j").agg(F.sum("part").alias("gram"))

@@ -1710,6 +1710,81 @@ def q_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_gram_baseline",
+    "Upper-triangle Gram matrix of the embedding corpus with per-row "
+    "products quantized to scaled BIGINTs (round(x_i*x_j*1e9)) — integer "
+    "sums are exact and order-independent, so this hash-pins the numerics "
+    "of the Arrow partial-gram production path (embedding_pca_variance). "
+    "Both engines multiply in the same order and round ties away from "
+    "zero; a tie would need a dyadic product with ~33 trailing zero "
+    "mantissa bits, vanishing for real embeddings.",
+    oracle="""
+WITH c AS (
+  SELECT i.i AS i, j.j AS j,
+         CAST(round(CAST(e.embedding[CAST(i.i AS INT)+1] AS DOUBLE)
+                  * CAST(e.embedding[CAST(j.j AS INT)+1] AS DOUBLE) * 1e9) AS BIGINT) AS pq
+  FROM embeddings e,
+       unnest(range(0, len(e.embedding))) AS i(i),
+       unnest(range(0, len(e.embedding))) AS j(j)
+  WHERE j.j >= i.i
+)
+SELECT i, j, CAST(SUM(pq) AS BIGINT) AS gram_q,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors
+FROM c
+GROUP BY i, j
+""",
+    tags=("extension", "similarity", "stats", "baseline"),
+)
+def q_embedding_gram_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.gram_upper_quantized(emb)
+
+
+@register(
+    "embedding_pca_variance",
+    "PCA spectrum of the embedding corpus: Arrow-batched per-partition "
+    "Gram partials (one d×d BLAS product per batch — the same O(d²) "
+    "mergeable-state shape as the sketch family, so a 1000-executor "
+    "cluster reduces exactly d(d+1)/2 cells regardless of corpus size), "
+    "then one driver-scale eigensolve over the d×d matrix. Rows-only "
+    "(float partial sums); embedding_gram_baseline is the hash-green "
+    "numeric pin, and the pytest suite checks the two spectra agree.",
+    oracle=None,
+    tags=("extension", "similarity", "stats"),
+)
+def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    gram = SIM.gram_upper_arrow(emb)
+    n_row = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    cells = gram.crossJoin(F.broadcast(n_row))
+
+    def eig(pdf):
+        import numpy as np
+        import pandas as pd
+
+        d = int(pdf["j"].max()) + 1
+        g = np.zeros((d, d))
+        g[pdf["i"].values, pdf["j"].values] = pdf["gram"].values
+        g = g + np.triu(g, 1).T
+        n = int(pdf["n_vectors"].iloc[0])
+        vals = np.linalg.eigvalsh(g / max(n, 1))[::-1]
+        total = float(vals.sum())
+        return pd.DataFrame(
+            {
+                "component": np.arange(len(vals), dtype="int64"),
+                "eigenvalue": vals,
+                "explained_variance_ratio": vals / total if total else vals,
+            }
+        )
+
+    # d(d+1)/2 rows regardless of corpus size — a fixed-size driver-scale
+    # reduce, grouped on a constant key (same shape as a global aggregate).
+    return cells.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        eig, "component long, eigenvalue double, explained_variance_ratio double"
+    )
+
+
 _COS_SQL = (
     "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (acc, x) -> acc + x)"
 )
@@ -5228,11 +5303,12 @@ _SWEEP_FIRST = [
     "clean_lineitem",
     "olist_daily_sales",
     "olist_customer_metrics",
-    "olist_product_performance",
-    "olist_seller_performance",
+    "embedding_gram_baseline",
+    "embedding_pca_variance",
     # Cut for space (r3/r4-green, operators untouched this round, each at
-    # most two rounds old after this window): olist_satisfaction_metrics,
-    # olist_delivery_performance, dedup_exact_docs — displaced by the three
+    # most two rounds old after this window): olist_product_performance,
+    # olist_seller_performance, olist_satisfaction_metrics,
+    # olist_delivery_performance, dedup_exact_docs — displaced by the five
     # queries NEW this round so the list stays exactly at the driver's
     # 50-row window;
     # most two rounds old after this window): connector_roundtrip_orc_json,

@@ -45,7 +45,8 @@ _BNLJ_OK = {"priority_revenue_share", "similarity_topk", "similarity_topk_ivf",
             # percentile thresholds, tf-idf df/N scalars) broadcast-crossed
             # into a parallel scan
             "funnel_conversion", "rfm_segments", "tfidf_search",
-            "doc_rarity_score",
+            "doc_rarity_score", "embedding_gram_baseline",
+            "embedding_pca_variance",
             # recall-floor queries: capped exact ground-truth side is a
             # broadcast all-pairs scorer by design
             "dedup_minhash_recall", "dedup_simhash_complete",
@@ -60,7 +61,10 @@ _PYTHON_OK = {"user_value_ewma", "multimodal_meta", "multimodal_features",
               "embedding_near_dup", "embedding_near_dup_recall",
               # SimHash majority vote is a per-DOCUMENT numpy kernel over
               # JVM-computed token hashes; banding/Hamming stay JVM
-              "dedup_simhash_docs", "dedup_simhash_complete"}
+              "dedup_simhash_docs", "dedup_simhash_complete",
+              # per-partition BLAS Gram partials + one d x d eigensolve over
+              # a fixed d(d+1)/2-cell reduce
+              "embedding_pca_variance"}
 
 
 @pytest.mark.parametrize("name", [n for n in QUERIES if n not in _EXECUTING])

@@ -240,3 +240,49 @@ def test_ivf_prefit_matches_inline(spark, emb):
     got = {key(r): r["cosine_sim"] for r in prefit}
     for r in inline:
         assert abs(got[key(r)] - r["cosine_sim"]) < 1e-12
+
+
+# --- Gram / PCA statistics ---------------------------------------------------
+
+def test_gram_arrow_matches_quantized_and_numpy(spark, emb):
+    import numpy as np
+
+    vecs = np.stack([r["embedding"] for r in emb.select("embedding").collect()]).astype(
+        np.float64
+    )
+    want = vecs.T @ vecs
+
+    # Arrow partial-gram path: float-exact up to accumulation order.
+    got_arrow = SIM.gram_upper_arrow(emb).collect()
+    d = want.shape[0]
+    g = np.zeros((d, d))
+    for r in got_arrow:
+        g[r["i"], r["j"]] = r["gram"]
+    g = g + np.triu(g, 1).T
+    assert np.allclose(g, want, rtol=1e-9, atol=1e-9)
+
+    # Quantized verification path: within rows/2 quanta of scale*gram.
+    got_q = {(r["i"], r["j"]): r["gram_q"] for r in SIM.gram_upper_quantized(emb).collect()}
+    n = vecs.shape[0]
+    for (i, j), q in got_q.items():
+        assert abs(q - want[i, j] * 1e9) <= n / 2 + 1, (i, j)
+
+
+def test_pca_variance_spectrum_properties(spark):
+    from etl_ecommerce_data_spark.plans.queries import QUERIES
+
+    rows = QUERIES["embedding_pca_variance"].builder(spark, SF_SMOKE).collect()
+    vals = [r["eigenvalue"] for r in sorted(rows, key=lambda r: r["component"])]
+    ratios = [r["explained_variance_ratio"] for r in sorted(rows, key=lambda r: r["component"])]
+    # PSD spectrum, descending, ratios normalized.
+    assert all(vals[k] >= vals[k + 1] - 1e-9 for k in range(len(vals) - 1))
+    assert vals[-1] >= -1e-6
+    assert abs(sum(ratios) - 1.0) < 1e-9
+    # Trace == mean squared norm of the corpus (independent recomputation).
+    import numpy as np
+
+    emb2 = load_table(spark, SF_SMOKE, "embeddings")
+    vecs = np.stack([r["embedding"] for r in emb2.select("embedding").collect()]).astype(
+        np.float64
+    )
+    assert abs(sum(vals) - (vecs ** 2).sum() / len(vecs)) < 1e-6
