@@ -69,8 +69,18 @@ OLIST_FILES = {
 }
 
 
-def bronze_ingest(spark: SparkSession, csv_dir: str, lake_dir: str) -> list[str]:
-    """CSV → bronze parquet for every declared source table present."""
+def bronze_ingest(
+    spark: SparkSession, csv_dir: str, lake_dir: str, quarantine: bool = False
+) -> list[str]:
+    """CSV → bronze parquet for every declared source table present.
+
+    With ``quarantine=True``, malformed CSV rows are split out per table to
+    ``bronze/_quarantine/<table>`` (raw offending lines) instead of being
+    silently nulled into the load — the failure mode the reference's
+    inference-based ingest (`to_bronze.py:39`) cannot even detect.
+    """
+    from etl_ecommerce_data_spark.sources.readers import read_csv_with_quarantine
+
     ingested = []
     for file_name, table in OLIST_FILES.items():
         path = os.path.join(csv_dir, file_name)
@@ -78,7 +88,13 @@ def bronze_ingest(spark: SparkSession, csv_dir: str, lake_dir: str) -> list[str]
             # allow fixture subsets; the reference hard-failed per-table then
             # printed-and-continued (to_bronze.py:52-53) — we skip explicitly.
             continue
-        df = read_csv_table(spark, path, OLIST_SCHEMAS[table])
+        if quarantine:
+            df, bad = read_csv_with_quarantine(spark, path, OLIST_SCHEMAS[table])
+            write_parquet_table(
+                bad, os.path.join(lake_dir, "bronze", "_quarantine", table)
+            )
+        else:
+            df = read_csv_table(spark, path, OLIST_SCHEMAS[table])
         write_parquet_table(df, os.path.join(lake_dir, "bronze", table))
         ingested.append(table)
     return ingested

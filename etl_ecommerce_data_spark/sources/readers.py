@@ -15,6 +15,7 @@ Reference behavior being re-expressed (and fixed):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -50,6 +51,49 @@ def read_csv_table(
 ) -> DataFrame:
     """CSV scan with a declared schema (replaces to_bronze.py:39 inference)."""
     return spark.read.options(header=str(header).lower(), **options).schema(schema).csv(path)
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV scan that splits malformed rows into a quarantine frame instead
+    of silently nulling them (PERMISSIVE default) or dropping them
+    (DROPMALFORMED): returns ``(good, bad)`` where ``good`` has exactly
+    ``schema`` and ``bad`` carries the raw offending line as
+    ``raw_record``. The reference ingests with inference and no policy at
+    all (`to_bronze.py:39`) — a malformed line there corrupts types for
+    the whole load.
+
+    The parsed frame is cached for the two-way split: Spark refuses plans
+    that filter on the internal corrupt-record column of an un-materialized
+    CSV relation (SPARK-21610), and the cache also keeps the split one scan
+    instead of two. At 100 TB the same split runs as one pass per batch
+    with both sides written out — the cache is batch-sized, not
+    corpus-sized, because ingest is incremental.
+    """
+    aug = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = (
+        spark.read.options(
+            header=str(header).lower(),
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt_record",
+            **options,
+        )
+        .schema(aug)
+        .csv(path)
+        .cache()
+    )
+    good = parsed.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_record")
+    )
+    return good, bad
 
 
 def read_json_table(

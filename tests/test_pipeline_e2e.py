@@ -177,3 +177,26 @@ def test_validation_catches_broken_gold(lake, tmp_path):
     empty = spark.createDataFrame([], "date date, total_orders long")
     with pytest.raises(ValidationError, match="min_rows"):
         validate(empty, Expectations(min_rows=1), "gold.daily_sales")
+
+
+def test_bronze_ingest_quarantine_mode(spark, tmp_path):
+    from etl_ecommerce_data_spark.pipeline import bronze_ingest
+
+    csv_dir = tmp_path / "csv"
+    lake_dir = tmp_path / "lake"
+    csv_dir.mkdir()
+    for name, body in FILES.items():
+        (csv_dir / name).write_text(body)
+    # Corrupt the orders file: one row with too many columns.
+    orders_path = csv_dir / "olist_orders_dataset.csv"
+    orders_path.write_text(ORDERS.rstrip("\n") + "\nbad_row,with,too,many,columns,for,the,orders,schema,x,y,z\n")
+
+    ingested = bronze_ingest(spark, str(csv_dir), str(lake_dir), quarantine=True)
+    assert "orders" in ingested
+
+    good = spark.read.parquet(f"{lake_dir}/bronze/orders")
+    n_clean_rows = ORDERS.strip().count("\n")  # minus header
+    assert good.count() == n_clean_rows
+    quarantined = spark.read.parquet(f"{lake_dir}/bronze/_quarantine/orders")
+    assert quarantined.count() == 1
+    assert "bad_row" in quarantined.first()["raw_record"]

@@ -400,3 +400,45 @@ def test_events_ts_kind_cache_survives_in_place_regeneration(spark, tmp_path):
     os.utime(path, (os.path.getmtime(path) + 10,) * 2)  # force distinct mtime
     regen_kind = events_ts_kind(spark, path)
     assert regen_kind != "nanos" and isinstance(regen_kind, T.TimestampNTZType)
+
+
+def test_csv_quarantine_splits_malformed_rows(spark, tmp_path):
+    from etl_ecommerce_data_spark.sources.readers import read_csv_with_quarantine
+
+    p = tmp_path / "mixed.csv"
+    # row 2 has a non-numeric qty, row 4 has too many columns — both must
+    # land in quarantine with the raw line intact; the good side must keep
+    # exactly the declared schema and the clean rows.
+    p.write_text(
+        "item,qty\n"
+        "apple,3\n"
+        "banana,not_a_number\n"
+        "pear,5\n"
+        'cherry,7,"extra"\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("item", T.StringType()),
+            T.StructField("qty", T.IntegerType()),
+        ]
+    )
+    good, bad = read_csv_with_quarantine(spark, str(p), schema)
+    assert good.schema == schema
+    assert sorted(r["item"] for r in good.collect()) == ["apple", "pear"]
+    raws = sorted(r["raw_record"] for r in bad.collect())
+    assert len(raws) == 2
+    assert any("not_a_number" in r for r in raws)
+    assert any("cherry" in r for r in raws)
+
+
+def test_csv_quarantine_clean_file_is_lossless(spark, tmp_path):
+    from etl_ecommerce_data_spark.sources.readers import read_csv_with_quarantine
+
+    p = tmp_path / "clean.csv"
+    p.write_text("a,b\nx,1\ny,2\n")
+    schema = T.StructType(
+        [T.StructField("a", T.StringType()), T.StructField("b", T.LongType())]
+    )
+    good, bad = read_csv_with_quarantine(spark, str(p), schema)
+    assert good.count() == 2
+    assert bad.count() == 0
