@@ -201,3 +201,36 @@ def test_runtime_bloom_filter_fires_at_scale_thresholds(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def _plan_of(spark, name):
+    return (
+        QUERIES[name]
+        .builder(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_parity_marts_broadcast_their_dims(spark):
+    """Positive plan pins (not just red-flag absence): the fact-fact join
+    rides one broadcast in daily_sales, and the six-table Q5-style tree
+    broadcasts every dimension — zero sort-merge joins at this SF."""
+    p = _plan_of(spark, "daily_sales")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    p = _plan_of(spark, "region_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 4 and "SortMergeJoin" not in p
+
+
+def test_scans_prune_columns_and_push_filters(spark):
+    """Column pruning must reach the parquet scan: daily_sales reads 3 of
+    lineitem's 16 columns and 2 of orders'; the join keys' null filters are
+    pushed into the scan."""
+    p = _plan_of(spark, "daily_sales")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in p
+    assert "ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp>" in p
+    assert "PushedFilters: [IsNotNull(l_orderkey)]" in p
+    # pricing_summary projects only the aggregate's inputs.
+    p = _plan_of(spark, "pricing_summary")
+    assert "l_comment" not in p and "l_shipmode" not in p
