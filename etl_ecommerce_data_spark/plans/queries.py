@@ -2854,6 +2854,32 @@ def q_stream_upsert_user_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_incremental_dedup",
+    "Streaming corpus ingest with cross-batch exact dedup: foreachBatch "
+    "hashes each micro-batch, anti-joins against the accepted-hash state "
+    "table, dedups within the batch (min doc_id per hash), and appends the "
+    "survivors. Two staged micro-batches (doc_id parity, order-pinned); "
+    "the oracle pins incremental == sequential-greedy — accepted doc per "
+    "hash is the min even doc_id if any even doc carries it (batch 0 "
+    "wins), else the min odd doc_id.",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       coalesce(MIN(doc_id) FILTER (WHERE doc_id % 2 = 0),
+                MIN(doc_id)) AS doc_id
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("extension", "streaming", "dedup", "incremental"),
+)
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_ecommerce_data_spark.streaming.events import (
+        run_incremental_dedup_ingest,
+    )
+
+    return run_incremental_dedup_ingest(spark, sf_dir)
+
+
+@register(
     "multimodal_meta",
     "Multimodal column plumbing: opaque binary payloads (UTF-8 encoded text "
     "standing in for image/audio bytes) with typed metadata — length + "
@@ -5264,6 +5290,7 @@ _SWEEP_FIRST = [
     "stream_dedup_events",
     "stream_view_purchase_join",
     "stream_session_windows",
+    "stream_incremental_dedup",
     # (c) temporal joins + event windows
     "asof_events_orders",
     "range_join_view_purchase",
@@ -5302,15 +5329,14 @@ _SWEEP_FIRST = [
     "clean_customer",
     "clean_lineitem",
     "olist_daily_sales",
-    "olist_customer_metrics",
     "embedding_gram_baseline",
     "embedding_pca_variance",
     # Cut for space (r3/r4-green, operators untouched this round, each at
     # most two rounds old after this window): olist_product_performance,
     # olist_seller_performance, olist_satisfaction_metrics,
-    # olist_delivery_performance, dedup_exact_docs — displaced by the five
-    # queries NEW this round so the list stays exactly at the driver's
-    # 50-row window;
+    # olist_delivery_performance, olist_customer_metrics, dedup_exact_docs —
+    # displaced by the six queries NEW this round so the list stays exactly
+    # at the driver's 50-row window;
     # most two rounds old after this window): connector_roundtrip_orc_json,
     # stream_upsert_user_latest, stream_static_enrich, linkage_block_stats,
     # hll/gk error floors, daily_revenue_anomaly, top_parts_per_brand,

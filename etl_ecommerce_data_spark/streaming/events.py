@@ -506,3 +506,76 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         F.col("value").alias("last_value"),
     )
+
+
+def run_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest with cross-batch exact dedup — the
+    steady-state shape of a crawl pipeline feeding a 100 TB corpus: each
+    micro-batch hashes its documents, drops everything whose content hash
+    is already in the accepted table (left_anti against state), dedups
+    within the batch (min doc_id per hash), and appends the survivors as a
+    new snapshot.
+
+    The documents file is staged as TWO micro-batches (doc_id parity,
+    mtime-pinned in order), so the state join really runs across batches.
+    The oracle pins the INCREMENTAL-EQUALS-SEQUENTIAL-GREEDY contract: the
+    accepted doc for a hash is the min even doc_id if any even doc carries
+    it (batch 0 wins), else the min odd doc_id — expressible in one SQL
+    aggregate, so the final state is hash-checked, not just row-counted.
+    Production shape: Kafka source + Delta MERGE with the same anti-join;
+    state is one hash+id per UNIQUE document, not per ingested row.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(f"dedup{sf_dir}".encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"dedup_ingest_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage)
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    b0 = os.path.join(stage, "batch0.parquet")
+    b1 = os.path.join(stage, "batch1.parquet")
+    raw.filter(F.pmod("doc_id", F.lit(2)) == 0).coalesce(1).write.parquet(b0)
+    raw.filter(F.pmod("doc_id", F.lit(2)) == 1).coalesce(1).write.parquet(b1)
+    base = os.stat(b0).st_mtime
+    for i, d in enumerate((b0, b1)):
+        for r, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(r, f), (base + 2.0 * i, base + 2.0 * i))
+
+    current: list[str | None] = [None]
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hashed = batch_df.select(
+            "doc_id", F.md5(F.col("text")).alias("content_hash")
+        )
+        # within-batch survivor: min doc_id per hash (deterministic)
+        survivors = hashed.groupBy("content_hash").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        out = os.path.join(root, f"accepted_{batch_id}.parquet")
+        if current[0] is None:
+            survivors.write.mode("overwrite").parquet(out)
+        else:
+            state = spark.read.parquet(current[0])
+            fresh = survivors.join(state, "content_hash", "left_anti")
+            state.unionByName(fresh).write.mode("overwrite").parquet(out)
+        current[0] = out
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q = stream.writeStream.outputMode("append").foreachBatch(ingest_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if current[0] is None:
+        raise RuntimeError("incremental dedup ingest processed no micro-batches")
+    return spark.read.parquet(current[0]).select("content_hash", "doc_id")

@@ -17,7 +17,7 @@ from tests.conftest import SF_SMOKE
 _EXECUTING = {"stream_events_windowed", "stream_user_stats_stateful",
               "stream_dedup_events", "stream_view_purchase_join",
               "stream_session_windows", "stream_upsert_user_latest",
-              "stream_static_enrich",
+              "stream_static_enrich", "stream_incremental_dedup",
               "connector_roundtrip_orc_json",  # writes scratch ORC/JSON
               "dedup_clusters", "dedup_clusters_baseline",
               "dedup_star_cap_floor",  # two CC fixpoints inside the build

@@ -189,3 +189,35 @@ def test_transform_with_state_map_counts(spark):
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
     assert normalize(out) == normalize(batch)
+
+
+def test_incremental_dedup_ingest_drops_cross_batch_duplicates(spark, tmp_path):
+    from etl_ecommerce_data_spark.streaming.events import run_incremental_dedup_ingest
+
+    # doc 2 (even, batch 0) and doc 3 (odd, batch 1) share text -> batch 0
+    # wins. docs 5/7 (both odd) share text -> min odd id 5 wins. docs 0/4
+    # (both even) share text -> min even id 0 wins. doc 1 unique.
+    rows = [
+        (0, "shared even text"),
+        (4, "shared even text"),
+        (2, "cross parity text"),
+        (3, "cross parity text"),
+        (5, "shared odd text"),
+        (7, "shared odd text"),
+        (1, "unique text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["content_hash"]: r["doc_id"]
+        for r in run_incremental_dedup_ingest(spark, str(tmp_path)).collect()
+    }
+    import hashlib
+
+    h = lambda t: hashlib.md5(t.encode()).hexdigest()
+    assert got == {
+        h("shared even text"): 0,
+        h("cross parity text"): 2,
+        h("shared odd text"): 5,
+        h("unique text"): 1,
+    }
