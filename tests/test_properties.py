@@ -459,3 +459,80 @@ def test_boilerplate_removal_identity_on_unique_corpus(spark):
     for i, t in enumerate(texts):
         assert rows[i]["clean_text"] == t
         assert rows[i]["n_removed"] == 0
+
+
+# --- PII redaction vs Python re ---------------------------------------------
+# Independent model: Python's re module applies the same patterns. Pins the
+# Java-regex semantics (greediness, \b, class ranges) against a third engine
+# beyond the DuckDB oracle.
+
+_pii_piece = st.one_of(
+    st.text(alphabet="abc ", min_size=1, max_size=8),
+    st.builds(lambda n: f"user{n}@example.com", st.integers(0, 99)),
+    st.builds(lambda a, b: f"10.{a}.{b}.7", st.integers(0, 255), st.integers(0, 255)),
+    st.builds(lambda n: f"555-{n:04d}", st.integers(0, 9999)),
+    st.builds(lambda n: f"{n}.{n}", st.integers(0, 99)),  # decimal non-match
+)
+_pii_text = st.lists(_pii_piece, min_size=0, max_size=6).map(" ".join)
+
+
+@_SETTINGS
+@given(text=_pii_text)
+def test_pii_redact_matches_python_re(spark, text):
+    import re
+
+    from etl_ecommerce_data_spark.functions.text import (
+        PII_ORDER,
+        PII_PATTERNS,
+        pii_counts,
+        pii_redact,
+    )
+
+    want = text
+    for k in PII_ORDER:
+        pat, repl = PII_PATTERNS[k]
+        want = re.sub(pat, repl, want)
+    want_counts = {k: len(re.findall(PII_PATTERNS[k][0], text)) for k in PII_ORDER}
+
+    df = spark.createDataFrame([(text,)], "text string")
+    counts = pii_counts(F.col("text"))
+    row = df.select(
+        pii_redact(F.col("text")).alias("red"),
+        *[counts[k].alias(k) for k in PII_ORDER],
+    ).first()
+    assert row["red"] == want
+    assert {k: row[k] for k in PII_ORDER} == want_counts
+
+
+# --- doc rarity score vs Python model ---------------------------------------
+
+@_SETTINGS
+@given(texts=st.lists(_text, min_size=1, max_size=8))
+def test_doc_rarity_score_matches_model(spark, texts):
+    from collections import Counter
+
+    # model: distinct tokens per doc, document frequency, corpus-mean DF
+    per_doc = {i: sorted(set(t.split(" "))) for i, t in enumerate(texts)}
+    dfreq = Counter()
+    for toks in per_doc.values():
+        for t in toks:
+            dfreq[t] += 1
+    mean_df = sum(dfreq.values()) / len(dfreq)
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    tok = df.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    )
+    dfr = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scal = dfr.agg((F.sum("n_docs").cast("double") / F.count(F.lit(1))).alias("mean_df"))
+    j = tok.join(dfr, "token").crossJoin(F.broadcast(scal))
+    is_rare = (F.col("n_docs").cast("double") < F.col("mean_df")).cast("long")
+    got = {
+        r["doc_id"]: (r["nd"], r["nr"])
+        for r in j.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nd"), F.sum(is_rare).alias("nr"))
+        .collect()
+    }
+    for i, toks in per_doc.items():
+        want_rare = sum(1 for t in toks if dfreq[t] < mean_df)
+        assert got[i] == (len(toks), want_rare), i
