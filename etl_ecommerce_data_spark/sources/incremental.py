@@ -90,3 +90,41 @@ def merge_upsert(
     out = os.path.join(os.path.dirname(table_path.rstrip("/")), f"{snapshot}.parquet")
     merged.write.mode("overwrite").parquet(out)
     return out
+
+
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> tuple[str, int]:
+    """Small-file compaction for a plain-parquet table — the maintenance op
+    every incremental sink needs: streaming/upsert writers accumulate files
+    far below scan granularity (each file under ``maxPartitionBytes`` costs
+    a task and a footer read), so periodic compaction rewrites the table at
+    ~``target_file_bytes`` per file.
+
+    Output-file count is sized from the table's ACTUAL on-disk bytes (file
+    metadata, no data scan), then the rewrite is one snapshot write to a
+    sibling directory — never in place, same crash-safety contract as
+    ``merge_upsert``. ``sort_within_by`` optionally sorts within output
+    files (restores min-max pruning after appends interleave key ranges —
+    compose with zorder keys for 2-D layouts). Returns
+    ``(new_snapshot_path, n_output_files)``.
+    """
+    import uuid
+
+    size = 0
+    for root, _dirs, files in os.walk(table_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                size += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-size // target_file_bytes))  # ceil
+
+    df = spark.read.parquet(table_path)
+    out = f"{table_path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
+    writer = df.repartition(n_files)
+    if sort_within_by:
+        writer = writer.sortWithinPartitions(*sort_within_by)
+    writer.write.mode("overwrite").parquet(out)
+    return out, n_files

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_ecommerce_data_spark.sources.readers import read_csv_table, write_parquet_table
@@ -442,3 +443,50 @@ def test_csv_quarantine_clean_file_is_lossless(spark, tmp_path):
     good, bad = read_csv_with_quarantine(spark, str(p), schema)
     assert good.count() == 2
     assert bad.count() == 0
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
+    from etl_ecommerce_data_spark.sources.incremental import compact_table
+
+    src = str(tmp_path / "frag")
+    # 24 tiny files via 24-way repartition of a small table
+    spark.range(0, 10_000).withColumn("k", F.pmod("id", F.lit(7))).repartition(
+        24
+    ).write.parquet(src)
+    import os
+
+    n_before = sum(f.endswith(".parquet") for _, _, fs in os.walk(src) for f in fs)
+    assert n_before >= 24
+
+    out, n_files = compact_table(spark, src, target_file_bytes=1 << 30)
+    assert n_files == 1  # tiny table -> single file target
+    n_after = sum(f.endswith(".parquet") for _, _, fs in os.walk(out) for f in fs)
+    assert n_after == 1
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(out)
+    assert b.count() == a.count() == 10_000
+    assert b.agg(F.sum("id")).first()[0] == a.agg(F.sum("id")).first()[0]
+
+
+def test_compact_table_sort_within_restores_pruning_order(spark, tmp_path):
+    from etl_ecommerce_data_spark.sources.incremental import compact_table
+
+    src = str(tmp_path / "unsorted")
+    spark.range(0, 1000).withColumn(
+        "k", F.pmod(F.col("id") * 7919, F.lit(1000))
+    ).repartition(8).write.parquet(src)
+    out, _ = compact_table(spark, src, target_file_bytes=4096, sort_within_by=["k"])
+    # a few-KB target forces multiple output files; each must be k-sorted inside
+    import os
+    import pyarrow.parquet as pq
+
+    files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 2
+    for fp in files:
+        ks = pq.read_table(fp, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks)
