@@ -9,7 +9,22 @@ from etl_ecommerce_data_spark.operators.cleaning import (
     normalize_strings,
     parse_timestamps,
 )
+from etl_ecommerce_data_spark.operators.dedup import (
+    boilerplate_removal,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_cross,
+    simhash_pairs,
+)
 from etl_ecommerce_data_spark.operators.joins import asof_join, broadcast_join, salted_join
+from etl_ecommerce_data_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    gram_upper_arrow,
+    gram_upper_quantized,
+    ivf_topk,
+    lsh_topk,
+)
 
 __all__ = [
     "cast_money",
@@ -21,7 +36,18 @@ __all__ = [
     "filter_positive",
     "normalize_strings",
     "parse_timestamps",
+    "boilerplate_removal",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_cross",
+    "simhash_pairs",
     "asof_join",
     "broadcast_join",
     "salted_join",
+    "cosine_topk",
+    "embedding_near_dup_pairs",
+    "gram_upper_arrow",
+    "gram_upper_quantized",
+    "ivf_topk",
+    "lsh_topk",
 ]
