@@ -908,6 +908,10 @@ def gram_upper_arrow(
         import pandas as pd
 
         for pdf in batches:
+            # null embeddings contribute nothing to the Gram sum; dropping
+            # them here keeps a single bad row from killing the whole job
+            # (np.stack cannot stack None).
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].values).astype(np.float64)

@@ -286,3 +286,14 @@ def test_pca_variance_spectrum_properties(spark):
         np.float64
     )
     assert abs(sum(vals) - (vecs ** 2).sum() / len(vecs)) < 1e-6
+
+
+def test_gram_arrow_ignores_null_embeddings(spark):
+    import numpy as np
+
+    rows = [(0, [1.0, 2.0]), (1, None), (2, [3.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["i"], r["j"]): r["gram"] for r in SIM.gram_upper_arrow(df).collect()}
+    want = np.array([[1.0, 2.0], [3.0, 4.0]])
+    w = want.T @ want
+    assert got == {(0, 0): w[0, 0], (0, 1): w[0, 1], (1, 1): w[1, 1]}
