@@ -102,6 +102,7 @@ HEADLINE = [
     "corpus_boilerplate_removal",
     "doc_rarity_score",
     "embedding_pca_variance",
+    "event_type_drift",
 ]
 
 # Queries whose FIRST build performs a one-time layout step (bucketed table

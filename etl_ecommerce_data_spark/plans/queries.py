@@ -2880,6 +2880,68 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_type_drift",
+    "Distribution-drift monitor between the first and second time half of "
+    "the event stream (the production check a training pipeline runs "
+    "between corpus snapshots): per-type counts and proportion deltas, "
+    "split at the midpoint of the observed time range. Deliberately "
+    "log-free (no PSI/KL): every emitted number is an exact integer count "
+    "or one IEEE division/subtraction of exact ints, so both engines agree "
+    "bit-for-bit — the pivot is integer-micros arithmetic on both sides. "
+    "One scan, one aggregate; the min/max scalars ride a broadcast.",
+    oracle="""
+WITH b AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+p AS (SELECT (MIN(us) + MAX(us)) // 2 AS pv FROM b),
+c AS (SELECT event_type,
+        CAST(SUM(CASE WHEN us < (SELECT pv FROM p) THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        CAST(SUM(CASE WHEN us >= (SELECT pv FROM p) THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+      FROM b GROUP BY event_type),
+t AS (SELECT CAST(SUM(n_first) AS DOUBLE) AS tf, CAST(SUM(n_second) AS DOUBLE) AS ts2 FROM c)
+SELECT event_type, n_first, n_second,
+       CAST(n_first AS DOUBLE) / (SELECT tf FROM t) AS p_first,
+       CAST(n_second AS DOUBLE) / (SELECT ts2 FROM t) AS p_second,
+       abs(CAST(n_first AS DOUBLE) / (SELECT tf FROM t)
+         - CAST(n_second AS DOUBLE) / (SELECT ts2 FROM t)) AS drift
+FROM c
+""",
+    tags=("extension", "analytics", "monitoring"),
+)
+def q_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    pivot = ev.agg(
+        F.expr("div(min(us) + max(us), 2)").cast("long").alias("pv")
+    )
+    c = (
+        ev.crossJoin(F.broadcast(pivot))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("pv"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_first"),
+            F.sum(F.when(F.col("us") >= F.col("pv"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_second"),
+        )
+    )
+    totals = c.agg(
+        F.sum("n_first").cast("double").alias("tf"),
+        F.sum("n_second").cast("double").alias("ts2"),
+    )
+    p_first = F.col("n_first").cast("double") / F.col("tf")
+    p_second = F.col("n_second").cast("double") / F.col("ts2")
+    return c.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "n_first",
+        "n_second",
+        p_first.alias("p_first"),
+        p_second.alias("p_second"),
+        F.abs(p_first - p_second).alias("drift"),
+    )
+
+
+@register(
     "multimodal_meta",
     "Multimodal column plumbing: opaque binary payloads (UTF-8 encoded text "
     "standing in for image/audio bytes) with typed metadata — length + "
@@ -5327,16 +5389,16 @@ _SWEEP_FIRST = [
     "events_by_type_day",
     "clean_orders",
     "clean_customer",
-    "clean_lineitem",
+    "event_type_drift",
     "olist_daily_sales",
     "embedding_gram_baseline",
     "embedding_pca_variance",
     # Cut for space (r3/r4-green, operators untouched this round, each at
     # most two rounds old after this window): olist_product_performance,
     # olist_seller_performance, olist_satisfaction_metrics,
-    # olist_delivery_performance, olist_customer_metrics, dedup_exact_docs —
-    # displaced by the six queries NEW this round so the list stays exactly
-    # at the driver's 50-row window;
+    # olist_delivery_performance, olist_customer_metrics, dedup_exact_docs,
+    # clean_lineitem — displaced by the seven queries NEW this round so the
+    # list stays exactly at the driver's 50-row window;
     # most two rounds old after this window): connector_roundtrip_orc_json,
     # stream_upsert_user_latest, stream_static_enrich, linkage_block_stats,
     # hll/gk error floors, daily_revenue_anomaly, top_parts_per_brand,

@@ -46,7 +46,7 @@ _BNLJ_OK = {"priority_revenue_share", "similarity_topk", "similarity_topk_ivf",
             # into a parallel scan
             "funnel_conversion", "rfm_segments", "tfidf_search",
             "doc_rarity_score", "embedding_gram_baseline",
-            "embedding_pca_variance",
+            "embedding_pca_variance", "event_type_drift",
             # recall-floor queries: capped exact ground-truth side is a
             # broadcast all-pairs scorer by design
             "dedup_minhash_recall", "dedup_simhash_complete",
