@@ -103,6 +103,7 @@ HEADLINE = [
     "doc_rarity_score",
     "embedding_pca_variance",
     "event_type_drift",
+    "curate_corpus_hygiene",
 ]
 
 # Queries whose FIRST build performs a one-time layout step (bucketed table

@@ -2880,6 +2880,90 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curate_corpus_hygiene",
+    "The FULL hygiene pipeline as one declarative plan — PII redaction → "
+    "corpus-level boilerplate removal (8-token chunks shared by >= 3 docs, "
+    "frequency measured on the pre-filter corpus) → re-tokenize the CLEANED "
+    "text → quality gate (>= 10 clean tokens) → exact dedup on the cleaned "
+    "content hash (min doc_id survivor). Composes the round-5 hygiene "
+    "operators exactly as a training-data run chains them; every stage is "
+    "individually oracled elsewhere and the composition is hash-pinned "
+    "end-to-end here.",
+    oracle="""
+WITH t0 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS rtext
+  FROM documents
+),
+t AS (SELECT doc_id, string_split(rtext, ' ') AS toks FROM t0),
+s AS (
+  SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1) + 1, 8)) AS st
+  FROM t
+),
+c AS (
+  SELECT doc_id, CAST((st - 1) // 8 AS BIGINT) AS pos,
+         array_to_string(list_slice(toks, st, st + 7), ' ') AS chunk
+  FROM s
+),
+f AS (SELECT chunk FROM c GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 3),
+cl AS (
+  SELECT c.doc_id,
+         coalesce(string_agg(c.chunk, ' ' ORDER BY c.pos)
+                    FILTER (WHERE f.chunk IS NULL), '') AS clean_text
+  FROM c LEFT JOIN f ON c.chunk = f.chunk
+  GROUP BY c.doc_id
+),
+g AS (
+  SELECT doc_id, clean_text,
+         CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_tokens_clean
+  FROM cl
+  WHERE clean_text <> ''
+),
+q AS (SELECT * FROM g WHERE n_tokens_clean >= 10),
+d AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(clean_text)) AS dup_count
+  FROM q
+)
+SELECT doc_id, n_tokens_clean, md5(clean_text) AS content_hash,
+       CAST(dup_count AS BIGINT) AS dup_count
+FROM d WHERE rn = 1
+""",
+    tags=("extension", "text", "dedup", "cleaning", "pipeline"),
+)
+def q_curate_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = docs.select(
+        "doc_id", TX.pii_redact(F.col("text")).alias("rtext")
+    )
+    cleaned = DD.boilerplate_removal(
+        redacted, id_col="doc_id", text_col="rtext", chunk_tokens=8, min_docs=3
+    ).filter(F.col("clean_text") != "")
+    gated = cleaned.select(
+        "doc_id",
+        "clean_text",
+        TX.token_count(F.col("clean_text")).alias("n_tokens_clean"),
+    ).filter(F.col("n_tokens_clean") >= 10)
+    w = Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
+    wc = Window.partitionBy(F.md5("clean_text"))
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_tokens_clean",
+            F.md5("clean_text").alias("content_hash"),
+            "dup_count",
+        )
+    )
+
+
+@register(
     "event_type_drift",
     "Distribution-drift monitor between the first and second time half of "
     "the event stream (the production check a training pipeline runs "
@@ -5388,7 +5472,7 @@ _SWEEP_FIRST = [
     "nation_revenue",
     "events_by_type_day",
     "clean_orders",
-    "clean_customer",
+    "curate_corpus_hygiene",
     "event_type_drift",
     "olist_daily_sales",
     "embedding_gram_baseline",
@@ -5397,8 +5481,8 @@ _SWEEP_FIRST = [
     # most two rounds old after this window): olist_product_performance,
     # olist_seller_performance, olist_satisfaction_metrics,
     # olist_delivery_performance, olist_customer_metrics, dedup_exact_docs,
-    # clean_lineitem — displaced by the seven queries NEW this round so the
-    # list stays exactly at the driver's 50-row window;
+    # clean_lineitem, clean_customer — displaced by the eight queries NEW
+    # this round so the list stays exactly at the driver's 50-row window;
     # most two rounds old after this window): connector_roundtrip_orc_json,
     # stream_upsert_user_latest, stream_static_enrich, linkage_block_stats,
     # hll/gk error floors, daily_revenue_anomaly, top_parts_per_brand,
