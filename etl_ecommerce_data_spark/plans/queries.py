@@ -2949,7 +2949,7 @@ def q_curate_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count(F.col("clean_text")).alias("n_tokens_clean"),
     ).filter(F.col("n_tokens_clean") >= 10)
     w = Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
-    wc = Window.partitionBy(F.md5("clean_text"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         gated.withColumn("rn", F.row_number().over(w))
         .withColumn("dup_count", F.count(F.lit(1)).over(wc).cast("long"))
