@@ -536,3 +536,38 @@ def test_doc_rarity_score_matches_model(spark, texts):
     for i, toks in per_doc.items():
         want_rare = sum(1 for t in toks if dfreq[t] < mean_df)
         assert got[i] == (len(toks), want_rare), i
+
+
+# --- event-type drift vs Python model ---------------------------------------
+
+@_SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 10_000)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_event_type_drift_matches_model(spark, events):
+    # model: pivot = (min+max)//2 over micros; per-type counts per half
+    us = [u for _, u in events]
+    pv = (min(us) + max(us)) // 2
+    from collections import Counter
+
+    first = Counter(t for t, u in events if u < pv)
+    second = Counter(t for t, u in events if u >= pv)
+
+    df = spark.createDataFrame(events, "event_type string, us long")
+    pivot = df.agg(F.expr("div(min(us) + max(us), 2)").cast("long").alias("pv"))
+    got = {
+        r["event_type"]: (r["n_first"], r["n_second"])
+        for r in df.crossJoin(F.broadcast(pivot))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("pv"), 1).otherwise(0)).cast("long").alias("n_first"),
+            F.sum(F.when(F.col("us") >= F.col("pv"), 1).otherwise(0)).cast("long").alias("n_second"),
+        )
+        .collect()
+    }
+    for t in set(first) | set(second):
+        assert got[t] == (first[t], second[t]), t

@@ -297,3 +297,15 @@ def test_gram_arrow_ignores_null_embeddings(spark):
     want = np.array([[1.0, 2.0], [3.0, 4.0]])
     w = want.T @ want
     assert got == {(0, 0): w[0, 0], (0, 1): w[0, 1], (1, 1): w[1, 1]}
+
+
+def test_gram_quantized_skips_null_vectors(spark):
+    # explode-of-null drops the row: a null embedding contributes no cells,
+    # mirroring the Arrow path's explicit filter.
+    rows = [(0, [1.0, 0.0]), (1, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["i"], r["j"]): (r["gram_q"], r["n_vectors"])
+           for r in SIM.gram_upper_quantized(df).collect()}
+    # n_vectors counts ALL rows (incl. null) by contract; cells come from
+    # the one non-null vector only.
+    assert got == {(0, 0): (10**9, 2), (0, 1): (0, 2), (1, 1): (0, 2)}
