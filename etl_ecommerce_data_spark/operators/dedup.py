@@ -732,10 +732,15 @@ def boilerplate_removal(
     """
     from etl_ecommerce_data_spark.functions.text import chunk_texts
 
+    # The chunk table feeds two consumers (frequency aggregate + membership
+    # join); checkpoint so the tokenize/chunk/posexplode — and whatever
+    # upstream transform produced text_col (e.g. the PII regexp chain in the
+    # hygiene pipeline) — runs once, not once per subtree. Same tradeoff
+    # note as minhash_lsh_pairs' banded table.
     chunks = docs.select(
         F.col(id_col).alias("__id"),
         F.posexplode(chunk_texts(F.col(text_col), chunk_tokens)).alias("pos", "chunk"),
-    )
+    ).localCheckpoint(eager=False)
     boiler = (
         chunks.groupBy("chunk")
         .agg(F.countDistinct("__id").alias("n_docs"))

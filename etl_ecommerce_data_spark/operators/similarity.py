@@ -573,8 +573,13 @@ def _bucket_blas_verify(threshold: float, chunk_cells: int = 8_000_000):
                 "cosine_sim": pd.Series(dtype="float64"),
             }
         )
-        # each surviving pair appears twice in the scan (i→j and j→i)
-        return out.drop_duplicates(["vec_a", "vec_b"])
+        # Each surviving pair appears up to twice in the scan (i→j and j→i),
+        # and the two directions can differ in the last ulp (BLAS blocking
+        # differs between the row-chunk that computed each). Resolve with
+        # max(), which is order-independent — drop_duplicates would keep
+        # whichever arrived first, making the surviving value depend on the
+        # row order Spark delivered to this group.
+        return out.groupby(["vec_a", "vec_b"], as_index=False)["cosine_sim"].max()
 
     return verify
 
@@ -687,6 +692,14 @@ def embedding_near_dup_pairs(
                 "__va",
                 srp(F.col("__va")).alias("__w"),
             )
+            # The vector WIDTH is folded into the bucket id: signatures are
+            # only comparable within one width (the SRP kernel's drift guard
+            # is per-task, so a mixed-width table split across tasks would
+            # otherwise band incomparable signatures together — and a
+            # mixed-width bucket would crash np.stack in the Gram kernel).
+            # Width-disjoint buckets make that case degrade to independent
+            # per-width dedup instead; on uniform corpora the term is a
+            # constant and the bucket ids are unchanged modulo 2^width.
             banded = packed.select(
                 "vec_a",
                 "__va",
@@ -695,9 +708,11 @@ def embedding_near_dup_pairs(
                         *[
                             F.struct(
                                 F.lit(i).alias("band"),
-                                F.shiftrightunsigned(F.get("__w", 0), i * width)
-                                .bitwiseAND(F.lit((1 << width) - 1))
-                                .alias("bucket"),
+                                (
+                                    F.shiftrightunsigned(F.get("__w", 0), i * width)
+                                    .bitwiseAND(F.lit((1 << width) - 1))
+                                    + F.size("__va").cast("long") * F.lit(1 << width)
+                                ).alias("bucket"),
                             )
                             for i in range(bands)
                         ]
@@ -777,9 +792,14 @@ def embedding_near_dup_pairs(
         # prefilter signature. Per-vector work only; everything per-pair
         # below is JVM shift/mask/XOR/popcount on the packed longs.
         srp = _srp_words_udf(total_bits, dim)
-        packed = ab.select("vec_a", srp(F.col("__va")).alias("__w"))
+        packed = ab.select(
+            "vec_a",
+            F.size("__va").cast("long").alias("__d"),
+            srp(F.col("__va")).alias("__w"),
+        )
         # band i covers bits [i·width, (i+1)·width) of word 0 (num_bits ≤ 64
-        # validated above)
+        # validated above); the width term makes buckets width-disjoint (see
+        # the bucket-verify branch for why).
         banded = packed.select(
             "vec_a",
             F.explode(
@@ -787,9 +807,11 @@ def embedding_near_dup_pairs(
                     *[
                         F.struct(
                             F.lit(i).alias("band"),
-                            F.shiftrightunsigned(F.get("__w", 0), i * width)
-                            .bitwiseAND(F.lit((1 << width) - 1))
-                            .alias("bucket"),
+                            (
+                                F.shiftrightunsigned(F.get("__w", 0), i * width)
+                                .bitwiseAND(F.lit((1 << width) - 1))
+                                + F.col("__d") * F.lit(1 << width)
+                            ).alias("bucket"),
                         )
                         for i in range(bands)
                     ]
@@ -900,6 +922,12 @@ def gram_upper_arrow(
     billions of vectors it scanned. Float partial sums make this rows-only
     (cross-partition accumulation order is nondeterministic);
     :func:`gram_upper_quantized` is its hash-green numeric pin.
+
+    Each partial carries its batch's dimension ``d`` and the aggregate keys
+    on it, so a mixed-width table (partially regenerated files) yields
+    per-width Gram rows instead of silently summing cells from two
+    coordinate systems — downstream consumers (the PCA eigensolve) reject
+    multiple widths loudly. Uniform corpora see a constant extra column.
     """
     import pandas as pd  # noqa: F401 (mapInPandas contract)
 
@@ -914,13 +942,23 @@ def gram_upper_arrow(
             pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
-            mat = np.stack(pdf[vec_col].values).astype(np.float64)
-            g = mat.T @ mat
-            d = g.shape[0]
-            iu, ju = np.triu_indices(d)
-            yield pd.DataFrame(
-                {"i": iu.astype("int64"), "j": ju.astype("int64"), "part": g[iu, ju]}
-            )
+            # group by width before stacking: one Arrow batch can span a
+            # width boundary in a mixed-width table, and np.stack cannot
+            # stack ragged rows — each width contributes its own partial
+            for d, sub in pdf.groupby(pdf[vec_col].map(len)):
+                mat = np.stack(sub[vec_col].values).astype(np.float64)
+                g = mat.T @ mat
+                iu, ju = np.triu_indices(d)
+                yield pd.DataFrame(
+                    {
+                        "i": iu.astype("int64"),
+                        "j": ju.astype("int64"),
+                        "part": g[iu, ju],
+                        "d": np.full(len(iu), int(d), dtype="int64"),
+                    }
+                )
 
-    rows = emb.select(vec_col).mapInPandas(partials, "i long, j long, part double")
-    return rows.groupBy("i", "j").agg(F.sum("part").alias("gram"))
+    rows = emb.select(vec_col).mapInPandas(
+        partials, "i long, j long, part double, d long"
+    )
+    return rows.groupBy("d", "i", "j").agg(F.sum("part").alias("gram"))

@@ -79,7 +79,10 @@ def bronze_ingest(
     silently nulled into the load — the failure mode the reference's
     inference-based ingest (`to_bronze.py:39`) cannot even detect.
     """
-    from etl_ecommerce_data_spark.sources.readers import read_csv_with_quarantine
+    from etl_ecommerce_data_spark.sources.readers import (
+        read_csv_with_quarantine,
+        release_quarantine_cache,
+    )
 
     ingested = []
     for file_name, table in OLIST_FILES.items():
@@ -93,9 +96,14 @@ def bronze_ingest(
             write_parquet_table(
                 bad, os.path.join(lake_dir, "bronze", "_quarantine", table)
             )
+            write_parquet_table(df, os.path.join(lake_dir, "bronze", table))
+            # both outputs are written: release the split's backing cache so
+            # a multi-table ingest loop doesn't pin every raw CSV in executor
+            # storage for the session lifetime
+            release_quarantine_cache(df)
         else:
             df = read_csv_table(spark, path, OLIST_SCHEMAS[table])
-        write_parquet_table(df, os.path.join(lake_dir, "bronze", table))
+            write_parquet_table(df, os.path.join(lake_dir, "bronze", table))
         ingested.append(table)
     return ingested
 

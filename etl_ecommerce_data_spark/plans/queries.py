@@ -1763,7 +1763,14 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        d = int(pdf["j"].max()) + 1
+        widths = pdf["d"].unique()
+        if len(widths) > 1:
+            raise ValueError(
+                f"mixed embedding widths {sorted(widths)} — cells from "
+                "different coordinate systems cannot share one eigensolve "
+                "(partially regenerated embeddings table?)"
+            )
+        d = int(widths[0])
         g = np.zeros((d, d))
         g[pdf["i"].values, pdf["j"].values] = pdf["gram"].values
         g = g + np.triu(g, 1).T

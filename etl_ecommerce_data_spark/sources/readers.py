@@ -93,7 +93,20 @@ def read_csv_with_quarantine(
     bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_record")
     )
+    # expose the cached parse so callers can release it once both sides are
+    # consumed (see release_quarantine_cache) — a multi-table ingest loop
+    # must not pin every raw CSV in executor storage for the session
+    good._quarantine_parent = parsed
+    bad._quarantine_parent = parsed
     return good, bad
+
+
+def release_quarantine_cache(frame: DataFrame) -> None:
+    """Unpersist the cached parse backing a ``read_csv_with_quarantine``
+    result (either returned frame works). No-op for other DataFrames."""
+    parent = getattr(frame, "_quarantine_parent", None)
+    if parent is not None:
+        parent.unpersist()
 
 
 def read_json_table(

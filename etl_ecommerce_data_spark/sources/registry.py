@@ -155,11 +155,25 @@ def events_ts_kind(spark: SparkSession, events_path: str) -> "str | T.DataType":
     path alone: the test fixtures are regenerated in place between rounds
     with changing physical encodings, and a path-keyed cache in a long-lived
     session would decode a regenerated file with a stale kind (silent
-    timestamp corruption). Non-local paths (stat fails) probe fresh each
-    call; the probe is a driver-side footer read, not a scan."""
+    timestamp corruption). For a DIRECTORY-shaped table the stat covers the
+    leaf data files, not the directory inode — overwriting a part file's
+    BYTES under the same name changes the file's mtime but not the
+    directory's, so a directory-level stat would serve the stale kind.
+    Non-local paths (stat fails) probe fresh each call; the probe is a
+    driver-side footer read, not a scan."""
     try:
         st = os.stat(events_path)
-        key = (events_path, st.st_mtime, st.st_size)
+        if os.path.isdir(events_path):
+            leaf_mtime, leaf_size = st.st_mtime, 0
+            for root, _dirs, files in os.walk(events_path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        fst = os.stat(os.path.join(root, f))
+                        leaf_mtime = max(leaf_mtime, fst.st_mtime)
+                        leaf_size += fst.st_size
+            key = (events_path, leaf_mtime, leaf_size)
+        else:
+            key = (events_path, st.st_mtime, st.st_size)
     except OSError:
         key = None
     if key is None or key not in _EVENTS_TS_KIND:

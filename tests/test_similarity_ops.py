@@ -309,3 +309,66 @@ def test_gram_quantized_skips_null_vectors(spark):
     # n_vectors counts ALL rows (incl. null) by contract; cells come from
     # the one non-null vector only.
     assert got == {(0, 0): (10**9, 2), (0, 1): (0, 2), (1, 1): (0, 2)}
+
+
+def test_mixed_width_embeddings_band_disjointly(spark):
+    # Two uniform-width partitions (the partially-regenerated-files shape):
+    # banding must never pair vectors across widths, and per-width near-dups
+    # must still verify. Before the width-disjoint bucket fix this either
+    # crashed np.stack in the Gram kernel or silently banded incomparable
+    # signatures.
+    w4 = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0, 3.0, 4.0]), (2, [-4.0, 3.0, -2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    w8 = spark.createDataFrame(
+        [(10, [1.0] * 8), (11, [1.0] * 8), (12, [4.0, -3.0, 2.0, -1.0, 0.5, 0.5, -0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    df = w4.unionByName(w8)
+    for verify in ("bucket", "pairs"):
+        pairs = {
+            (r["vec_a"], r["vec_b"])
+            for r in SIM.embedding_near_dup_pairs(
+                df, threshold=0.99, exact=False, num_bits=16, bands=4, verify=verify
+            ).collect()
+        }
+        assert (0, 1) in pairs and (10, 11) in pairs, verify
+        for a, b in pairs:
+            assert (a < 10) == (b < 10), f"cross-width pair {(a, b)} via {verify}"
+
+
+def test_gram_arrow_mixed_widths_key_separately_and_pca_rejects(spark):
+    import pytest as _pytest
+
+    w2 = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    w3 = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    rows = SIM.gram_upper_arrow(w2.unionByName(w3)).collect()
+    # cells key on width: no (i, j) cell sums across coordinate systems
+    assert {r["d"] for r in rows} == {2, 3}
+    assert len([r for r in rows if r["d"] == 2]) == 3
+    assert len([r for r in rows if r["d"] == 3]) == 6
+
+    # and the PCA consumer rejects the mix loudly instead of eigensolving it
+    from etl_ecommerce_data_spark.plans.queries import QUERIES  # noqa: F401
+    import pandas as pd
+    import numpy as np
+
+    # drive the guard directly through the registered query on a scratch dir
+    import os, tempfile, shutil
+
+    tmp = tempfile.mkdtemp(prefix="mixed_emb_")
+    try:
+        w2.unionByName(w3).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        ).withColumn("label", F.lit("x")).write.parquet(
+            os.path.join(tmp, "embeddings.parquet")
+        )
+        with _pytest.raises(Exception, match="mixed embedding widths"):
+            QUERIES["embedding_pca_variance"].builder(spark, tmp).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -490,3 +490,25 @@ def test_compact_table_sort_within_restores_pruning_order(spark, tmp_path):
     for fp in files:
         ks = pq.read_table(fp, columns=["k"]).column("k").to_pylist()
         assert ks == sorted(ks)
+
+
+def test_quarantine_cache_released_after_ingest(spark, tmp_path):
+    from etl_ecommerce_data_spark.sources.readers import (
+        read_csv_with_quarantine,
+        release_quarantine_cache,
+    )
+
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\nx,1\ny,oops\n")
+    schema = T.StructType(
+        [T.StructField("a", T.StringType()), T.StructField("b", T.LongType())]
+    )
+    good, bad = read_csv_with_quarantine(spark, str(p), schema)
+    assert good.count() == 1 and bad.count() == 1
+    parent = good._quarantine_parent
+    assert parent.storageLevel.useMemory  # cached while in use
+    release_quarantine_cache(good)
+    assert not parent.storageLevel.useMemory  # released
+    # releasing via the other frame (or again) is a safe no-op
+    release_quarantine_cache(bad)
+    release_quarantine_cache(spark.range(1))
