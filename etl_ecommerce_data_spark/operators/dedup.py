@@ -737,9 +737,14 @@ def boilerplate_removal(
     # upstream transform produced text_col (e.g. the PII regexp chain in the
     # hygiene pipeline) — runs once, not once per subtree. Same tradeoff
     # note as minhash_lsh_pairs' banded table.
+    # null text coalesces to '' (one empty chunk) so the one-row-per-doc
+    # contract holds: posexplode of chunk_texts(NULL) would silently drop
+    # the document from the output entirely
     chunks = docs.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(chunk_texts(F.col(text_col), chunk_tokens)).alias("pos", "chunk"),
+        F.posexplode(
+            chunk_texts(F.coalesce(F.col(text_col), F.lit("")), chunk_tokens)
+        ).alias("pos", "chunk"),
     ).localCheckpoint(eager=False)
     boiler = (
         chunks.groupBy("chunk")

@@ -526,19 +526,26 @@ def _bucket_blas_verify(threshold: float, chunk_cells: int = 8_000_000):
     bucket) group in, exactly-verified pairs out.
 
     The group's vectors form a (B × dim) matrix; a chunked ``M[s:e] @ M.T``
-    computes every in-bucket cosine at BLAS speed in float64, and only
-    pairs ≥ threshold leave Python. BLAS accumulation order is an
-    implementation detail (SIMD/blocking), so a dot product whose terms
-    cancel to within float64 epsilon of the threshold can land on either
-    side versus a sequential fold — a measure-zero boundary for real
-    corpora (the driver-green recall floor compares this path against the
-    JVM-fold exact twin on actual data); within one run the computation is
-    deterministic. Chunk rows are sized so the partial Gram matrix stays under
-    ``chunk_cells`` doubles regardless of bucket size — a degenerate bucket
-    costs quadratic FLOPS (inherent to banding, same skew surface as the
-    minhash star cap) but bounded MEMORY. Zero-norm vectors yield nan
-    cosines, which fail the threshold and drop out, matching the JVM
-    division semantics."""
+    computes every in-bucket cosine at BLAS speed in float64. BLAS
+    accumulation order is an implementation detail (a 1-row chunk dispatches
+    dot/gemv, a tall chunk dispatches blocked gemm), so the Gram value of a
+    boundary-grazing pair can shift by an ulp with chunk height — and
+    ``chunk_cells`` is a MEMORY knob, never a semantics knob. The chunked
+    Gram is therefore only a GATE: a pair survives the gate when its Gram
+    cosine is ≥ ``threshold − margin``, where ``margin`` is a forward-error
+    bound (``4·(dim+2)·eps·Σ|aᵢbᵢ| / (‖a‖‖b‖)``) on how far ANY float64
+    accumulation order can land from any other — so every pair whose
+    canonical cosine clears the threshold is gated under EVERY chunking.
+    Each gated pair's emitted cosine is then recomputed with one
+    fixed-shape per-pair 1-D ``np.dot`` (O(gated pairs), chunk-independent)
+    and the threshold applied to THAT value, making both the emitted pair
+    set and the emitted cosines invariant to ``chunk_cells``
+    (property-pinned by ``test_bucket_blas_verify_chunking_invariant``).
+    Chunk rows are sized so the partial Gram stays under ``chunk_cells``
+    doubles regardless of bucket size — a degenerate bucket costs quadratic
+    FLOPS (inherent to banding, same skew surface as the minhash star cap)
+    but bounded MEMORY. Zero-norm vectors yield nan cosines, which fail the
+    gate and drop out, matching the JVM division semantics."""
     import numpy as np
     import pandas as pd
 
@@ -547,39 +554,41 @@ def _bucket_blas_verify(threshold: float, chunk_cells: int = 8_000_000):
         mat = np.stack(pdf["__va"].values).astype(np.float64)
         nrm = np.linalg.norm(mat, axis=1)
         n = len(ids)
+        dim = mat.shape[1] if mat.ndim == 2 else 0
         step = max(1, min(1024, chunk_cells // max(n, 1)))
-        outs = []
+        amat = np.abs(mat)
+        err_c = 4.0 * (dim + 2) * np.finfo(np.float64).eps
+        pos_a: list = []
+        pos_b: list = []
         with np.errstate(divide="ignore", invalid="ignore"):
             for s in range(0, n, step):
                 e = min(s + step, n)
-                gram = (mat[s:e] @ mat.T) / np.outer(nrm[s:e], nrm)
-                ii, jj = np.nonzero(gram >= threshold)
+                denom = np.outer(nrm[s:e], nrm)
+                gram = (mat[s:e] @ mat.T) / denom
+                margin = err_c * (amat[s:e] @ amat.T) / denom
+                ii, jj = np.nonzero(gram >= threshold - margin)
                 gi = ii + s
-                keep = gi != jj
-                gi, jj, ii = gi[keep], jj[keep], ii[keep]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "vec_a": np.minimum(ids[gi], ids[jj]),
-                            "vec_b": np.maximum(ids[gi], ids[jj]),
-                            "cosine_sim": gram[ii, jj],
-                        }
-                    )
-                )
-        out = pd.concat(outs) if outs else pd.DataFrame(
+                # upper triangle only: each unordered pair gated exactly once
+                keep = gi < jj
+                pos_a.append(gi[keep])
+                pos_b.append(jj[keep])
+        pa = np.concatenate(pos_a) if pos_a else np.empty(0, dtype=np.int64)
+        pb = np.concatenate(pos_b) if pos_b else np.empty(0, dtype=np.int64)
+        # Fixed-shape re-verify: one 1-D ddot per gated pair. Identical
+        # inputs → identical accumulation regardless of chunk height or
+        # direction (elementwise products commute, fold order is fixed).
+        cos = np.empty(len(pa), dtype=np.float64)
+        for r in range(len(pa)):
+            cos[r] = np.dot(mat[pa[r]], mat[pb[r]]) / (nrm[pa[r]] * nrm[pb[r]])
+        final = cos >= threshold
+        pa, pb, cos = pa[final], pb[final], cos[final]
+        return pd.DataFrame(
             {
-                "vec_a": pd.Series(dtype="int64"),
-                "vec_b": pd.Series(dtype="int64"),
-                "cosine_sim": pd.Series(dtype="float64"),
+                "vec_a": np.minimum(ids[pa], ids[pb]),
+                "vec_b": np.maximum(ids[pa], ids[pb]),
+                "cosine_sim": cos,
             }
-        )
-        # Each surviving pair appears up to twice in the scan (i→j and j→i),
-        # and the two directions can differ in the last ulp (BLAS blocking
-        # differs between the row-chunk that computed each). Resolve with
-        # max(), which is order-independent — drop_duplicates would keep
-        # whichever arrived first, making the surviving value depend on the
-        # row order Spark delivered to this group.
-        return out.groupby(["vec_a", "vec_b"], as_index=False)["cosine_sim"].max()
+        ).astype({"vec_a": "int64", "vec_b": "int64", "cosine_sim": "float64"})
 
     return verify
 

@@ -79,10 +79,7 @@ def bronze_ingest(
     silently nulled into the load — the failure mode the reference's
     inference-based ingest (`to_bronze.py:39`) cannot even detect.
     """
-    from etl_ecommerce_data_spark.sources.readers import (
-        read_csv_with_quarantine,
-        release_quarantine_cache,
-    )
+    from etl_ecommerce_data_spark.sources.readers import read_csv_with_quarantine
 
     ingested = []
     for file_name, table in OLIST_FILES.items():
@@ -92,15 +89,15 @@ def bronze_ingest(
             # printed-and-continued (to_bronze.py:52-53) — we skip explicitly.
             continue
         if quarantine:
-            df, bad = read_csv_with_quarantine(spark, path, OLIST_SCHEMAS[table])
+            split = read_csv_with_quarantine(spark, path, OLIST_SCHEMAS[table])
             write_parquet_table(
-                bad, os.path.join(lake_dir, "bronze", "_quarantine", table)
+                split.bad, os.path.join(lake_dir, "bronze", "_quarantine", table)
             )
-            write_parquet_table(df, os.path.join(lake_dir, "bronze", table))
+            write_parquet_table(split.good, os.path.join(lake_dir, "bronze", table))
             # both outputs are written: release the split's backing cache so
             # a multi-table ingest loop doesn't pin every raw CSV in executor
             # storage for the session lifetime
-            release_quarantine_cache(df)
+            split.release()
         else:
             df = read_csv_table(spark, path, OLIST_SCHEMAS[table])
             write_parquet_table(df, os.path.join(lake_dir, "bronze", table))

@@ -1114,9 +1114,18 @@ def q_dedup_minhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Driver-checkable recall floor for the LSH path (VERDICT r2 ask #4): "
     "exact unblocked token-Jaccard pairs (doc_id < 2000, threshold 0.6) are "
     "the SQL-expressible ground truth; the row reports the exact-pair count "
-    "plus two booleans the oracle pins to TRUE — recall ≥ 0.95 and zero "
-    "false positives. If either property regresses the hash mismatches and "
-    "the driver row goes red, so the green row IS the recall proof.",
+    "plus two booleans the oracle pins to TRUE. recall_contract encodes the "
+    "operator's declared contract BY REGIME (VERDICT r5 ask #4): pair-"
+    "listing recall ≥ 0.95 is asserted wherever no (band, bucket) exceeded "
+    "the default bucket_cap; when the cap fires (sf0.1's pathologically "
+    "self-similar corpus), listing completeness inside oversized buckets is "
+    "intentionally degraded — that regime's behavior (anchor recall 1.0, "
+    "zero false pairs, cluster agreement ≥ 98%, listing degraded) is owned "
+    "and hash-pinned by dedup_star_cap_floor, so asserting listing recall "
+    "there would pin a property the operator deliberately trades away. The "
+    "cap state is rederived INDEPENDENTLY (fresh exact-dedup + banding "
+    "pass, not the operator's own machinery). no_false_positives holds in "
+    "both regimes: the cap only removes pairs, never invents them.",
     oracle="""
 WITH t AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
@@ -1130,13 +1139,14 @@ p AS (
              - CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS BIGINT)) >= 0.6
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
-       true AS recall_ge_095,
+       true AS recall_contract,
        true AS no_false_positives
 FROM p
 """,
     tags=("extension", "dedup", "lsh", "recall"),
 )
 def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cap = 512  # minhash_lsh_pairs' default bucket_cap
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     exact = DD.ngram_jaccard_pairs(docs, threshold=0.6, block_col=None).select(
         "doc_a", "doc_b"
@@ -1151,12 +1161,35 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = lsh.join(exact, ["doc_a", "doc_b"], "left_anti").agg(
         F.count(F.lit(1)).cast("long").alias("n_fp")
     )
-    return found.crossJoin(F.broadcast(fps)).select(
-        F.col("n_exact").alias("n_exact_pairs"),
-        (F.col("n_found").cast("double") / F.col("n_exact") >= 0.95).alias(
-            "recall_ge_095"
-        ),
-        (F.col("n_fp") == 0).alias("no_false_positives"),
+    # independent cap-state rederivation: same exact-dedup + banding shape
+    # the operator declares (64 perms / 16 bands over representatives)
+    base = docs.select("doc_id", F.col("text").alias("__text")).filter(
+        F.col("__text").isNotNull()
+    )
+    reps = (
+        base.withColumn("__ch", F.md5("__text"))
+        .groupBy("__ch")
+        .agg(F.min("doc_id").alias("doc_id"), F.first("__text").alias("__text"))
+    )
+    rep_hs = reps.select("doc_id", DD._token_hashes(F.col("__text")).alias("__hs"))
+    n_over = (
+        DD._banded_buckets_from_hashes(rep_hs, 64, 16)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > cap)
+        .agg(F.count(F.lit(1)).alias("n_capped_buckets"))
+    )
+    return (
+        found.crossJoin(F.broadcast(fps))
+        .crossJoin(F.broadcast(n_over))
+        .select(
+            F.col("n_exact").alias("n_exact_pairs"),
+            (
+                (F.col("n_capped_buckets") > 0)
+                | (F.col("n_found").cast("double") / F.col("n_exact") >= 0.95)
+            ).alias("recall_contract"),
+            (F.col("n_fp") == 0).alias("no_false_positives"),
+        )
     )
 
 
@@ -3596,6 +3629,125 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "compact_table_roundtrip",
+    "Small-file compaction as a driver-checked roundtrip "
+    "(sources/incremental.py:compact_table): orders staged to a scratch "
+    "table as 64 tiny files (the streaming-sink pathology), compacted at "
+    "target_file_bytes=1 GiB — exactly one output file at oracle SFs, sized "
+    "via the Hadoop FileSystem API — then content-verified: row count, exact "
+    "money total, key checksum, and the on-disk output-file count, emitted "
+    "as one row. The cycle is eagerly reduced to that row (the one-row-"
+    "aggregate collect the repo's no-collect discipline permits, same as "
+    "validation.py) so both scratch dirs are removed before return.",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(1 AS BIGINT) AS n_output_files
+FROM orders
+""",
+    tags=("extension", "maintenance", "compaction"),
+)
+def q_compact_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from etl_ecommerce_data_spark.sources.incremental import compact_table
+
+    root = os.path.join(tempfile.gettempdir(), f"compact_rt_{uuid.uuid4().hex[:12]}")
+    staged = os.path.join(root, "orders")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    orders.repartition(64).write.parquet(staged)
+    try:
+        out, _requested = compact_table(spark, staged, target_file_bytes=1 << 30)
+        compacted = spark.read.parquet(out)
+        row = compacted.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            money_sum("o_totalprice").alias("total_price"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).collect()[0]
+        # the contract is the files ON DISK, not the requested count
+        n_out = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(row.n_rows, row.total_price, row.key_sum, n_out)],
+        "n_rows long, total_price double, key_sum long, n_output_files long",
+    )
+
+
+@register(
+    "csv_quarantine_split",
+    "Malformed-CSV quarantine as a driver-checked split "
+    "(sources/readers.py:read_csv_with_quarantine): a scratch CSV derived "
+    "from orders in which every o_orderkey % 97 == 0 row carries an "
+    "unparseable total ('oops'), read back under the declared schema with "
+    "PERMISSIVE quarantine. Emits good/bad row counts and key checksums — "
+    "bad keys recovered from the raw quarantined line — proving the split "
+    "is lossless and lands every row on exactly one side. Reduced eagerly "
+    "to one row so the cache is released and the scratch dir removed "
+    "before return.",
+    oracle="""
+SELECT CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 THEN o_orderkey ELSE 0 END) AS BIGINT) AS good_key_sum,
+       CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN o_orderkey ELSE 0 END) AS BIGINT) AS bad_key_sum
+FROM orders
+""",
+    tags=("extension", "ingest", "quarantine"),
+)
+def q_csv_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from etl_ecommerce_data_spark.sources.readers import read_csv_with_quarantine
+
+    root = os.path.join(tempfile.gettempdir(), f"quarantine_{uuid.uuid4().hex[:12]}")
+    csv_dir = os.path.join(root, "orders_csv")
+    lines = load_table(spark, sf_dir, "orders").select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("oops")).otherwise(
+                F.col("o_totalprice").cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.write.text(csv_dir)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    split = read_csv_with_quarantine(spark, csv_dir, schema, header=False)
+    try:
+        g = split.good.agg(
+            F.count(F.lit(1)).cast("long").alias("n_good"),
+            F.coalesce(F.sum("o_orderkey"), F.lit(0)).cast("long").alias("good_key_sum"),
+        ).collect()[0]
+        b = split.bad.agg(
+            F.count(F.lit(1)).cast("long").alias("n_bad"),
+            F.coalesce(
+                F.sum(F.split("raw_record", ",").getItem(0).cast("long")), F.lit(0)
+            ).cast("long").alias("bad_key_sum"),
+        ).collect()[0]
+    finally:
+        split.release()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(g.n_good, g.good_key_sum, b.n_bad, b.bad_key_sum)],
+        "n_good long, good_key_sum long, n_bad long, bad_key_sum long",
+    )
+
+
+@register(
     "doc_chunks_udtf",
     "Python UDTF surface (Spark 4): the chunker as an Arrow-optimized table "
     "function, lateral-joined per document — same oracle as the JVM "
@@ -4689,8 +4841,14 @@ def q_dedup_cross_corpus_baseline(spark: SparkSession, sf_dir: str) -> DataFrame
     "dedup_cross_corpus_recall",
     "Driver-checkable recall/precision floor for the asymmetric LSH path: "
     "UNBLOCKED exact cross-side Jaccard on a capped input (doc_id < 2000) is "
-    "the ground truth; the oracle pins the exact-pair count plus recall ≥ "
-    "0.95 and zero-false-positives booleans — a green row is the proof.",
+    "the ground truth; the oracle pins the exact-pair count plus two "
+    "booleans. recall_contract is regime-aware (VERDICT r5 ask #4), "
+    "mirroring dedup_minhash_recall: listing recall ≥ 0.95 asserted "
+    "wherever no CORPUS-SIDE (band, bucket) exceeded the default "
+    "bucket_cap (the side the cross guard stars); the capped regime's "
+    "contract is owned by dedup_star_cap_floor. Cap state rederived by an "
+    "independent corpus-side banding pass. no_false_positives holds in "
+    "both regimes.",
     oracle="""
 WITH nw AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
@@ -4710,7 +4868,7 @@ p AS (
              - CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS BIGINT)) >= 0.6
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
-       true AS recall_ge_095,
+       true AS recall_contract,
        true AS no_false_positives
 FROM p
 """,
@@ -4743,12 +4901,29 @@ def q_dedup_cross_corpus_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = lsh.join(exact, ["new_id", "corpus_id"], "left_anti").agg(
         F.count(F.lit(1)).cast("long").alias("n_fp")
     )
-    return found.crossJoin(F.broadcast(fps)).select(
-        F.col("n_exact").alias("n_exact_pairs"),
-        (F.col("n_found").cast("double") / F.col("n_exact") >= 0.95).alias(
-            "recall_ge_095"
-        ),
-        (F.col("n_fp") == 0).alias("no_false_positives"),
+    # independent corpus-side cap-state rederivation (the cross guard stars
+    # oversized CORPUS buckets; the new side is never capped)
+    old_hs = old_side.select(
+        "doc_id", DD._token_hashes(F.col("text")).alias("__hs")
+    )
+    n_over = (
+        DD._banded_buckets_from_hashes(old_hs, 64, 16)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 512)  # minhash_lsh_pairs_cross default cap
+        .agg(F.count(F.lit(1)).alias("n_capped_buckets"))
+    )
+    return (
+        found.crossJoin(F.broadcast(fps))
+        .crossJoin(F.broadcast(n_over))
+        .select(
+            F.col("n_exact").alias("n_exact_pairs"),
+            (
+                (F.col("n_capped_buckets") > 0)
+                | (F.col("n_found").cast("double") / F.col("n_exact") >= 0.95)
+            ).alias("recall_contract"),
+            (F.col("n_fp") == 0).alias("no_false_positives"),
+        )
     )
 
 
@@ -5416,88 +5591,93 @@ def q_linkage_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      sf0.001 oracle sweep (tests/test_oracle_parity.py) on current code.
 # Every query remains registered and locally verified regardless.
 _SWEEP_FIRST = [
-    # Round-5 ordering (VERDICT r4 ask #1): the ~50-row driver window is
-    # spent on the 23 queries whose freshest driver row is round 2 — two
-    # rounds stale, the declared limit — plus the queries whose operators
-    # changed THIS round, plus a parity-core sample. Order: (a) the new
-    # star-cap floor (first driver row ever), (b) changed operators this
-    # round (embedding near-dup verify rewrite, simhash packed-word cast),
-    # (c) the entire round-2-stale set: the 5-query streaming family, the
-    # temporal-join family, and the remaining r2 singles, (d) parity-core
-    # marts + the minhash floors rotating from r4 to r5 evidence.
-    # (a) new oracled floor for the star-cap contract (r4 ask #3) + the two
-    #     queries NEW this round (first driver rows): PII redaction and
-    #     corpus-level boilerplate removal
-    "dedup_star_cap_floor",
-    "text_pii_redact",
-    "corpus_boilerplate_removal",
-    "doc_rarity_score",
-    # (b) operators changed this round -> dependent queries re-verify
+    # Round-6 ordering (VERDICT r5 asks #1-#3): the 50-row driver window is
+    # spent on (a) the queries whose operators changed THIS round — the
+    # _bucket_blas_verify chunk-invariance fix (gate + fixed-shape per-pair
+    # re-verify), the boilerplate null-text coalesce, and the incremental-
+    # dedup staging isolation; (b) the two maintenance ops NEW this round
+    # as driver rows (r5 ask #3): compaction roundtrip + CSV quarantine
+    # split; (c) the ENTIRE round-3-stale set — 43 queries, two rounds
+    # stale, the declared limit — oldest-first families: LSH/IVF recall
+    # floors, simhash completeness, multimodal features, fuzzy linkage,
+    # analytics marts (funnel/cohort/RFM/basket/SCD2), curation, sketches,
+    # SQL/set-op/pivot singles.
+    # (a) operators changed this round -> dependent queries re-verify:
+    # the chunk-invariance fix (embedding family) and the regime-aware
+    # recall_contract rewrite (both listing floors). Two other round-6
+    # touches stay OUT of the window on purpose: corpus_boilerplate_removal
+    # (null-text coalesce — a no-op on the null-free corpus, pinned by a
+    # unit test + local sf0.01 re-verify) and stream_incremental_dedup
+    # (staging-dir isolation only, no semantic change, re-verified locally).
     "embedding_near_dup",
     "embedding_near_dup_baseline",
     "embedding_near_dup_recall",
-    "dedup_simhash_docs",
-    # (c) round-2-stale evidence, rotated in (r4 ask #1): streaming family
-    "stream_events_windowed",
-    "stream_user_stats_stateful",
-    "stream_dedup_events",
-    "stream_view_purchase_join",
-    "stream_session_windows",
-    "stream_incremental_dedup",
-    # (c) temporal joins + event windows
-    "asof_events_orders",
-    "range_join_view_purchase",
-    "events_tumbling_5min",
-    "session_window_stats",
-    "daily_value_gapfilled",
-    # (c) remaining round-2 singles
-    "similarity_topk",
-    "order_value_ranking_suite",
-    "multimodal_meta",
-    "merge_upsert_orders",
-    "salted_segment_revenue",
-    "corpus_split",
-    "doc_chunks",
-    "doc_chunks_udtf",
-    "user_value_ewma",
-    "vocab_stats",
-    "text_normalize_dedup",
-    "dedup_ngram_jaccard_baseline",
-    "dedup_clusters_baseline",
-    # (d) reference-parity core (r4-green -> r5) + minhash floors, which
-    # share the star-cap machinery exercised by (a)
     "dedup_minhash_recall",
-    "dedup_minhash_docs",
     "dedup_cross_corpus_recall",
-    "pricing_summary",
-    "daily_sales",
-    "daily_sales_bucketed",
-    "customer_metrics",
-    "product_performance",
-    "supplier_performance",
-    "order_status_delivery",
-    "nation_revenue",
-    "events_by_type_day",
-    "clean_orders",
-    "curate_corpus_hygiene",
-    "event_type_drift",
-    "olist_daily_sales",
-    "embedding_gram_baseline",
-    "embedding_pca_variance",
-    # Cut for space (r3/r4-green, operators untouched this round, each at
-    # most two rounds old after this window): olist_product_performance,
-    # olist_seller_performance, olist_satisfaction_metrics,
-    # olist_delivery_performance, olist_customer_metrics, dedup_exact_docs,
-    # clean_lineitem, clean_customer — displaced by the eight queries NEW
-    # this round so the list stays exactly at the driver's 50-row window;
-    # most two rounds old after this window): connector_roundtrip_orc_json,
-    # stream_upsert_user_latest, stream_static_enrich, linkage_block_stats,
-    # hll/gk error floors, daily_revenue_anomaly, top_parts_per_brand,
-    # churned_customers, pivot/cube/set-op family, sessionize/daily-distinct
-    # events family, text_stats/_tokens_bpe/curate_corpus, hll/percentile
-    # approx twins, similarity_topk_lsh/_ivf + their r3-green recall floors,
-    # multimodal_features, curation + analytics marts (r3-green),
-    # dedup_simhash_complete, dedup_cross_corpus(_baseline), dedup_clusters.
+    # (b) maintenance ops, first driver rows ever (r5 ask #3)
+    "compact_table_roundtrip",
+    "csv_quarantine_split",
+    # (c) round-3-stale, rotated in (r5 ask #2): similarity/dedup floors
+    "similarity_lsh_recall",
+    "similarity_ivf_recall",
+    "dedup_simhash_complete",
+    "linkage_fuzzy_docs",
+    "multimodal_features",
+    # (c) analytics marts
+    "funnel_conversion",
+    "cohort_retention",
+    "rfm_segments",
+    "basket_pairs",
+    "user_event_scd2",
+    "user_event_profile",
+    "curation_funnel",
+    # (c) curation / text family
+    "contamination_check",
+    "language_rebalance_sample",
+    "pack_concat_chunks",
+    "embedding_quantize",
+    "doc_fingerprints",
+    "doc_repetition_stats",
+    "doc_top_terms",
+    "text_langid",
+    "text_quality",
+    "tfidf_search",
+    "inverted_index",
+    "pydatasource_docs",
+    "props_variant_stats",
+    # (c) sketches + percentiles
+    "event_counts_cms",
+    "value_percentiles",
+    "price_histogram",
+    # (c) SQL surface / set ops / pivot-unpivot / grouping sets
+    "revenue_rollup",
+    "revenue_grouping_sets",
+    "sql_segment_priority_revenue",
+    "priority_revenue_share",
+    "status_priority_unpivot",
+    "status_latest_order",
+    "repeat_buyers_intersect",
+    "customers_no_orders",
+    "profile_orders",
+    # (c) events / time-series / joins
+    "events_sliding_10x5",
+    "nation_daily_revenue_ma",
+    "daily_activity_reconciliation",
+    "stream_static_enrich",
+    "region_supplier_volume",
+    "zorder_layout_keys",
+    # Cut for space (each at most one round old after this window): the
+    # entire r5-green set — streaming family, temporal joins, parity-core
+    # marts, minhash/cross-corpus/star-cap floors, Gram/PCA, PII/rarity/
+    # hygiene, ranking/gapfill/EWMA, doc_chunks(+udtf), corpus_split,
+    # vocab_stats, text_normalize_dedup, merge_upsert, salted revenue,
+    # multimodal_meta — plus the r4-green olist marts and clean_* family.
+    # Three rows-only diagnostics stay un-rotated on purpose: their oracled
+    # twins are IN this window (similarity_topk_lsh/_ivf pinned by the two
+    # recall floors above; dedup_minhash_bucket_stats pinned by the r5-green
+    # minhash floors) — a rows-only re-run would spend a slot without adding
+    # evidence. curate_corpus_hygiene (r5-green) stays out because its only
+    # changed stage is re-pinned directly by corpus_boilerplate_removal.
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

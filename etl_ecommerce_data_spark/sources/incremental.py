@@ -105,20 +105,31 @@ def compact_table(
     ~``target_file_bytes`` per file.
 
     Output-file count is sized from the table's ACTUAL on-disk bytes (file
-    metadata, no data scan), then the rewrite is one snapshot write to a
-    sibling directory — never in place, same crash-safety contract as
-    ``merge_upsert``. ``sort_within_by`` optionally sorts within output
-    files (restores min-max pruning after appends interleave key ranges —
-    compose with zorder keys for 2-D layouts). Returns
+    metadata, no data scan), read through the Hadoop FileSystem API so any
+    table URI Spark can read (file://, hdfs://, s3a://) is sized correctly —
+    a driver-local directory walk would silently report 0 bytes for a remote
+    store and collapse the whole table into one file/task. A table with no
+    parquet files raises instead of guessing. The rewrite is one snapshot
+    write to a sibling directory — never in place, same crash-safety
+    contract as ``merge_upsert``. ``sort_within_by`` optionally sorts within
+    output files (restores min-max pruning after appends interleave key
+    ranges — compose with zorder keys for 2-D layouts). Returns
     ``(new_snapshot_path, n_output_files)``.
     """
     import uuid
 
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)  # raises FileNotFoundException if absent
     size = 0
-    for root, _dirs, files in os.walk(table_path):
-        for f in files:
-            if f.endswith(".parquet"):
-                size += os.path.getsize(os.path.join(root, f))
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            size += st.getLen()
+    if size == 0:
+        raise FileNotFoundError(
+            f"compact_table: no parquet files under {table_path!r}"
+        )
     n_files = max(1, -(-size // target_file_bytes))  # ceil
 
     df = spark.read.parquet(table_path)

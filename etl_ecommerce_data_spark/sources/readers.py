@@ -53,20 +53,43 @@ def read_csv_table(
     return spark.read.options(header=str(header).lower(), **options).schema(schema).csv(path)
 
 
+class QuarantinedRead:
+    """Handle returned by ``read_csv_with_quarantine``: ``.good`` /
+    ``.bad`` frames plus ``.release()`` to unpersist the shared cached
+    parse once both sides are consumed. Unpacks as a 2-tuple
+    (``good, bad = read_csv_with_quarantine(...)``) so split-only callers
+    stay simple; the handle — not the frames — owns the cache, so any
+    select/filter over the returned frames can't orphan it (a dynamic
+    attribute on the frames themselves would vanish on the first
+    transformation and silently leak the cache for the session)."""
+
+    def __init__(self, good: DataFrame, bad: DataFrame, parsed: DataFrame):
+        self.good = good
+        self.bad = bad
+        self._parsed = parsed
+
+    def __iter__(self):
+        return iter((self.good, self.bad))
+
+    def release(self) -> None:
+        """Unpersist the cached parse backing both frames."""
+        self._parsed.unpersist()
+
+
 def read_csv_with_quarantine(
     spark: SparkSession,
     path: str,
     schema: T.StructType,
     header: bool = True,
     **options: str,
-) -> tuple[DataFrame, DataFrame]:
+) -> QuarantinedRead:
     """CSV scan that splits malformed rows into a quarantine frame instead
     of silently nulling them (PERMISSIVE default) or dropping them
-    (DROPMALFORMED): returns ``(good, bad)`` where ``good`` has exactly
-    ``schema`` and ``bad`` carries the raw offending line as
-    ``raw_record``. The reference ingests with inference and no policy at
-    all (`to_bronze.py:39`) — a malformed line there corrupts types for
-    the whole load.
+    (DROPMALFORMED): returns a ``QuarantinedRead`` whose ``good`` frame has
+    exactly ``schema`` and whose ``bad`` frame carries the raw offending
+    line as ``raw_record``. The reference ingests with inference and no
+    policy at all (`to_bronze.py:39`) — a malformed line there corrupts
+    types for the whole load.
 
     The parsed frame is cached for the two-way split: Spark refuses plans
     that filter on the internal corrupt-record column of an un-materialized
@@ -93,20 +116,10 @@ def read_csv_with_quarantine(
     bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_record")
     )
-    # expose the cached parse so callers can release it once both sides are
-    # consumed (see release_quarantine_cache) — a multi-table ingest loop
-    # must not pin every raw CSV in executor storage for the session
-    good._quarantine_parent = parsed
-    bad._quarantine_parent = parsed
-    return good, bad
-
-
-def release_quarantine_cache(frame: DataFrame) -> None:
-    """Unpersist the cached parse backing a ``read_csv_with_quarantine``
-    result (either returned frame works). No-op for other DataFrames."""
-    parent = getattr(frame, "_quarantine_parent", None)
-    if parent is not None:
-        parent.unpersist()
+    # the handle owns the cached parse so a multi-table ingest loop can
+    # release it once both sides are consumed instead of pinning every raw
+    # CSV in executor storage for the session
+    return QuarantinedRead(good, bad, parsed)
 
 
 def read_json_table(

@@ -525,14 +525,17 @@ def run_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Production shape: Kafka source + Delta MERGE with the same anti-join;
     state is one hash+id per UNIQUE document, not per ingested row.
     """
-    import hashlib
     import os
-    import shutil
     import tempfile
+    import uuid
 
-    tag = hashlib.md5(f"dedup{sf_dir}".encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"dedup_ingest_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    # per-invocation root: a fixture-keyed fixed path would let two
+    # concurrent sessions (parallel pytest workers, bench + sweep) rmtree
+    # each other's staged batches mid-stream — same isolation contract as
+    # compact_table's uuid'd output path
+    root = os.path.join(
+        tempfile.gettempdir(), f"dedup_ingest_{uuid.uuid4().hex[:12]}"
+    )
     stage = os.path.join(root, "stage")
     os.makedirs(stage)
     raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -578,4 +581,9 @@ def run_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     if current[0] is None:
         raise RuntimeError("incremental dedup ingest processed no micro-batches")
+    # the staged batches are consumed; only the accepted snapshot (read
+    # lazily by the caller) must outlive this call
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
     return spark.read.parquet(current[0]).select("content_hash", "doc_id")

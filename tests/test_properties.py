@@ -13,7 +13,7 @@ from __future__ import annotations
 import hashlib
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -377,6 +377,11 @@ def test_bucket_blas_near_dup_matches_numpy_model(spark, vecs):
     chunk_cells=st.integers(1, 50),
 )
 @settings(max_examples=25, deadline=None)
+@example(
+    vecs=[[1.0, 5.960464477539063e-08, 1.0],
+     [0.5, -9.999999747378752e-06, 0.5]],
+    chunk_cells=1,
+).via('discovered failure')
 def test_bucket_blas_verify_chunking_invariant(vecs, chunk_cells):
     """_bucket_blas_verify must emit the same pairs for ANY chunk size —
     chunking is a memory bound, never a semantics knob (each pair must be
@@ -459,6 +464,23 @@ def test_boilerplate_removal_identity_on_unique_corpus(spark):
     for i, t in enumerate(texts):
         assert rows[i]["clean_text"] == t
         assert rows[i]["n_removed"] == 0
+
+
+def test_boilerplate_removal_keeps_null_text_docs(spark):
+    # The one-row-per-doc contract must include null-text rows: posexplode
+    # of chunk_texts(NULL) would silently drop the doc (ADVICE r5); the
+    # operator coalesces to '' so the doc survives with empty clean_text.
+    from etl_ecommerce_data_spark.operators.dedup import boilerplate_removal
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, None), (2, "a b c d"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in boilerplate_removal(df, chunk_tokens=4, min_docs=3).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[1]["clean_text"] == "" and rows[1]["n_removed"] == 0
+    for i in (0, 2, 3):  # the repeated chunk is boilerplate and removed
+        assert rows[i]["clean_text"] == "" and rows[i]["n_removed"] == 1
 
 
 # --- PII redaction vs Python re ---------------------------------------------

@@ -493,22 +493,20 @@ def test_compact_table_sort_within_restores_pruning_order(spark, tmp_path):
 
 
 def test_quarantine_cache_released_after_ingest(spark, tmp_path):
-    from etl_ecommerce_data_spark.sources.readers import (
-        read_csv_with_quarantine,
-        release_quarantine_cache,
-    )
+    from etl_ecommerce_data_spark.sources.readers import read_csv_with_quarantine
 
     p = tmp_path / "t.csv"
     p.write_text("a,b\nx,1\ny,oops\n")
     schema = T.StructType(
         [T.StructField("a", T.StringType()), T.StructField("b", T.LongType())]
     )
-    good, bad = read_csv_with_quarantine(spark, str(p), schema)
+    split = read_csv_with_quarantine(spark, str(p), schema)
+    good, bad = split  # tuple unpacking still supported
     assert good.count() == 1 and bad.count() == 1
-    parent = good._quarantine_parent
-    assert parent.storageLevel.useMemory  # cached while in use
-    release_quarantine_cache(good)
-    assert not parent.storageLevel.useMemory  # released
-    # releasing via the other frame (or again) is a safe no-op
-    release_quarantine_cache(bad)
-    release_quarantine_cache(spark.range(1))
+    assert split._parsed.storageLevel.useMemory  # cached while in use
+    # transformations over the returned frames must not orphan the cache:
+    # the handle owns it, not the frames
+    assert good.select("a").count() == 1
+    split.release()
+    assert not split._parsed.storageLevel.useMemory  # released
+    split.release()  # releasing again is a safe no-op
