@@ -21,7 +21,10 @@ _EXECUTING = {"stream_events_windowed", "stream_user_stats_stateful",
               "connector_roundtrip_orc_json",  # writes scratch ORC/JSON
               "dedup_clusters", "dedup_clusters_baseline",
               "dedup_star_cap_floor",  # two CC fixpoints inside the build
-              "daily_sales_bucketed"}  # last one materializes bucketed copies
+              "daily_sales_bucketed",  # materializes bucketed copies
+              # round-6 maintenance roundtrips: stage scratch tables, run the
+              # maintenance op, reduce to one eager row inside the build
+              "compact_table_roundtrip", "csv_quarantine_split"}
 
 
 @pytest.mark.parametrize("name", [n for n in QUERIES if n not in _EXECUTING])
