@@ -606,6 +606,7 @@ def embedding_near_dup_pairs(
     prefilter_z: float = 2.8,
     verify: str = "bucket",
     bucket_cap: int | None = 8192,
+    verify_chunk_cells: int = 8_000_000,
 ) -> DataFrame:
     """Pairs (a < b) with cosine ≥ threshold. ``exact=True`` does the full
     self cross-product (oracle-checkable); ``exact=False`` uses SRP-LSH
@@ -781,8 +782,11 @@ def embedding_near_dup_pairs(
                 )
             else:
                 grouped, star_scored = banded, None
+            # verify_chunk_cells is a MEMORY knob only — _bucket_blas_verify
+            # guarantees identical output for any value (gate + fixed-shape
+            # per-pair re-verify); exposed so tests can pin that end-to-end
             scored = grouped.groupBy("band", "bucket").applyInPandas(
-                _bucket_blas_verify(threshold),
+                _bucket_blas_verify(threshold, chunk_cells=verify_chunk_cells),
                 "vec_a long, vec_b long, cosine_sim double",
             )
             if star_scored is not None:

@@ -81,6 +81,29 @@ def test_banded_near_dup_recall_at_registered_config(spark, emb):
     assert recall >= 0.95, f"recall {recall:.4f}"
 
 
+def test_banded_near_dup_output_invariant_to_verify_chunking(spark, emb):
+    """End-to-end pin of the chunk-invariance contract through the full Spark
+    operator (not just the numpy kernel): verify_chunk_cells is a MEMORY
+    knob, so a 1-cell chunking (every Gram chunk degenerates to one row,
+    dispatching dot/gemv instead of blocked gemm) must produce the SAME
+    pairs with bit-identical cosines as the default."""
+    kw = dict(threshold=0.4, exact=False, num_bits=48, bands=16)
+    default = {
+        (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+        for r in SIM.embedding_near_dup_pairs(emb, **kw).collect()
+    }
+    tiny = {
+        (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+        for r in SIM.embedding_near_dup_pairs(
+            emb, verify_chunk_cells=1, **kw
+        ).collect()
+    }
+    assert default, "fixture must contain near-dup pairs at 0.4"
+    assert tiny.keys() == default.keys()
+    for k, v in default.items():
+        assert tiny[k] == v  # bit-identical, not approximately equal
+
+
 def test_banded_near_dup_rejects_ragged_prefilter_bits(spark, emb):
     """The Hamming gate counts whole packed 64-bit words; a non-multiple
     would silently count fewer bits than _prefilter_max_ham budgets for
