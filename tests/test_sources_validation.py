@@ -468,6 +468,21 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
     assert b.agg(F.sum("id")).first()[0] == a.agg(F.sum("id")).first()[0]
 
 
+def test_compact_table_fails_loudly_on_missing_or_empty_table(spark, tmp_path):
+    # ADVICE r5: sizing a remote/missing table must never silently yield 0
+    # bytes and collapse to one file — absent paths and parquet-free dirs
+    # both raise instead of guessing.
+    from etl_ecommerce_data_spark.sources.incremental import compact_table
+
+    with pytest.raises(Exception):  # Hadoop FileNotFoundException via py4j
+        compact_table(spark, str(tmp_path / "nope"))
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    (empty / "not_parquet.txt").write_text("x")
+    with pytest.raises(FileNotFoundError, match="no parquet files"):
+        compact_table(spark, str(empty))
+
+
 def test_compact_table_sort_within_restores_pruning_order(spark, tmp_path):
     from etl_ecommerce_data_spark.sources.incremental import compact_table
 
