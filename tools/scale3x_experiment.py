@@ -21,7 +21,9 @@ A linear-ish operator on a not-yet-saturated local[32] should show ≤3× wall
 time at 3× rows; ≥9× would flag quadratic cross-copy work (banding failing
 to separate the copies).
 
-Usage: python tools/scale3x_experiment.py [sf_dir] (default /root/testdata/sf0.1)
+Usage: python tools/scale3x_experiment.py [sf_dir] [n_copies]
+(defaults /root/testdata/sf0.1, 3 — pass 10 for a second decade above
+sf0.1: 50 000 documents / 20 000 embeddings, true-pair mass exactly 10×)
 """
 
 from __future__ import annotations
@@ -47,21 +49,22 @@ ID_STRIDE = 10_000_000
 def _perm(copy_i: int, dim: int) -> list[int]:
     """Affine permutation of ``dim`` dimensions (coprime stride), derived
     from the table's ACTUAL width so regenerated testdata with a different
-    embedding dimension keeps working."""
+    embedding dimension keeps working. Distinct copies get distinct
+    (stride, offset) pairs so cross-copy cosines decorrelate."""
     import math
 
-    s = {1: 17, 2: 29}[copy_i]
+    s = 2 * copy_i + 15  # 17, 19, 21, ... per copy
     while math.gcd(s, dim) != 1:  # a non-coprime stride is not a permutation
         s += 2
     return [(s * j + 5 * copy_i) % dim for j in range(dim)]
 
 
-def build_3x(spark, sf_dir: str) -> str:
-    out = os.path.join(SCRATCH, "3x")
+def build_nx(spark, sf_dir: str, n_copies: int) -> str:
+    out = os.path.join(SCRATCH, f"{n_copies}x")
     shutil.rmtree(SCRATCH, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents")
     copies = [docs]
-    for i in (1, 2):
+    for i in range(1, n_copies):
         prefixed = F.array_join(
             F.transform(F.split(F.col("text"), " "), lambda x: F.concat(F.lit(f"c{i}·"), x)),
             " ",
@@ -70,22 +73,24 @@ def build_3x(spark, sf_dir: str) -> str:
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * ID_STRIDE))
             .withColumn("text", prefixed)
         )
-    copies[0].unionByName(copies[1]).unionByName(copies[2]).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out, "documents.parquet"))
+    d_all = copies[0]
+    for c in copies[1:]:
+        d_all = d_all.unionByName(c)
+    d_all.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
     ecopies = [emb]
-    for i in (1, 2):
+    for i in range(1, n_copies):
         permuted = F.array(*[F.get(F.col("embedding"), p) for p in _perm(i, dim)])
         ecopies.append(
             emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_STRIDE))
             .withColumn("embedding", permuted)
         )
-    ecopies[0].unionByName(ecopies[1]).unionByName(ecopies[2]).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out, "embeddings.parquet"))
+    e_all = ecopies[0]
+    for c in ecopies[1:]:
+        e_all = e_all.unionByName(c)
+    e_all.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
     return out
 
 
@@ -100,8 +105,9 @@ def timed(fn, runs: int = 3) -> tuple[float, int]:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     spark = get_spark("scale3x")
-    tdir = build_3x(spark, sf_dir)
+    tdir = build_nx(spark, sf_dir, n_copies)
 
     def inputs(d):
         return load_table(spark, d, "documents").cache(), load_table(
@@ -151,7 +157,8 @@ def main() -> None:
     # warm python workers / codegen
     for fn in ops.values():
         fn(d1, e1, sf_dir)
-    print(f"{'operator':<24} {'1x best(s)':>10} {'3x best(s)':>10} {'ratio':>6} {'out 1x':>9} {'out 3x':>9} {'out ratio':>9}")
+    nx = f"{n_copies}x"
+    print(f"{'operator':<24} {'1x best(s)':>10} {nx + ' best(s)':>10} {'ratio':>6} {'out 1x':>9} {'out ' + nx:>9} {'out ratio':>9}")
     for name, fn in ops.items():
         t1, n1 = timed(lambda: fn(d1, e1, sf_dir))
         t3, n3 = timed(lambda: fn(d3, e3, tdir))
