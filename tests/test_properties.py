@@ -406,6 +406,19 @@ def test_bucket_blas_verify_chunking_invariant(vecs, chunk_cells):
     assert (merged["cosine_sim_t"] == merged["cosine_sim_b"]).all()
 
 
+def test_sweep_window_is_exactly_driver_sized_and_unique():
+    """The driver checks ~50 correctness rows per round; _SWEEP_FIRST is the
+    rotation window. It must be exactly 50 (a 51st entry silently drops the
+    tail query's fresh evidence), duplicate-free (a dupe wastes a slot), and
+    every name must resolve — and the registry reordering must actually put
+    the window first, or the rotation is a no-op."""
+    from etl_ecommerce_data_spark.plans.queries import QUERIES, _SWEEP_FIRST
+
+    assert len(_SWEEP_FIRST) == 50
+    assert len(set(_SWEEP_FIRST)) == 50
+    assert list(QUERIES)[:50] == _SWEEP_FIRST
+
+
 def test_bench_headline_queries_all_registered():
     """bench.py must never KeyError at driver bench time: every HEADLINE and
     _SETUP_ONCE name must exist in the registry."""
