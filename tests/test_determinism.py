@@ -58,6 +58,28 @@ def test_minhash_pairs_partition_independent(spark, parts):
     assert got == test_minhash_pairs_partition_independent._ref
 
 
+@pytest.mark.parametrize("parts", [1, 5, 32])
+def test_embedding_near_dup_partition_independent(spark, parts):
+    """Input partitioning permutes the row order each (band, bucket) group
+    hands the Gram kernel — np.stack order, chunk membership, gate blocking
+    all shift. The round-6 fixed-shape per-pair re-verify makes the emitted
+    pairs AND cosines bit-identical anyway (the same property the
+    chunk_cells invariance pins on the memory axis, here on the
+    partitioning axis)."""
+    from etl_ecommerce_data_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").repartition(parts)
+    got = _collect_sorted(
+        SIM.embedding_near_dup_pairs(
+            emb, threshold=0.4, exact=False, num_bits=48, bands=16
+        )
+    )
+    ref_attr = test_embedding_near_dup_partition_independent
+    if not hasattr(ref_attr, "_ref"):
+        ref_attr._ref = got
+    assert got == ref_attr._ref
+
+
 @pytest.mark.parametrize("parts", [1, 16])
 def test_asof_join_partition_independent(spark, parts):
     events = (
