@@ -578,9 +578,12 @@ def _bucket_blas_verify(threshold: float, chunk_cells: int = 8_000_000):
         # inputs → identical accumulation regardless of chunk height or
         # direction (elementwise products commute, fold order is fixed).
         cos = np.empty(len(pa), dtype=np.float64)
-        for r in range(len(pa)):
-            cos[r] = np.dot(mat[pa[r]], mat[pb[r]]) / (nrm[pa[r]] * nrm[pb[r]])
-        final = cos >= threshold
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            for r in range(len(pa)):
+                cos[r] = np.dot(mat[pa[r]], mat[pb[r]]) / (nrm[pa[r]] * nrm[pb[r]])
+        # a non-finite cosine is an artifact (denormal norm product under-
+        # flowing to 0, or 0/0), never a valid >= threshold verdict
+        final = np.isfinite(cos) & (cos >= threshold)
         pa, pb, cos = pa[final], pb[final], cos[final]
         return pd.DataFrame(
             {
