@@ -80,6 +80,53 @@ def test_embedding_near_dup_partition_independent(spark, parts):
     assert got == ref_attr._ref
 
 
+def _with_conf(spark, key, value):
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        old = spark.conf.get(key)
+        spark.conf.set(key, value)
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return cm()
+
+
+def test_results_invariant_to_aqe_and_shuffle_partitions(spark):
+    """The remaining runtime-config axes a cluster operator actually turns:
+    AQE (runtime re-planning, partition coalescing, skew splits) and
+    spark.sql.shuffle.partitions. Both change the physical plan and the
+    per-task row grouping; neither may change a single emitted byte —
+    exact decimal aggregation and the banded near-dup path checked."""
+    from etl_ecommerce_data_spark.operators import similarity as SIM
+
+    def run_both():
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        agg = _collect_sorted(
+            li.groupBy("l_returnflag").agg(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        nd = _collect_sorted(
+            SIM.embedding_near_dup_pairs(
+                emb, threshold=0.4, exact=False, num_bits=48, bands=16
+            )
+        )
+        return agg, nd
+
+    ref = run_both()
+    with _with_conf(spark, "spark.sql.adaptive.enabled", "false"):
+        assert run_both() == ref
+    with _with_conf(spark, "spark.sql.shuffle.partitions", "3"):
+        assert run_both() == ref
+
+
 @pytest.mark.parametrize("parts", [1, 16])
 def test_asof_join_partition_independent(spark, parts):
     events = (
