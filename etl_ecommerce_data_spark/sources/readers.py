@@ -75,6 +75,14 @@ class QuarantinedRead:
         """Unpersist the cached parse backing both frames."""
         self._parsed.unpersist()
 
+    # context-manager form releases the cache even on error paths:
+    #   with read_csv_with_quarantine(...) as split: ...
+    def __enter__(self) -> "QuarantinedRead":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
 
 def read_csv_with_quarantine(
     spark: SparkSession,

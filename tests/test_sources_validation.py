@@ -525,3 +525,10 @@ def test_quarantine_cache_released_after_ingest(spark, tmp_path):
     split.release()
     assert not split._parsed.storageLevel.useMemory  # released
     split.release()  # releasing again is a safe no-op
+    # context-manager form releases even when the body raises
+    with pytest.raises(RuntimeError):
+        with read_csv_with_quarantine(spark, str(p), schema) as cm_split:
+            assert cm_split.good.count() == 1
+            assert cm_split._parsed.storageLevel.useMemory
+            raise RuntimeError("boom")
+    assert not cm_split._parsed.storageLevel.useMemory
