@@ -88,6 +88,50 @@ def test_plan_has_no_scale_red_flags(spark, name):
     assert "PartitionBy: []" not in plan, f"{name}: unpartitioned window"
 
 
+# Shuffle budgets: measured Exchange-node counts (word-boundary match, so
+# BroadcastExchange does NOT count — broadcasts are the CHEAP exchange) for
+# representative plans. Every groupBy/join shuffle at 100 TB is the cost
+# that matters; a regression that adds an exchange to a one-shuffle mart
+# (e.g. losing a co-partitioning reuse, or a broadcast demoting to a
+# shuffle join) must fail loudly here, not show up as a silent 2× in the
+# driver bench. Budgets are upper bounds at SF_SMOKE with AQE on.
+_SHUFFLE_BUDGETS = {
+    "pricing_summary": 1,       # one partial+final agg
+    "daily_sales": 1,           # join broadcast, one agg shuffle
+    "customer_metrics": 1,      # window + agg reuse ONE shuffle
+    "nation_revenue": 1,
+    "daily_sales_bucketed": 1,
+    "dedup_exact_docs": 1,
+    "olist_daily_sales": 1,     # items⋈orders broadcast + one agg
+    "text_quality": 0,          # pure scan-side expressions
+    "doc_fingerprints": 0,
+    "similarity_topk": 1,       # broadcast queries; one top-k window
+    "asof_events_orders": 1,    # union co-partition trick: one shuffle
+    "corpus_boilerplate_removal": 3,  # explode agg + membership join + regroup
+    "doc_rarity_score": 4,
+    "event_type_drift": 5,      # tiny SinglePartition pivots over 1-row aggs
+    "curate_corpus_hygiene": 5,  # four composed stages, six exchanges max
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SHUFFLE_BUDGETS))
+def test_plan_shuffle_budget(spark, name):
+    import re
+
+    plan = (
+        QUERIES[name]
+        .builder(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchanges = len(re.findall(r"\bExchange\b", plan))
+    assert n_exchanges <= _SHUFFLE_BUDGETS[name], (
+        f"{name}: {n_exchanges} shuffle exchanges, budget "
+        f"{_SHUFFLE_BUDGETS[name]} — a new shuffle crept into the plan"
+    )
+
+
 def test_quadratic_plans_only_behind_capped_baselines(spark):
     """The scale contract for fuzzy dedup: any registered query whose plan
     does an all-pairs comparison (corpus×corpus on a constant-cardinality key
