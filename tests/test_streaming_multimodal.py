@@ -241,8 +241,6 @@ def test_stateful_stream_restart_recovers_state_store(spark, tmp_path):
     restart on the same checkpoint, new batches see the RESTORED running
     counts (HDFS-backed state store), so the final per-user stats equal the
     all-data aggregate even though no single incarnation saw all the data."""
-    import uuid
-
     from etl_ecommerce_data_spark.streaming.events import user_running_stats
 
     src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
