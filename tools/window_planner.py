@@ -1,0 +1,103 @@
+"""Rotation planner for the driver's ~50-row correctness window.
+
+The driver hash-checks the first ~50 registry queries each round
+(`_SWEEP_FIRST` controls the order), so registration order decides which
+queries get fresh driver evidence. The repo's discipline: no query's
+freshest driver row may be older than two rounds, and queries whose
+operators changed in the current round re-verify immediately.
+
+This tool reads every CORRECTNESS_r*.json, computes each query's freshest
+driver evidence (round + class: hash-green vs rows-only), and prints the
+staleness table plus a suggested next window: changed queries (pass names
+via --changed) first, then never-run, then oldest-first. Rows-only
+diagnostics whose oracled twins are fresher are listed separately — a
+rows-only re-run spends a slot without adding evidence, so they rotate
+only when their twins do.
+
+Usage:
+    python tools/window_planner.py [--round N] [--changed q1,q2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_ecommerce_data_spark.plans.queries import QUERIES, _SWEEP_FIRST  # noqa: E402
+
+WINDOW = 50
+
+# rows-only diagnostics pinned by an oracled twin: re-running them adds no
+# hash evidence, so they inherit their twin's urgency instead of their own
+TWINNED_ROWS_ONLY = {
+    "similarity_topk_lsh": "similarity_lsh_recall",
+    "similarity_topk_ivf": "similarity_ivf_recall",
+    "dedup_minhash_bucket_stats": "dedup_minhash_recall",
+}
+
+
+def freshness() -> dict[str, tuple[int, str]]:
+    fresh: dict[str, tuple[int, str]] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1))
+        for q, v in json.load(open(path)).items():
+            if v.get("hash_match"):
+                fresh[q] = (rnd, "green")
+            elif v.get("err") == "no_oracle" and v.get("spark_rows") is not None:
+                fresh[q] = (rnd, "rows_only")
+    return fresh
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=None,
+                    help="current round (default: max seen + 1)")
+    ap.add_argument("--changed", default="",
+                    help="comma-separated queries whose operators changed")
+    args = ap.parse_args()
+
+    fresh = freshness()
+    cur = args.round or (max(r for r, _ in fresh.values()) + 1 if fresh else 1)
+    changed = [q for q in args.changed.split(",") if q]
+    unknown = sorted(set(changed) - set(QUERIES))
+    if unknown:
+        ap.error(f"--changed names not in registry: {unknown}")
+
+    def age(q: str) -> int:
+        return cur - fresh[q][0] if q in fresh else 10**6
+
+    rows = sorted(QUERIES, key=lambda q: (-age(q), q))
+    print(f"round {cur}; registry {len(QUERIES)}; window {WINDOW}")
+    print(f"{'query':36s} {'last':>5s} {'age':>4s} class")
+    for q in rows:
+        r, cls = fresh.get(q, (0, "never"))
+        mark = " TWIN" if q in TWINNED_ROWS_ONLY else ""
+        print(f"{q:36s} {r or '-':>5} {age(q) if q in fresh else '-':>4} {cls}{mark}")
+
+    # suggestion: changed first, then never-run, then oldest first; twinned
+    # rows-only entries excluded (their twins carry the evidence)
+    pool = [q for q in rows if q not in TWINNED_ROWS_ONLY and q not in changed]
+    pool.sort(key=lambda q: (-age(q), q))
+    suggestion = (changed + pool)[:WINDOW]
+    stale_after = [q for q in QUERIES
+                   if q not in suggestion and q not in TWINNED_ROWS_ONLY
+                   and age(q) >= 2]
+    print("\nsuggested window (changed -> never-run -> oldest):")
+    for q in suggestion:
+        print(f"  {q}")
+    if stale_after:
+        print(f"\nWARNING: {len(stale_after)} queries remain >=2 rounds stale "
+              f"after this window: {stale_after}")
+    print(f"\ncurrent _SWEEP_FIRST overlap: "
+          f"{len(set(suggestion) & set(_SWEEP_FIRST))}/{WINDOW}")
+
+
+if __name__ == "__main__":
+    main()
