@@ -127,6 +127,28 @@ def test_results_invariant_to_aqe_and_shuffle_partitions(spark):
         assert run_both() == ref
 
 
+def test_near_dup_invariant_to_arrow_batch_size(spark):
+    """spark.sql.execution.arrow.maxRecordsPerBatch changes how many rows
+    each pandas_udf invocation sees — the SRP signature matmul batch shape
+    and the grouped-map row deliveries both shift. Per-row signatures come
+    from a deterministic per-width plane matrix and per-pair cosines from a
+    fixed-shape ddot, so a 16-row batch limit must reproduce the default's
+    output bit-for-bit."""
+    from etl_ecommerce_data_spark.operators import similarity as SIM
+
+    def run():
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        return _collect_sorted(
+            SIM.embedding_near_dup_pairs(
+                emb, threshold=0.4, exact=False, num_bits=48, bands=16
+            )
+        )
+
+    ref = run()
+    with _with_conf(spark, "spark.sql.execution.arrow.maxRecordsPerBatch", "16"):
+        assert run() == ref
+
+
 @pytest.mark.parametrize("parts", [1, 16])
 def test_asof_join_partition_independent(spark, parts):
     events = (
