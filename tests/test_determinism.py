@@ -138,11 +138,14 @@ def test_near_dup_invariant_to_arrow_batch_size(spark):
 
     def run():
         emb = load_table(spark, SF_SMOKE, "embeddings")
-        return _collect_sorted(
+        nd = _collect_sorted(
             SIM.embedding_near_dup_pairs(
                 emb, threshold=0.4, exact=False, num_bits=48, bands=16
             )
         )
+        docs = load_table(spark, SF_SMOKE, "documents")
+        sh = _collect_sorted(DD.simhash_pairs(docs, max_hamming=3))
+        return nd, sh
 
     ref = run()
     with _with_conf(spark, "spark.sql.execution.arrow.maxRecordsPerBatch", "16"):
