@@ -468,6 +468,39 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
     assert b.agg(F.sum("id")).first()[0] == a.agg(F.sum("id")).first()[0]
 
 
+def test_lakehouse_lifecycle_upsert_then_compact(spark, tmp_path):
+    """The maintenance ops COMPOSED, the way a real incremental table lives:
+    fragmented base table → merge_upsert (new snapshot, latest-wins) →
+    compact_table over the snapshot. Content must survive both rewrites
+    bit-for-bit and the file count must collapse."""
+    import os
+
+    from etl_ecommerce_data_spark.sources.incremental import (
+        compact_table,
+        merge_upsert,
+    )
+
+    base = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(k, 1, f"old{k}") for k in range(500)], "k long, v long, payload string"
+    ).repartition(16).write.parquet(base)
+    updates = spark.createDataFrame(
+        [(k, 2, f"new{k}") for k in range(0, 500, 5)],
+        "k long, v long, payload string",
+    )
+    snap = merge_upsert(spark, base, updates, ["k"], "v")
+    out, _ = compact_table(spark, snap, target_file_bytes=1 << 30)
+    got = {r["k"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 500
+    for k, r in got.items():
+        want = ("new", 2) if k % 5 == 0 else ("old", 1)
+        assert (r["payload"][:3], r["v"]) == want
+    n_files = sum(
+        f.endswith(".parquet") for _, _, fs in os.walk(out) for f in fs
+    )
+    assert n_files == 1
+
+
 def test_compact_table_fails_loudly_on_missing_or_empty_table(spark, tmp_path):
     # ADVICE r5: sizing a remote/missing table must never silently yield 0
     # bytes and collapse to one file — absent paths and parquet-free dirs
