@@ -746,8 +746,12 @@ def boilerplate_removal(
             chunk_texts(F.coalesce(F.col(text_col), F.lit("")), chunk_tokens)
         ).alias("pos", "chunk"),
     ).localCheckpoint(eager=False)
+    # the empty chunk (only produced by empty/null text) can never be
+    # boilerplate: >= min_docs text-less docs would otherwise flag '' as
+    # shared content and every empty doc would report a phantom removal
     boiler = (
-        chunks.groupBy("chunk")
+        chunks.filter(F.col("chunk") != "")
+        .groupBy("chunk")
         .agg(F.countDistinct("__id").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
         .select("chunk", F.lit(True).alias("__boiler"))

@@ -536,11 +536,16 @@ def _bucket_blas_verify(threshold: float, chunk_cells: int = 8_000_000):
     bound (``4·(dim+2)·eps·Σ|aᵢbᵢ| / (‖a‖‖b‖)``) on how far ANY float64
     accumulation order can land from any other — so every pair whose
     canonical cosine clears the threshold is gated under EVERY chunking.
-    Each gated pair's emitted cosine is then recomputed with one
-    fixed-shape per-pair 1-D ``np.dot`` (O(gated pairs), chunk-independent)
-    and the threshold applied to THAT value, making both the emitted pair
-    set and the emitted cosines invariant to ``chunk_cells``
+    Each gated pair's emitted cosine is then recomputed with a fixed-shape
+    per-pair kernel — elementwise product + per-row pairwise ``sum(axis=1)``
+    over constant-size pair slabs — whose per-row reduction depends only on
+    that row's ``dim`` values (never on slab height, chunk height, or
+    cohort), and the threshold applied to THAT value, making both the
+    emitted pair set and the emitted cosines invariant to ``chunk_cells``
     (property-pinned by ``test_bucket_blas_verify_chunking_invariant``).
+    The slab loop is vectorized (no per-pair Python calls), so a dense
+    near-cap bucket gating millions of pairs costs one numpy pass, not
+    minutes of interpreter time.
     Chunk rows are sized so the partial Gram stays under ``chunk_cells``
     doubles regardless of bucket size — a degenerate bucket costs quadratic
     FLOPS (inherent to banding, same skew surface as the minhash star cap)
@@ -574,13 +579,19 @@ def _bucket_blas_verify(threshold: float, chunk_cells: int = 8_000_000):
                 pos_b.append(jj[keep])
         pa = np.concatenate(pos_a) if pos_a else np.empty(0, dtype=np.int64)
         pb = np.concatenate(pos_b) if pos_b else np.empty(0, dtype=np.int64)
-        # Fixed-shape re-verify: one 1-D ddot per gated pair. Identical
-        # inputs → identical accumulation regardless of chunk height or
-        # direction (elementwise products commute, fold order is fixed).
+        # Fixed-shape re-verify, vectorized: per slab of gated pairs,
+        # elementwise product + per-row pairwise sum(axis=1). The per-row
+        # reduction shape is (dim,) regardless of slab height, so identical
+        # inputs give identical accumulation under any chunking, slabbing,
+        # or direction (elementwise products commute). The constant slab
+        # bounds the (slab × dim) temporary; no per-pair Python calls.
         cos = np.empty(len(pa), dtype=np.float64)
+        slab = 65536
         with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
-            for r in range(len(pa)):
-                cos[r] = np.dot(mat[pa[r]], mat[pb[r]]) / (nrm[pa[r]] * nrm[pb[r]])
+            for s in range(0, len(pa), slab):
+                e = min(s + slab, len(pa))
+                prod = mat[pa[s:e]] * mat[pb[s:e]]
+                cos[s:e] = prod.sum(axis=1) / (nrm[pa[s:e]] * nrm[pb[s:e]])
         # a non-finite cosine is an artifact (denormal norm product under-
         # flowing to 0, or 0/0), never a valid >= threshold verdict
         final = np.isfinite(cos) & (cos >= threshold)

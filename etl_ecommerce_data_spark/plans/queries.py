@@ -1146,7 +1146,15 @@ FROM p
     tags=("extension", "dedup", "lsh", "recall"),
 )
 def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cap = 512  # minhash_lsh_pairs' default bucket_cap
+    import inspect
+
+    # rederive the cap regime with the operator's OWN defaults — a changed
+    # default must not silently desynchronize the regime detection
+    dflt = {
+        k: p.default
+        for k, p in inspect.signature(DD.minhash_lsh_pairs).parameters.items()
+    }
+    cap, n_perms, n_bands = dflt["bucket_cap"], dflt["num_perms"], dflt["bands"]
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     exact = DD.ngram_jaccard_pairs(docs, threshold=0.6, block_col=None).select(
         "doc_a", "doc_b"
@@ -1173,7 +1181,7 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep_hs = reps.select("doc_id", DD._token_hashes(F.col("__text")).alias("__hs"))
     n_over = (
-        DD._banded_buckets_from_hashes(rep_hs, 64, 16)
+        DD._banded_buckets_from_hashes(rep_hs, n_perms, n_bands)
         .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > cap)
@@ -4902,15 +4910,23 @@ def q_dedup_cross_corpus_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_fp")
     )
     # independent corpus-side cap-state rederivation (the cross guard stars
-    # oversized CORPUS buckets; the new side is never capped)
+    # oversized CORPUS buckets; the new side is never capped) — constants
+    # from the operator's own signature so a default change can't
+    # desynchronize the regime detection
+    import inspect
+
+    dflt = {
+        k: p.default
+        for k, p in inspect.signature(DD.minhash_lsh_pairs_cross).parameters.items()
+    }
     old_hs = old_side.select(
         "doc_id", DD._token_hashes(F.col("text")).alias("__hs")
     )
     n_over = (
-        DD._banded_buckets_from_hashes(old_hs, 64, 16)
+        DD._banded_buckets_from_hashes(old_hs, dflt["num_perms"], dflt["bands"])
         .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 512)  # minhash_lsh_pairs_cross default cap
+        .filter(F.col("__n") > dflt["bucket_cap"])
         .agg(F.count(F.lit(1)).alias("n_capped_buckets"))
     )
     return (

@@ -127,8 +127,12 @@ def compact_table(
         if st.getPath().getName().endswith(".parquet"):
             size += st.getLen()
     if size == 0:
-        raise FileNotFoundError(
-            f"compact_table: no parquet files under {table_path!r}"
+        # distinct from the Hadoop FileNotFoundException listFiles raises
+        # for a MISSING path: the path exists but holds no parquet bytes
+        # (parquet-free dir, or zero-length placeholder files)
+        raise ValueError(
+            f"compact_table: no parquet bytes under {table_path!r} "
+            "(parquet-free or empty-file table; nothing to compact)"
         )
     n_files = max(1, -(-size // target_file_bytes))  # ceil
 

@@ -532,10 +532,18 @@ def run_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-invocation root: a fixture-keyed fixed path would let two
     # concurrent sessions (parallel pytest workers, bench + sweep) rmtree
     # each other's staged batches mid-stream — same isolation contract as
-    # compact_table's uuid'd output path
+    # compact_table's uuid'd output path. The returned DataFrame reads the
+    # final snapshot lazily, so the root must outlive this call; an atexit
+    # hook reclaims it at interpreter exit (plus each superseded snapshot
+    # is pruned eagerly inside the loop), so repeated bench/sweep/test
+    # invocations don't accumulate snapshots in the tmpdir.
+    import atexit
+    import shutil
+
     root = os.path.join(
         tempfile.gettempdir(), f"dedup_ingest_{uuid.uuid4().hex[:12]}"
     )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     stage = os.path.join(root, "stage")
     os.makedirs(stage)
     raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -566,6 +574,11 @@ def run_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             state = spark.read.parquet(current[0])
             fresh = survivors.join(state, "content_hash", "left_anti")
             state.unionByName(fresh).write.mode("overwrite").parquet(out)
+            # the new snapshot is fully written (eager); the superseded one
+            # is dead weight — prune it so only the live snapshot remains
+            import shutil
+
+            shutil.rmtree(current[0], ignore_errors=True)
         current[0] = out
 
     stream = (
@@ -581,9 +594,7 @@ def run_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     if current[0] is None:
         raise RuntimeError("incremental dedup ingest processed no micro-batches")
-    # the staged batches are consumed; only the accepted snapshot (read
-    # lazily by the caller) must outlive this call
-    import shutil
-
+    # the staged batches are consumed; only the live accepted snapshot
+    # (read lazily by the caller, reclaimed by the atexit hook) remains
     shutil.rmtree(stage, ignore_errors=True)
     return spark.read.parquet(current[0]).select("content_hash", "doc_id")

@@ -110,7 +110,7 @@ _SHUFFLE_BUDGETS = {
     "corpus_boilerplate_removal": 3,  # explode agg + membership join + regroup
     "doc_rarity_score": 4,
     "event_type_drift": 5,      # tiny SinglePartition pivots over 1-row aggs
-    "curate_corpus_hygiene": 5,  # four composed stages, six exchanges max
+    "curate_corpus_hygiene": 5,  # four composed stages, 5 exchanges measured
 }
 
 

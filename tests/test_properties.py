@@ -496,6 +496,24 @@ def test_boilerplate_removal_keeps_null_text_docs(spark):
         assert rows[i]["clean_text"] == "" and rows[i]["n_removed"] == 1
 
 
+def test_boilerplate_removal_empty_chunk_never_boilerplate(spark):
+    # >= min_docs text-less docs share the '' chunk; it must NOT classify
+    # as boilerplate — empty docs report zero removals, and the doc with
+    # real repeated content still gets its removal counted.
+    from etl_ecommerce_data_spark.operators.dedup import boilerplate_removal
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, ""), (3, "x y"), (4, "x y"), (5, "x y")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in boilerplate_removal(df, chunk_tokens=2, min_docs=3).collect()}
+    assert set(rows) == set(range(6))
+    for i in (0, 1, 2):  # empty docs: one '' chunk, zero phantom removals
+        assert rows[i]["clean_text"] == "" and rows[i]["n_removed"] == 0
+    for i in (3, 4, 5):  # the real shared chunk is still removed
+        assert rows[i]["clean_text"] == "" and rows[i]["n_removed"] == 1
+
+
 # --- PII redaction vs Python re ---------------------------------------------
 # Independent model: Python's re module applies the same patterns. Pins the
 # Java-regex semantics (greediness, \b, class ranges) against a third engine

@@ -512,7 +512,8 @@ def test_compact_table_fails_loudly_on_missing_or_empty_table(spark, tmp_path):
     empty = tmp_path / "empty_dir"
     empty.mkdir()
     (empty / "not_parquet.txt").write_text("x")
-    with pytest.raises(FileNotFoundError, match="no parquet files"):
+    (empty / "zero_len.parquet").touch()  # placeholder/interrupted write
+    with pytest.raises(ValueError, match="no parquet bytes"):
         compact_table(spark, str(empty))
 
 

@@ -46,17 +46,32 @@ SCRATCH = "/tmp/spark_graft_scale3x"
 ID_STRIDE = 10_000_000
 
 
-def _perm(copy_i: int, dim: int) -> list[int]:
-    """Affine permutation of ``dim`` dimensions (coprime stride), derived
-    from the table's ACTUAL width so regenerated testdata with a different
-    embedding dimension keeps working. Distinct copies get distinct
-    (stride, offset) pairs so cross-copy cosines decorrelate."""
+def _strides(n_copies: int, dim: int) -> list[int]:
+    """One coprime stride per non-base copy, all DISTINCT: two copies
+    sharing a stride (a gcd bump can collide adjacent candidates for dims
+    divisible by a candidate, e.g. dim=51 bumps 17 → 19 = the next copy's)
+    would make their permutations index-rotations of each other — perfectly
+    correlated cross-copy cosines, defeating the disjoint-copy
+    construction."""
+    import itertools
     import math
 
-    s = 2 * copy_i + 15  # 17, 19, 21, ... per copy
-    while math.gcd(s, dim) != 1:  # a non-coprime stride is not a permutation
-        s += 2
-    return [(s * j + 5 * copy_i) % dim for j in range(dim)]
+    # candidate order preserves the round-5/6 measurements: copies 1 and 2
+    # keep their historical strides (17, 29) on the shipped dim=64 corpus
+    candidates = itertools.chain([17, 29], itertools.count(31, 2))
+    out: list[int] = []
+    for s in candidates:
+        if len(out) >= n_copies - 1:
+            break
+        if math.gcd(s, dim) == 1 and s % dim not in [x % dim for x in out]:
+            out.append(s)
+    return out
+
+
+def _perm(stride: int, copy_i: int, dim: int) -> list[int]:
+    """Affine permutation of ``dim`` dimensions for copy ``copy_i``, using a
+    pre-assigned unique coprime ``stride`` (see ``_strides``)."""
+    return [(stride * j + 5 * copy_i) % dim for j in range(dim)]
 
 
 def build_nx(spark, sf_dir: str, n_copies: int) -> str:
@@ -80,9 +95,12 @@ def build_nx(spark, sf_dir: str, n_copies: int) -> str:
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
+    strides = _strides(n_copies, dim)
     ecopies = [emb]
     for i in range(1, n_copies):
-        permuted = F.array(*[F.get(F.col("embedding"), p) for p in _perm(i, dim)])
+        permuted = F.array(
+            *[F.get(F.col("embedding"), p) for p in _perm(strides[i - 1], i, dim)]
+        )
         ecopies.append(
             emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_STRIDE))
             .withColumn("embedding", permuted)

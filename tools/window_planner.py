@@ -42,11 +42,24 @@ TWINNED_ROWS_ONLY = {
 }
 
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def freshness() -> dict[str, tuple[int, str]]:
+    """Freshest driver evidence per query. Files resolve against the repo
+    root (not the cwd) and are processed in PARSED round order — a
+    lexicographic sort would let r7 follow r10+ (or r99 follow r100) and
+    stale rows overwrite fresh ones."""
     fresh: dict[str, tuple[int, str]] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"r(\d+)", os.path.basename(path))
-        rnd = int(m.group(1))
+    paths = glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))
+    if not paths:
+        sys.exit(f"no CORRECTNESS_r*.json under {REPO_ROOT} — nothing to plan from")
+
+    def rnd_of(p: str) -> int:
+        return int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+
+    for path in sorted(paths, key=rnd_of):
+        rnd = rnd_of(path)
         for q, v in json.load(open(path)).items():
             if v.get("hash_match"):
                 fresh[q] = (rnd, "green")
