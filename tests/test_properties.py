@@ -449,7 +449,9 @@ def _model_boilerplate(texts, chunk_tokens, min_docs):
             df[c] += 1
     out = {}
     for i, cs in per_doc.items():
-        kept = [c for c in cs if df[c] < min_docs]
+        # '' (empty/whitespace-only text) is never boilerplate: emptiness
+        # shared by many docs is absence of content, not shared content
+        kept = [c for c in cs if c == "" or df[c] < min_docs]
         out[i] = (" ".join(kept), len(cs), len(cs) - len(kept))
     return out
 
