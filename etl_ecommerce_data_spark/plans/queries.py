@@ -2493,6 +2493,156 @@ def q_embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_star_cap_floor",
+    "Driver-pinned contract for the embedding GROUP-AND-VERIFY bucket cap "
+    "(VERDICT r6 ask #2) — the applyInPandas mega-bucket guard in "
+    "embedding_near_dup_pairs (operators/similarity.py:751) is the one knob "
+    "on the embedding path that changes answers at scale; this row exercises "
+    "it with bucket_cap=48 (a MIXED regime at every oracle SF: 117/121 of "
+    "128 (band,bucket) groups over the cap at sf0.001/0.01, all 128 at "
+    "sf0.1, so the grouped Gram path, the linear STAR path, and their union "
+    "all run). One row, four booleans the oracle pins to TRUE, mirroring "
+    "dedup_star_cap_floor: (1) cap_exercised — an INDEPENDENT SRP banding "
+    "pass (fresh _srp_words_udf + the operator's published shift/mask "
+    "bucket formula, not its internal plan) finds ≥1 bucket over the cap; "
+    "(2) no_false_pairs — capped output ⊆ uncapped output (the cap only "
+    "removes pairs; star candidates are exact-verified through the "
+    "cosine_from_parts id-join tail, so they can never invent a pair the "
+    "Gram path would reject); (3) anchor_pair_recall_1 — the independent "
+    "banding pass derives every (min-id anchor, member) pair inside "
+    "oversized buckets, exact-scores it, and every true one (cosine ≥ 0.4; "
+    "1/2/15 pairs at sf0.001/0.01/0.1 — non-vacuous at every oracle SF) "
+    "appears in the capped output; (4) listing_degraded — capped pair "
+    "count < uncapped (measured 15 vs 66 / 9 vs 59 / 15 vs 910), the "
+    "documented cost of linear star generation. Same banding shape as the "
+    "scale path (48 bits, 16 3-bit bands, threshold 0.4) so the contract "
+    "pins the production configuration, not a toy one.",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       true AS cap_exercised,
+       true AS no_false_pairs,
+       true AS anchor_pair_recall_1,
+       true AS listing_degraded
+FROM embeddings
+WHERE embedding IS NOT NULL
+  AND {_COS_SQL.format(a="CAST(embedding AS DOUBLE[])", b="CAST(embedding AS DOUBLE[])")} > 0
+""",
+    tags=("extension", "similarity", "dedup", "lsh", "recall"),
+)
+def q_embedding_star_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cap, threshold, num_bits, bands, dim = 48, 0.4, 48, 16, 64
+    width = num_bits // bands
+    emb = load_table(spark, sf_dir, "embeddings")
+    capped = (
+        SIM.embedding_near_dup_pairs(
+            emb, threshold=threshold, exact=False, num_bits=num_bits,
+            bands=bands, bucket_cap=cap,
+        )
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
+    )
+    uncapped = (
+        SIM.embedding_near_dup_pairs(
+            emb, threshold=threshold, exact=False, num_bits=num_bits,
+            bands=bands, bucket_cap=None,
+        )
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
+    )
+    counts = capped.agg(F.count(F.lit(1)).alias("n_capped")).crossJoin(
+        F.broadcast(uncapped.agg(F.count(F.lit(1)).alias("n_uncapped")))
+    )
+    extra = capped.join(uncapped, ["vec_a", "vec_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_extra")
+    )
+    # Independent anchor-pair ground truth: a FRESH SRP banding pass (its
+    # own signature UDF call + the operator's documented bucket formula,
+    # operators/similarity.py:727-750) finds oversized buckets and their
+    # min-id anchors, exact-cosine-scores every (anchor, member) pair, and
+    # the floor demands each true one appears in the capped output. The
+    # same null/zero-norm drop the operator declares is applied up front.
+    base = emb.filter(
+        F.col("embedding").isNotNull() & (SIM.norm(F.col("embedding")) > 0)
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_a"),
+        F.col("embedding").alias("__va"),
+    )
+    srp = SIM._srp_words_udf(num_bits, dim)
+    banded = (
+        base.select("vec_a", "__va", srp(F.col("__va")).alias("__w"))
+        .select(
+            "vec_a",
+            "__va",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            (
+                                F.shiftrightunsigned(F.get("__w", 0), i * width)
+                                .bitwiseAND(F.lit((1 << width) - 1))
+                                + F.size("__va").cast("long") * F.lit(1 << width)
+                            ).alias("bucket"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        )
+        .select("vec_a", "__va", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("vec_a").alias("__anchor")
+    )
+    stars = (
+        banded.join(sizes.filter(F.col("__n") > cap), ["band", "bucket"])
+        .filter(F.col("vec_a") != F.col("__anchor"))
+        .select(
+            F.least("__anchor", "vec_a").alias("vec_a"),
+            F.greatest("__anchor", "vec_a").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = base.select("vec_a", F.col("__va").alias("__xa"))
+    vb = base.select(F.col("vec_a").alias("vec_b"), F.col("__va").alias("__xb"))
+    truth = (
+        stars.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "__cos",
+            SIM.cosine_from_parts(
+                SIM.dot(F.col("__xa"), F.col("__xb")),
+                SIM.norm(F.col("__xa")),
+                SIM.norm(F.col("__xb")),
+            ),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select("vec_a", "vec_b")
+    )
+    anchor = truth.join(capped, ["vec_a", "vec_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_anchor_missed")
+    )
+    n_over = sizes.filter(F.col("__n") > cap).agg(
+        F.count(F.lit(1)).alias("n_capped_buckets")
+    )
+    n_vecs = base.agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        n_vecs.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(extra))
+        .crossJoin(F.broadcast(anchor))
+        .crossJoin(F.broadcast(n_over))
+        .select(
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            (F.col("n_capped_buckets") >= 1).alias("cap_exercised"),
+            (F.col("n_extra") == 0).alias("no_false_pairs"),
+            (F.col("n_anchor_missed") == 0).alias("anchor_pair_recall_1"),
+            (F.col("n_capped") < F.col("n_uncapped")).alias("listing_degraded"),
+        )
+    )
+
+
 _TOPK_RECALL_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 10),

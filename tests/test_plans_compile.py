@@ -55,7 +55,10 @@ _BNLJ_OK = {"priority_revenue_share", "similarity_topk", "similarity_topk_ivf",
             "dedup_minhash_recall", "dedup_simhash_complete",
             "dedup_cross_corpus_recall",
             "embedding_near_dup_recall", "similarity_lsh_recall",
-            "similarity_ivf_recall"}
+            "similarity_ivf_recall",
+            # 1-row contract scalars (counts/anchor-miss/cap-state aggs)
+            # broadcast-crossed into the one-row result
+            "embedding_star_cap_floor"}
 # Plans allowed to contain Python nodes: the declared Arrow-batched paths.
 _PYTHON_OK = {"user_value_ewma", "multimodal_meta", "multimodal_features",
               "doc_chunks_udtf",
@@ -67,7 +70,10 @@ _PYTHON_OK = {"user_value_ewma", "multimodal_meta", "multimodal_features",
               "dedup_simhash_docs", "dedup_simhash_complete",
               # per-partition BLAS Gram partials + one d x d eigensolve over
               # a fixed d(d+1)/2-cell reduce
-              "embedding_pca_variance"}
+              "embedding_pca_variance",
+              # capped + uncapped embedding_near_dup runs (SRP signature UDF
+              # + grouped Gram verify) + a fresh SRP pass for anchor truth
+              "embedding_star_cap_floor"}
 
 
 @pytest.mark.parametrize("name", [n for n in QUERIES if n not in _EXECUTING])
