@@ -508,7 +508,54 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Live per-invocation scratch roots for run_incremental_dedup_ingest. ONE
+# atexit hook (registered on first use) reclaims whatever is still live at
+# interpreter exit; eager reclamation goes through IngestSnapshot.release().
+# The per-call atexit.register of earlier rounds grew one callback + one
+# surviving snapshot dir per invocation over a long-lived driver's lifetime
+# (driver ADVICE r6) — a notebook/service calling this hourly leaked both.
+_INGEST_ROOTS: set[str] = set()
+_INGEST_ATEXIT_REGISTERED = False
+
+
+def _reclaim_ingest_roots() -> None:
+    import shutil
+
+    for root in list(_INGEST_ROOTS):
+        shutil.rmtree(root, ignore_errors=True)
+        _INGEST_ROOTS.discard(root)
+
+
+class IngestSnapshot:
+    """Handle for the incremental-dedup result: ``.df`` is the lazy final
+    accepted-state frame, ``.root`` the scratch dir backing it. Call
+    ``.release()`` (or use as a context manager) once the result is
+    consumed to reclaim the snapshot dir eagerly — the module-level atexit
+    hook is only the fallback for callers that never release. Unpacks as
+    ``df, snap = ...`` is NOT supported on purpose: the handle IS the
+    object; ``.df`` reads the snapshot lazily, so releasing before the
+    last action on ``.df`` invalidates the frame."""
+
+    def __init__(self, df: DataFrame, root: str):
+        self.df = df
+        self.root = root
+
+    def release(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+        _INGEST_ROOTS.discard(self.root)
+
+    def __enter__(self) -> "IngestSnapshot":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def run_incremental_dedup_ingest(
+    spark: SparkSession, sf_dir: str, *, as_handle: bool = False
+) -> DataFrame | IngestSnapshot:
     """Streaming corpus ingest with cross-batch exact dedup — the
     steady-state shape of a crawl pipeline feeding a 100 TB corpus: each
     micro-batch hashes its documents, drops everything whose content hash
@@ -524,6 +571,11 @@ def run_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, so the final state is hash-checked, not just row-counted.
     Production shape: Kafka source + Delta MERGE with the same anti-join;
     state is one hash+id per UNIQUE document, not per ingested row.
+
+    Pass ``as_handle=True`` to get an ``IngestSnapshot`` instead of the
+    bare frame — ``.df`` is the same lazy result, ``.release()`` reclaims
+    the scratch snapshot eagerly once consumed (a long-lived driver calling
+    this per batch should; the atexit hook is only the fallback).
     """
     import os
     import tempfile
@@ -532,18 +584,22 @@ def run_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-invocation root: a fixture-keyed fixed path would let two
     # concurrent sessions (parallel pytest workers, bench + sweep) rmtree
     # each other's staged batches mid-stream — same isolation contract as
-    # compact_table's uuid'd output path. The returned DataFrame reads the
-    # final snapshot lazily, so the root must outlive this call; an atexit
-    # hook reclaims it at interpreter exit (plus each superseded snapshot
-    # is pruned eagerly inside the loop), so repeated bench/sweep/test
-    # invocations don't accumulate snapshots in the tmpdir.
+    # compact_table's uuid'd output path. The returned frame reads the
+    # final snapshot lazily, so the root must outlive this call; it is
+    # tracked in _INGEST_ROOTS (one shared atexit hook, registered once)
+    # until IngestSnapshot.release() or interpreter exit reclaims it, and
+    # each superseded snapshot is pruned eagerly inside the loop.
     import atexit
     import shutil
 
+    global _INGEST_ATEXIT_REGISTERED
     root = os.path.join(
         tempfile.gettempdir(), f"dedup_ingest_{uuid.uuid4().hex[:12]}"
     )
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    _INGEST_ROOTS.add(root)
+    if not _INGEST_ATEXIT_REGISTERED:
+        atexit.register(_reclaim_ingest_roots)
+        _INGEST_ATEXIT_REGISTERED = True
     stage = os.path.join(root, "stage")
     os.makedirs(stage)
     raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -597,4 +653,5 @@ def run_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the staged batches are consumed; only the live accepted snapshot
     # (read lazily by the caller, reclaimed by the atexit hook) remains
     shutil.rmtree(stage, ignore_errors=True)
-    return spark.read.parquet(current[0]).select("content_hash", "doc_id")
+    df = spark.read.parquet(current[0]).select("content_hash", "doc_id")
+    return IngestSnapshot(df, root) if as_handle else df

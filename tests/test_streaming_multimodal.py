@@ -320,3 +320,35 @@ def test_incremental_dedup_ingest_drops_cross_batch_duplicates(spark, tmp_path):
         h("shared odd text"): 5,
         h("unique text"): 1,
     }
+
+
+def test_incremental_dedup_ingest_handle_reclaims_eagerly(spark, tmp_path):
+    """Driver ADVICE r6: repeated invocations in a long-lived driver must
+    not accumulate snapshot dirs or atexit hooks — the handle reclaims its
+    scratch root eagerly, and the root set shrinks back."""
+    import os
+
+    from etl_ecommerce_data_spark.streaming import events as EV
+
+    rows = [(0, "a text"), (1, "b text"), (2, "a text")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    before = set(EV._INGEST_ROOTS)
+    with EV.run_incremental_dedup_ingest(
+        spark, str(tmp_path), as_handle=True
+    ) as snap:
+        assert os.path.isdir(snap.root)
+        assert snap.root in EV._INGEST_ROOTS
+        assert len(snap.df.collect()) == 2  # a-text deduped
+    # context exit released the scratch root and untracked it
+    assert not os.path.exists(snap.root)
+    assert EV._INGEST_ROOTS == before
+    # release is idempotent
+    snap.release()
+    # a second invocation reuses the ONE shared atexit hook (no per-call
+    # registration): the tracked-set grows by exactly the live handle
+    snap2 = EV.run_incremental_dedup_ingest(spark, str(tmp_path), as_handle=True)
+    assert EV._INGEST_ROOTS - before == {snap2.root}
+    snap2.release()
+    assert EV._INGEST_ROOTS == before

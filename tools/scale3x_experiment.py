@@ -56,15 +56,37 @@ def _strides(n_copies: int, dim: int) -> list[int]:
     import itertools
     import math
 
+    # BOUNDED scan (driver ADVICE r6): there are only phi(dim) coprime
+    # residues mod dim, so requesting more distinct strides than that can
+    # never terminate (e.g. dim=1, where every s % dim == 0) — fail loudly
+    # up front instead of spinning in itertools.count.
+    avail = sum(1 for r in range(dim) if math.gcd(r, dim) == 1) if dim > 1 else 1
+    if n_copies - 1 > avail:
+        raise ValueError(
+            f"n_copies={n_copies} needs {n_copies - 1} distinct coprime "
+            f"residues mod dim={dim}, only {avail} exist"
+        )
     # candidate order preserves the round-5/6 measurements: copies 1 and 2
     # keep their historical strides (17, 29) on the shipped dim=64 corpus
     candidates = itertools.chain([17, 29], itertools.count(31, 2))
     out: list[int] = []
+    scanned_since_add = 0
     for s in candidates:
         if len(out) >= n_copies - 1:
             break
         if math.gcd(s, dim) == 1 and s % dim not in [x % dim for x in out]:
             out.append(s)
+            scanned_since_add = 0
+        else:
+            scanned_since_add += 1
+            # every residue class mod dim recurs within 2*dim consecutive
+            # odd candidates; no progress in that span means no usable
+            # residue remains despite the phi bound — fail, don't spin
+            if scanned_since_add > 2 * dim:
+                raise RuntimeError(
+                    f"stride scan stalled: {len(out)} of {n_copies - 1} "
+                    f"strides found for dim={dim}"
+                )
     return out
 
 
@@ -109,6 +131,31 @@ def build_nx(spark, sf_dir: str, n_copies: int) -> str:
     for c in ecopies[1:]:
         e_all = e_all.unionByName(c)
     e_all.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
+    # Relational tables for the analytics-mart scaling rows (round 7): key
+    # columns stride by copy, every other column is untouched — so each
+    # copy is a disjoint, structurally-identical mini-warehouse. Predicted
+    # output under N copies: per-customer marts (customer_metrics) emit
+    # exactly N× rows; per-day marts (daily_sales) keep their row count and
+    # scale every additive aggregate by exactly N — both checkable, like
+    # the dedup construction's true-pair mass.
+    keyed = {
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey"],
+        "customer": ["c_custkey"],
+    }
+    for tname, keys in keyed.items():
+        t = load_table(spark, sf_dir, tname)
+        tcopies = [t]
+        for i in range(1, n_copies):
+            c = t
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * ID_STRIDE))
+            tcopies.append(c)
+        t_all = tcopies[0]
+        for c in tcopies[1:]:
+            t_all = t_all.unionByName(c)
+        t_all.write.mode("overwrite").parquet(os.path.join(out, f"{tname}.parquet"))
     return out
 
 
@@ -161,6 +208,13 @@ def main() -> None:
 
         return QUERIES["curate_corpus_hygiene"].builder(spark, sdir).count()
 
+    def registry(name):
+        # registry builders run against the 1x / Nx directory directly —
+        # the same code path the driver measures
+        from etl_ecommerce_data_spark.plans.queries import QUERIES
+
+        return lambda d, e, sdir: QUERIES[name].builder(spark, sdir).count()
+
     ops = {
         "dedup_minhash_docs": lambda d, e, s: DD.minhash_lsh_pairs(d, threshold=0.6).count(),
         "dedup_simhash_docs": lambda d, e, s: DD.simhash_pairs(d, max_hamming=3).count(),
@@ -171,6 +225,18 @@ def main() -> None:
         "linkage_fuzzy_docs": linkage,
         "corpus_boilerplate": boilerplate,
         "curate_corpus_hygiene": hygiene,
+        # retrieval pair (round 7): wall should scale ~linearly in corpus
+        # size. inverted_index output rows scale ~Nx (prefixed copies make
+        # the vocabulary disjoint); tfidf_search output is top-k on the
+        # query terms, which only copy 0 contains — out ratio 1.0 BY
+        # CONSTRUCTION there, the timing column is the evidence.
+        "tfidf_search": registry("tfidf_search"),
+        "inverted_index": registry("inverted_index"),
+        # analytics marts (round 7): customer_metrics rows scale exactly
+        # Nx (per-customer groups, disjoint key ranges); daily_sales keeps
+        # its per-day row count with every additive aggregate at exactly Nx
+        "customer_metrics": registry("customer_metrics"),
+        "daily_sales": registry("daily_sales"),
     }
     # warm python workers / codegen
     for fn in ops.values():

@@ -41,6 +41,29 @@ TWINNED_ROWS_ONLY = {
     "dedup_minhash_bucket_stats": "dedup_minhash_recall",
 }
 
+# Co-rotation contract (VERDICT r6 residual #1): a rows-only production path
+# must never get fresh driver evidence WITHOUT the oracled twins that pin
+# it — a lone rows-only row would look like evidence while proving nothing.
+# Any suggested window containing a key below must also contain its twins;
+# the planner pulls them in ahead of lower-priority singles.
+CO_ROTATE = {
+    "embedding_near_dup": [
+        "embedding_near_dup_baseline",
+        "embedding_near_dup_recall",
+        "embedding_star_cap_floor",
+    ],
+    "dedup_minhash_docs": ["dedup_minhash_recall", "dedup_star_cap_floor"],
+    "dedup_simhash_docs": ["dedup_simhash_complete"],
+    "dedup_cross_corpus": [
+        "dedup_cross_corpus_recall",
+        "dedup_cross_corpus_baseline",
+    ],
+    "dedup_clusters": ["dedup_clusters_baseline"],
+    "daily_users_hll": ["hll_error_floor"],
+    "value_percentiles_approx": ["gk_percentile_floor"],
+    "embedding_pca_variance": ["embedding_gram_baseline"],
+}
+
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -95,16 +118,31 @@ def main() -> None:
         print(f"{q:36s} {r or '-':>5} {age(q) if q in fresh else '-':>4} {cls}{mark}")
 
     # suggestion: changed first, then never-run, then oldest first; twinned
-    # rows-only entries excluded (their twins carry the evidence)
+    # rows-only entries excluded (their twins carry the evidence); CO_ROTATE
+    # groups enter whole or not at all
     pool = [q for q in rows if q not in TWINNED_ROWS_ONLY and q not in changed]
     pool.sort(key=lambda q: (-age(q), q))
-    suggestion = (changed + pool)[:WINDOW]
+    suggestion: list[str] = []
+    pulled: dict[str, str] = {}
+    for q in changed + pool:
+        if q in suggestion:
+            continue
+        group = [q] + [t for t in CO_ROTATE.get(q, []) if t not in suggestion]
+        if len(suggestion) + len(group) > WINDOW:
+            continue
+        suggestion.extend(group)
+        for t in group[1:]:
+            pulled[t] = q
+        if len(suggestion) >= WINDOW:
+            break
     stale_after = [q for q in QUERIES
                    if q not in suggestion and q not in TWINNED_ROWS_ONLY
                    and age(q) >= 2]
-    print("\nsuggested window (changed -> never-run -> oldest):")
+    print("\nsuggested window (changed -> never-run -> oldest; co-rotated "
+          "twins marked):")
     for q in suggestion:
-        print(f"  {q}")
+        tag = f"  (co-rotated with {pulled[q]})" if q in pulled else ""
+        print(f"  {q}{tag}")
     if stale_after:
         print(f"\nWARNING: {len(stale_after)} queries remain >=2 rounds stale "
               f"after this window: {stale_after}")
