@@ -1109,6 +1109,117 @@ def q_dedup_minhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_bucket_stats(docs, bucket_cap=512)
 
 
+def _dedup_rep_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, __hs) token-hash frame over exact-dedup REPRESENTATIVES —
+    the same md5-groupBy/min-id pre-pass ``minhash_lsh_pairs`` declares.
+    Callers should ``localCheckpoint(eager=False)`` the result when it
+    feeds several consumers."""
+    base = docs.select("doc_id", F.col("text").alias("__text")).filter(
+        F.col("__text").isNotNull()
+    )
+    reps = (
+        base.withColumn("__ch", F.md5("__text"))
+        .groupBy("__ch")
+        .agg(F.min("doc_id").alias("doc_id"), F.first("__text").alias("__text"))
+    )
+    return reps.select("doc_id", DD._token_hashes(F.col("__text")).alias("__hs"))
+
+
+def _hash_jaccard_filter(sj: DataFrame, threshold: float) -> DataFrame:
+    """Exact token-hash Jaccard over (__ha, __hb) pair columns, keeping
+    pairs at or above ``threshold`` — the shared truth formula for every
+    star-contract rederivation (identical to the operator's verification
+    arithmetic: integer intersection / union division)."""
+    inter = F.size(F.array_intersect("__ha", "__hb")).cast("long")
+    return sj.withColumn(
+        "__j",
+        inter.cast("double")
+        / (F.size("__ha").cast("long") + F.size("__hb").cast("long") - inter),
+    ).filter(F.col("__j") >= threshold)
+
+
+def _minhash_star_truth(
+    rep_hs: DataFrame, n_perms: int, n_bands: int, cap: int, threshold: float
+) -> tuple[DataFrame, DataFrame]:
+    """Independent star-contract ground truth for the SELF-join LSH cap:
+    a fresh banding pass over the pre-hashed representative frame finds
+    oversized (band, bucket) groups and their min-id anchors, emits every
+    (anchor, member) candidate, and exact-scores it with token-hash
+    Jaccard. Returns ``(star_truth[doc_a, doc_b], n_over[n_capped_buckets])``.
+
+    Shared by dedup_star_cap_floor and dedup_minhash_recall (and mirrored
+    by the cross variant below) so the contract rows can never encode
+    DIFFERENT star semantics than each other — independence from the
+    operator comes from not touching its candidate machinery (only the
+    published hash/banding helpers), not from duplicating this plan."""
+    bb = DD._banded_buckets_from_hashes(rep_hs, n_perms, n_bands).localCheckpoint(
+        eager=False
+    )
+    sizes = bb.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("doc_id").alias("__anchor")
+    )
+    over = sizes.filter(F.col("__n") > cap)
+    n_over = over.agg(F.count(F.lit(1)).alias("n_capped_buckets"))
+    stars = (
+        bb.join(over, ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("__anchor"))
+        .select(
+            F.least("__anchor", "doc_id").alias("doc_a"),
+            F.greatest("__anchor", "doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sj = stars.join(
+        rep_hs.select(F.col("doc_id").alias("doc_a"), F.col("__hs").alias("__ha")),
+        "doc_a",
+    ).join(
+        rep_hs.select(F.col("doc_id").alias("doc_b"), F.col("__hs").alias("__hb")),
+        "doc_b",
+    )
+    return _hash_jaccard_filter(sj, threshold).select("doc_a", "doc_b"), n_over
+
+
+def _minhash_star_truth_cross(
+    new_hs: DataFrame,
+    old_hs: DataFrame,
+    n_perms: int,
+    n_bands: int,
+    cap: int,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-corpus variant of ``_minhash_star_truth``: the cross guard
+    stars oversized CORPUS-side buckets, pairing colliding NEW-side members
+    with the bucket's min-id corpus anchor. Returns
+    ``(star_truth[new_id, corpus_id], n_over[n_capped_buckets])``."""
+    ob = DD._banded_buckets_from_hashes(old_hs, n_perms, n_bands)
+    sizes = ob.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("doc_id").alias("__anchor")
+    )
+    over = sizes.filter(F.col("__n") > cap)
+    n_over = over.agg(F.count(F.lit(1)).alias("n_capped_buckets"))
+    nb = DD._banded_buckets_from_hashes(new_hs, n_perms, n_bands)
+    star_cands = (
+        nb.join(over.select("band", "bucket", "__anchor"), ["band", "bucket"])
+        .select(
+            F.col("doc_id").alias("new_id"), F.col("__anchor").alias("corpus_id")
+        )
+        .distinct()
+    )
+    sj = star_cands.join(
+        new_hs.select(F.col("doc_id").alias("new_id"), F.col("__hs").alias("__ha")),
+        "new_id",
+    ).join(
+        old_hs.select(
+            F.col("doc_id").alias("corpus_id"), F.col("__hs").alias("__hb")
+        ),
+        "corpus_id",
+    )
+    return (
+        _hash_jaccard_filter(sj, threshold).select("new_id", "corpus_id"),
+        n_over,
+    )
+
+
 @register(
     "dedup_minhash_recall",
     "Driver-checkable recall floor for the LSH path (VERDICT r2 ask #4): "
@@ -1125,8 +1236,10 @@ def q_dedup_minhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "star contract INLINE: every true (anchor, member) pair inside an "
     "oversized bucket — anchors from a fresh exact-dedup + banding "
     "rederivation, truth by exact token-hash Jaccard — must appear in the "
-    "operator's output (the same anchor-recall-1.0 construction "
-    "dedup_star_cap_floor hash-pins with a forced cap). no_false_positives "
+    "operator's output AND the truth set must be non-empty (the same "
+    "anchor-recall-1.0 construction dedup_star_cap_floor hash-pins with a "
+    "forced cap; non-emptiness closes the truth-destroying variant of the "
+    "vacuity). no_false_positives "
     "holds in both regimes: the cap only removes pairs, never invents them.",
     oracle="""
 WITH t AS (
@@ -1175,27 +1288,6 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = lsh.join(exact, ["doc_a", "doc_b"], "left_anti").agg(
         F.count(F.lit(1)).cast("long").alias("n_fp")
     )
-    # independent cap-state rederivation: same exact-dedup + banding shape
-    # the operator declares (64 perms / 16 bands over representatives)
-    base = docs.select("doc_id", F.col("text").alias("__text")).filter(
-        F.col("__text").isNotNull()
-    )
-    reps = (
-        base.withColumn("__ch", F.md5("__text"))
-        .groupBy("__ch")
-        .agg(F.min("doc_id").alias("doc_id"), F.first("__text").alias("__text"))
-    )
-    rep_hs = reps.select(
-        "doc_id", DD._token_hashes(F.col("__text")).alias("__hs")
-    ).localCheckpoint(eager=False)
-    bb = DD._banded_buckets_from_hashes(rep_hs, n_perms, n_bands).localCheckpoint(
-        eager=False
-    )
-    sizes = bb.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("__n"), F.min("doc_id").alias("__anchor")
-    )
-    over = sizes.filter(F.col("__n") > cap)
-    n_over = over.agg(F.count(F.lit(1)).alias("n_capped_buckets"))
     # Capped-regime contract asserted INLINE (driver ADVICE r6): the old
     # shape waived recall entirely whenever any bucket exceeded the cap,
     # which made the row vacuously green under a hashing/banding regression
@@ -1203,38 +1295,18 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shares _token_hashes/_banded_buckets_from_hashes with the operator, so
     # both would flip together). Now the capped regime asserts the star
     # contract instead of nothing: every true (anchor, member) pair inside
-    # an oversized bucket — anchors from this rederivation, truth by exact
-    # token-hash Jaccard, the same ground-truth construction
-    # dedup_star_cap_floor pins — must appear in the operator's output. A
-    # regression that collapses banding now has to ALSO keep the star path's
-    # anchor guarantee intact to stay green, and the uncapped regime still
-    # asserts listing recall >= 0.95.
-    stars = (
-        bb.join(over, ["band", "bucket"])
-        .filter(F.col("doc_id") != F.col("__anchor"))
-        .select(
-            F.least("__anchor", "doc_id").alias("doc_a"),
-            F.greatest("__anchor", "doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    sj = stars.join(
-        rep_hs.select(F.col("doc_id").alias("doc_a"), F.col("__hs").alias("__ha")),
-        "doc_a",
-    ).join(
-        rep_hs.select(F.col("doc_id").alias("doc_b"), F.col("__hs").alias("__hb")),
-        "doc_b",
-    )
-    inter = F.size(F.array_intersect("__ha", "__hb")).cast("long")
-    star_truth = (
-        sj.withColumn(
-            "__j",
-            inter.cast("double")
-            / (F.size("__ha").cast("long") + F.size("__hb").cast("long") - inter),
-        )
-        .filter(F.col("__j") >= 0.6)
-        .select("doc_a", "doc_b")
-    )
+    # an oversized bucket — anchors from a fresh exact-dedup + banding pass,
+    # truth by exact token-hash Jaccard (_minhash_star_truth, the same
+    # ground-truth construction dedup_star_cap_floor pins) — must appear in
+    # the operator's output, AND that ground truth must be NON-EMPTY
+    # (5 902 true star pairs at sf0.1's capped regime): a regression that
+    # also destroys the truth derivation (e.g. empty token-hash arrays →
+    # null Jaccard) would otherwise satisfy anchor recall over an empty set.
+    # The uncapped regime still asserts listing recall >= 0.95.
+    rep_hs = _dedup_rep_hashes(docs).localCheckpoint(eager=False)
+    star_truth, n_over = _minhash_star_truth(rep_hs, n_perms, n_bands, cap, 0.6)
+    star_truth = star_truth.localCheckpoint(eager=False)
+    n_truth = star_truth.agg(F.count(F.lit(1)).alias("n_star_truth"))
     anchor = star_truth.join(lsh, ["doc_a", "doc_b"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_anchor_missed")
     )
@@ -1242,13 +1314,16 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         found.crossJoin(F.broadcast(fps))
         .crossJoin(F.broadcast(n_over))
         .crossJoin(F.broadcast(anchor))
+        .crossJoin(F.broadcast(n_truth))
         .select(
             F.col("n_exact").alias("n_exact_pairs"),
             F.when(
                 F.col("n_capped_buckets") == 0,
                 F.col("n_found").cast("double") / F.col("n_exact") >= 0.95,
             )
-            .otherwise(F.col("n_anchor_missed") == 0)
+            .otherwise(
+                (F.col("n_anchor_missed") == 0) & (F.col("n_star_truth") >= 1)
+            )
             .alias("recall_contract"),
             (F.col("n_fp") == 0).alias("no_false_positives"),
         )
@@ -1320,53 +1395,13 @@ def q_dedup_star_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Independent anchor-pair ground truth: a FRESH banding pass (not the
     # operator's candidate machinery) finds oversized buckets and their
     # min-id anchors, exact-Jaccard-scores every (anchor, member) pair, and
-    # the floor demands each true one appears in the capped output.
-    base = docs.select("doc_id", F.col("text").alias("__text")).filter(
-        F.col("__text").isNotNull()
-    )
-    reps = (
-        base.withColumn("__ch", F.md5("__text"))
-        .groupBy("__ch")
-        .agg(F.min("doc_id").alias("doc_id"), F.first("__text").alias("__text"))
-    )
-    rep_hs = reps.select(
-        "doc_id", DD._token_hashes(F.col("__text")).alias("__hs")
-    ).localCheckpoint(eager=False)
-    banded = DD._banded_buckets_from_hashes(rep_hs, 64, 16)
-    sizes = banded.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("__n"), F.min("doc_id").alias("__anchor")
-    )
-    stars = (
-        banded.join(sizes.filter(F.col("__n") > cap), ["band", "bucket"])
-        .filter(F.col("doc_id") != F.col("__anchor"))
-        .select(
-            F.least("__anchor", "doc_id").alias("doc_a"),
-            F.greatest("__anchor", "doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    sj = stars.join(
-        rep_hs.select(F.col("doc_id").alias("doc_a"), F.col("__hs").alias("__ha")),
-        "doc_a",
-    ).join(
-        rep_hs.select(F.col("doc_id").alias("doc_b"), F.col("__hs").alias("__hb")),
-        "doc_b",
-    )
-    inter = F.size(F.array_intersect("__ha", "__hb")).cast("long")
-    truth = (
-        sj.withColumn(
-            "__j",
-            inter.cast("double")
-            / (F.size("__ha").cast("long") + F.size("__hb").cast("long") - inter),
-        )
-        .filter(F.col("__j") >= threshold)
-        .select("doc_a", "doc_b")
-    )
+    # the floor demands each true one appears in the capped output
+    # (_minhash_star_truth — the same construction the recall floors
+    # assert inline in their capped regime).
+    rep_hs = _dedup_rep_hashes(docs).localCheckpoint(eager=False)
+    truth, n_over = _minhash_star_truth(rep_hs, 64, 16, cap, threshold)
     anchor = truth.join(capped, ["doc_a", "doc_b"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_anchor_missed")
-    )
-    n_over = sizes.filter(F.col("__n") > cap).agg(
-        F.count(F.lit(1)).alias("n_capped_buckets")
     )
     return (
         agree.crossJoin(F.broadcast(counts))
@@ -2556,27 +2591,32 @@ def q_embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "it with bucket_cap=48 (a MIXED regime at every oracle SF: 117/121 of "
     "128 (band,bucket) groups over the cap at sf0.001/0.01, all 128 at "
     "sf0.1, so the grouped Gram path, the linear STAR path, and their union "
-    "all run). One row, four booleans the oracle pins to TRUE, mirroring "
+    "all run). One row, five booleans the oracle pins to TRUE, mirroring "
     "dedup_star_cap_floor: (1) cap_exercised — an INDEPENDENT SRP banding "
     "pass (fresh _srp_words_udf + the operator's published shift/mask "
     "bucket formula, not its internal plan) finds ≥1 bucket over the cap; "
-    "(2) no_false_pairs — capped output ⊆ uncapped output (the cap only "
-    "removes pairs; star candidates are exact-verified through the "
-    "cosine_from_parts id-join tail, so they can never invent a pair the "
-    "Gram path would reject); (3) anchor_pair_recall_1 — the independent "
-    "banding pass derives every (min-id anchor, member) pair inside "
-    "oversized buckets, exact-scores it, and every true one (cosine ≥ 0.4; "
-    "1/2/15 pairs at sf0.001/0.01/0.1 — non-vacuous at every oracle SF) "
-    "appears in the capped output; (4) listing_degraded — capped pair "
-    "count < uncapped (measured 15 vs 66 / 9 vs 59 / 15 vs 910), the "
-    "documented cost of linear star generation. Same banding shape as the "
-    "scale path (48 bits, 16 3-bit bands, threshold 0.4) so the contract "
-    "pins the production configuration, not a toy one.",
+    "(2) no_false_pairs — no pair the cap INVENTED: capped-only pairs are "
+    "exact-fold-cosine re-scored and must not sit below threshold − 1e-9 "
+    "(the ulp slack tolerates the documented star-fold vs Gram-kernel "
+    "last-ulp divergence on a threshold-grazing pair without excusing any "
+    "genuinely sub-threshold emission); (3) anchor_pair_recall_1 — the "
+    "independent banding pass derives every (min-id anchor, member) pair "
+    "inside oversized buckets, exact-scores it, and every true one "
+    "(cosine ≥ 0.4) appears in the capped output; (4) "
+    "anchor_truth_nonempty — that ground truth has ≥1 pair (1/2/15 at "
+    "sf0.001/0.01/0.1), so a truth-destroying regression (null cosines, "
+    "empty banding) cannot green the anchor assertion vacuously; (5) "
+    "listing_degraded — capped pair count < uncapped (measured 15 vs 66 / "
+    "9 vs 59 / 15 vs 910), the documented cost of linear star generation. "
+    "Same banding shape as the scale path (48 bits, 16 3-bit bands, "
+    "threshold 0.4) so the contract pins the production configuration, "
+    "not a toy one.",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
        true AS cap_exercised,
        true AS no_false_pairs,
        true AS anchor_pair_recall_1,
+       true AS anchor_truth_nonempty,
        true AS listing_degraded
 FROM embeddings
 WHERE embedding IS NOT NULL
@@ -2607,9 +2647,16 @@ def q_embedding_star_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = capped.agg(F.count(F.lit(1)).alias("n_capped")).crossJoin(
         F.broadcast(uncapped.agg(F.count(F.lit(1)).alias("n_uncapped")))
     )
-    extra = capped.join(uncapped, ["vec_a", "vec_b"], "left_anti").agg(
-        F.count(F.lit(1)).alias("n_extra")
-    )
+    # A FALSE pair is one the cap INVENTED: in the capped output, not in
+    # the uncapped output, and genuinely below threshold by the exact
+    # sequential-fold cosine. The last clause is the ulp guard: the star
+    # path emits fold-cosines while the Gram path emits fixed-shape numpy
+    # cosines, and the operator itself documents that the two can disagree
+    # in the last ulp on a threshold-grazing pair (operators/similarity.py
+    # max()-aggregation note) — a bare set-subtraction would flip this row
+    # red on correct code if the corpus ever grows a pair within one ulp of
+    # the threshold. A sub-threshold emission still fails the row.
+    _eps = 1e-9
     # Independent anchor-pair ground truth: a FRESH SRP banding pass (its
     # own signature UDF call + the operator's documented bucket formula,
     # operators/similarity.py:727-750) finds oversized buckets and their
@@ -2661,23 +2708,36 @@ def q_embedding_star_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     va = base.select("vec_a", F.col("__va").alias("__xa"))
     vb = base.select(F.col("vec_a").alias("vec_b"), F.col("__va").alias("__xb"))
-    truth = (
-        stars.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .withColumn(
-            "__cos",
-            SIM.cosine_from_parts(
-                SIM.dot(F.col("__xa"), F.col("__xb")),
-                SIM.norm(F.col("__xa")),
-                SIM.norm(F.col("__xb")),
-            ),
+
+    def _fold_cosine(df: DataFrame) -> DataFrame:
+        return (
+            df.join(va, "vec_a")
+            .join(vb, "vec_b")
+            .withColumn(
+                "__cos",
+                SIM.cosine_from_parts(
+                    SIM.dot(F.col("__xa"), F.col("__xb")),
+                    SIM.norm(F.col("__xa")),
+                    SIM.norm(F.col("__xb")),
+                ),
+            )
         )
+
+    truth = (
+        _fold_cosine(stars)
         .filter(F.col("__cos") >= threshold)
         .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
+    )
+    extra = (
+        _fold_cosine(capped.join(uncapped, ["vec_a", "vec_b"], "left_anti"))
+        .filter(F.col("__cos") < threshold - _eps)
+        .agg(F.count(F.lit(1)).alias("n_extra"))
     )
     anchor = truth.join(capped, ["vec_a", "vec_b"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_anchor_missed")
     )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_star_truth"))
     n_over = sizes.filter(F.col("__n") > cap).agg(
         F.count(F.lit(1)).alias("n_capped_buckets")
     )
@@ -2687,11 +2747,13 @@ def q_embedding_star_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(extra))
         .crossJoin(F.broadcast(anchor))
         .crossJoin(F.broadcast(n_over))
+        .crossJoin(F.broadcast(n_truth))
         .select(
             F.col("n_vecs").cast("long").alias("n_vecs"),
             (F.col("n_capped_buckets") >= 1).alias("cap_exercised"),
             (F.col("n_extra") == 0).alias("no_false_pairs"),
             (F.col("n_anchor_missed") == 0).alias("anchor_pair_recall_1"),
+            (F.col("n_star_truth") >= 1).alias("anchor_truth_nonempty"),
             (F.col("n_capped") < F.col("n_uncapped")).alias("listing_degraded"),
         )
     )
@@ -5062,8 +5124,9 @@ def q_dedup_cross_corpus_baseline(spark: SparkSession, sf_dir: str) -> DataFrame
     "waived — every true (new doc, corpus-bucket anchor) pair whose new "
     "side collides with an oversized corpus bucket (anchors and collisions "
     "from a fresh two-sided banding rederivation, truth by exact "
-    "token-hash Jaccard) must appear in the operator's output. "
-    "no_false_positives holds in both regimes.",
+    "token-hash Jaccard) must appear in the operator's output, and the "
+    "truth set must be non-empty. no_false_positives holds in both "
+    "regimes.",
     oracle="""
 WITH nw AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
@@ -5128,52 +5191,24 @@ def q_dedup_cross_corpus_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k: p.default
         for k, p in inspect.signature(DD.minhash_lsh_pairs_cross).parameters.items()
     }
-    old_hs = old_side.select(
-        "doc_id", DD._token_hashes(F.col("text")).alias("__hs")
-    ).localCheckpoint(eager=False)
-    ob = DD._banded_buckets_from_hashes(
-        old_hs, dflt["num_perms"], dflt["bands"]
-    )
-    sizes = ob.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("__n"), F.min("doc_id").alias("__anchor")
-    )
-    over = sizes.filter(F.col("__n") > dflt["bucket_cap"])
-    n_over = over.agg(F.count(F.lit(1)).alias("n_capped_buckets"))
     # Capped-regime star contract asserted INLINE (driver ADVICE r6; see
     # dedup_minhash_recall for the vacuity rationale): the cross guard pairs
     # new-side members of an oversized CORPUS bucket with that bucket's
     # min-id anchor, exact-verified — so every true (new, anchor) pair whose
-    # new side collides with a capped bucket must be listed.
+    # new side collides with a capped bucket must be listed, and the truth
+    # set must be NON-EMPTY (480 true star pairs at sf0.1's capped regime)
+    # so a truth-destroying regression cannot green the row vacuously.
+    old_hs = old_side.select(
+        "doc_id", DD._token_hashes(F.col("text")).alias("__hs")
+    ).localCheckpoint(eager=False)
     new_hs = new_side.select(
         "doc_id", DD._token_hashes(F.col("text")).alias("__hs")
     ).localCheckpoint(eager=False)
-    nb = DD._banded_buckets_from_hashes(new_hs, dflt["num_perms"], dflt["bands"])
-    star_cands = (
-        nb.join(over.select("band", "bucket", "__anchor"), ["band", "bucket"])
-        .select(
-            F.col("doc_id").alias("new_id"), F.col("__anchor").alias("corpus_id")
-        )
-        .distinct()
+    star_truth, n_over = _minhash_star_truth_cross(
+        new_hs, old_hs, dflt["num_perms"], dflt["bands"], dflt["bucket_cap"], 0.6
     )
-    sj = star_cands.join(
-        new_hs.select(F.col("doc_id").alias("new_id"), F.col("__hs").alias("__ha")),
-        "new_id",
-    ).join(
-        old_hs.select(
-            F.col("doc_id").alias("corpus_id"), F.col("__hs").alias("__hb")
-        ),
-        "corpus_id",
-    )
-    inter2 = F.size(F.array_intersect("__ha", "__hb")).cast("long")
-    star_truth = (
-        sj.withColumn(
-            "__j",
-            inter2.cast("double")
-            / (F.size("__ha").cast("long") + F.size("__hb").cast("long") - inter2),
-        )
-        .filter(F.col("__j") >= 0.6)
-        .select("new_id", "corpus_id")
-    )
+    star_truth = star_truth.localCheckpoint(eager=False)
+    n_truth = star_truth.agg(F.count(F.lit(1)).alias("n_star_truth"))
     anchor = star_truth.join(lsh, ["new_id", "corpus_id"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_anchor_missed")
     )
@@ -5181,13 +5216,16 @@ def q_dedup_cross_corpus_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         found.crossJoin(F.broadcast(fps))
         .crossJoin(F.broadcast(n_over))
         .crossJoin(F.broadcast(anchor))
+        .crossJoin(F.broadcast(n_truth))
         .select(
             F.col("n_exact").alias("n_exact_pairs"),
             F.when(
                 F.col("n_capped_buckets") == 0,
                 F.col("n_found").cast("double") / F.col("n_exact") >= 0.95,
             )
-            .otherwise(F.col("n_anchor_missed") == 0)
+            .otherwise(
+                (F.col("n_anchor_missed") == 0) & (F.col("n_star_truth") >= 1)
+            )
             .alias("recall_contract"),
             (F.col("n_fp") == 0).alias("no_false_positives"),
         )

@@ -81,6 +81,62 @@ def test_cross_corpus_recall_capped_regime_detects_star_regression(
     assert row["recall_contract"] is False
 
 
+def _not_green(name, spark) -> bool:
+    """A driver row is red on EITHER a contract False or an execution
+    error (the driver records err → not hash-green). ANSI mode makes the
+    0/0 Jaccard of empty hash arrays fail loud; the non-empty-truth clause
+    covers the empty-truth paths that never reach a division."""
+    try:
+        row = _one_row(name, spark)
+    except Exception:
+        return True
+    return row["recall_contract"] is False
+
+
+def test_minhash_recall_detects_truth_destroying_regression(spark, monkeypatch):
+    """The round-7 self-review's sharper vacuity variant: a _token_hashes
+    regression that empties every hash array collapses all reps into one
+    null-signature mega-bucket per band (capped regime ON with the real
+    default cap) and destroys the rederived star truth — the anchor
+    assertion would otherwise hold over an EMPTY truth set. The row must
+    not stay green (here: ANSI fails the 0/0 Jaccard loudly; with ANSI
+    off, the truth set comes back empty and the n_star_truth >= 1 clause
+    flips the contract False)."""
+    empty = lambda col: F.array().cast("array<bigint>")
+    monkeypatch.setattr(Q.DD, "_token_hashes", empty)
+    assert _not_green("dedup_minhash_recall", spark)
+
+
+def test_cross_corpus_recall_detects_truth_destroying_regression(
+    spark, monkeypatch
+):
+    empty = lambda col: F.array().cast("array<bigint>")
+    monkeypatch.setattr(Q.DD, "_token_hashes", empty)
+    assert _not_green("dedup_cross_corpus_recall", spark)
+
+
+def test_minhash_recall_detects_empty_star_truth_without_division(
+    spark, monkeypatch
+):
+    """Empty-truth path with NO 0/0 anywhere: banding collapses docs into
+    mega-buckets (capped regime ON) but the star-truth derivation loses all
+    its pairs — modeled by gutting the helper's output. Only the
+    n_star_truth >= 1 clause can catch this; anchor recall over the empty
+    set is vacuously perfect."""
+    real = Q._minhash_star_truth
+
+    def truthless(rep_hs, n_perms, n_bands, cap, threshold):
+        truth, n_over = real(rep_hs, n_perms, n_bands, cap, 0.0)
+        # force the capped regime on (cap=0: every bucket oversized) but
+        # return an empty truth frame
+        _, n_over = real(rep_hs, n_perms, n_bands, 0, threshold)
+        return truth.filter(F.lit(False)), n_over
+
+    monkeypatch.setattr(Q, "_minhash_star_truth", truthless)
+    row = _one_row("dedup_minhash_recall", spark)
+    assert row["recall_contract"] is False
+
+
 def test_embedding_star_cap_floor_detects_star_regression(spark, monkeypatch):
     """The new floor's anchor assertion must notice a capped-path pair loss:
     gut ONLY the capped run (bucket_cap is not None) and the anchor flag and
@@ -91,6 +147,7 @@ def test_embedding_star_cap_floor_detects_star_regression(spark, monkeypatch):
     assert row["cap_exercised"] is True
     assert row["no_false_pairs"] is True
     assert row["anchor_pair_recall_1"] is True
+    assert row["anchor_truth_nonempty"] is True
     assert row["listing_degraded"] is True
 
     def gutted(df, *args, **kwargs):

@@ -124,11 +124,13 @@ def main() -> None:
     pool.sort(key=lambda q: (-age(q), q))
     suggestion: list[str] = []
     pulled: dict[str, str] = {}
+    skipped_groups: list[tuple[str, list[str]]] = []
     for q in changed + pool:
         if q in suggestion:
             continue
         group = [q] + [t for t in CO_ROTATE.get(q, []) if t not in suggestion]
         if len(suggestion) + len(group) > WINDOW:
+            skipped_groups.append((q, group))
             continue
         suggestion.extend(group)
         for t in group[1:]:
@@ -143,6 +145,15 @@ def main() -> None:
     for q in suggestion:
         tag = f"  (co-rotated with {pulled[q]})" if q in pulled else ""
         print(f"  {q}{tag}")
+    # a group that didn't fit was SKIPPED, not deferred-with-warning-by-age:
+    # a just-changed query has age 0-1 so stale_after would never flag it —
+    # surface every skip, loudest for changed queries (the 're-verify
+    # immediately' rule is violated if one is dropped silently)
+    for q, group in skipped_groups:
+        sev = "changed query NOT re-verified" if q in changed else "group deferred"
+        print(f"\nWARNING ({sev}): {q} skipped — CO_ROTATE group {group} "
+              f"does not fit the remaining window; shrink lower-priority "
+              f"entries or rotate it first next round")
     if stale_after:
         print(f"\nWARNING: {len(stale_after)} queries remain >=2 rounds stale "
               f"after this window: {stale_after}")
