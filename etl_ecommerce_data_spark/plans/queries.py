@@ -5914,11 +5914,14 @@ _SWEEP_FIRST = [
     # residual-slot rule), plus the minhash/star-cap floor pair pulled in
     # by the co-rotation contract (CO_ROTATE in window_planner.py: a
     # rows-only production path never re-runs without its oracled twins).
-    # (a) changed this round + new
+    # (a) changed this round + new (linkage_fuzzy_docs: the bounded-
+    # Levenshtein match-stage change; its sibling linkage_block_stats is
+    # already below in the r4-stale set)
     "dedup_minhash_recall",
     "dedup_cross_corpus_recall",
     "stream_incremental_dedup",
     "embedding_star_cap_floor",
+    "linkage_fuzzy_docs",
     # (b) round-4-stale: olist gold marts
     "olist_customer_metrics",
     "olist_product_performance",
@@ -5978,15 +5981,14 @@ _SWEEP_FIRST = [
     "olist_daily_sales",
     "multimodal_meta",
     "customer_metrics",
-    "daily_sales",
     # Cut for space (r5-green, age 2 — round 8's mandatory rotation):
     # product/supplier_performance, order_status_delivery, events_by_type_
     # day, nation_revenue, text_normalize_dedup/_pii_redact, doc_rarity,
     # embedding_gram/pca pair, user_value_ewma, similarity_topk, range
     # join, event_type_drift, order_value_ranking_suite, salted revenue,
     # session_window_stats, merge_upsert, doc_chunks(+udtf), vocab_stats,
-    # corpus_split/boilerplate/hygiene, parity marts (customer_metrics,
-    # daily_sales(+bucketed)), daily_value_gapfilled, ngram baseline,
+    # corpus_split/boilerplate/hygiene, daily_sales(+bucketed),
+    # daily_value_gapfilled, ngram baseline,
     # clean_orders, asof_events_orders, dedup_simhash_docs(+complete twin).
     # Three rows-only diagnostics stay un-rotated on purpose (their oracled
     # twins carry the evidence): similarity_topk_lsh/_ivf,
