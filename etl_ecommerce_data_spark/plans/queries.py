@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from etl_ecommerce_data_spark.functions import text as TX
 from etl_ecommerce_data_spark.operators import similarity as SIM
 from etl_ecommerce_data_spark.operators import dedup as DD
+from etl_ecommerce_data_spark.operators import linkage as LK
 from etl_ecommerce_data_spark.operators.joins import asof_join, range_join
 from etl_ecommerce_data_spark.operators.cleaning import (
     dedup_by_key,
@@ -5470,6 +5471,135 @@ def q_linkage_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "linkage_block_cap_floor",
+    "Driver-pinned contract for the linkage block-size cap (VERDICT r7 ask "
+    "#2) — blocked_levenshtein_pairs silently DROPS blocks larger than "
+    "max_block_size (operators/linkage.py:70-72), the same answer-changing "
+    "recall/runtime knob class as the minhash and embedding bucket caps "
+    "(dedup_star_cap_floor, embedding_star_cap_floor). This row forces "
+    "max_block_size=3 — a MIXED regime at every oracle SF (blocks over the "
+    "cap: 7/7/many at sf0.001/0.01/0.1; surviving 2-3-row blocks with true "
+    "pairs everywhere: 17/16/8) — and pins the cap's exact contract: it "
+    "drops WHOLE blocks, never corrupts kept ones. Truth side is "
+    "INDEPENDENT of the operator (ADVICE r7 shared-helper-vacuity class): "
+    "the block key is derived from an INLINE expression, not "
+    "linkage.block_key, and pair distances use the FULL unbounded "
+    "F.levenshtein, not the operator's banded bounded-DP kernel — so the "
+    "row also cross-checks banded DP == full DP on every surviving pair "
+    "(distance participates in both set-containment joins). Unlike the "
+    "embedding floor, the oracle here VERIFIES rather than pins: DuckDB "
+    "recomputes n_capped_pairs, cap_exercised, truth_nonempty and "
+    "listing_degraded from the semantic definition (blocking + cap + "
+    "levenshtein are all SQL), so a Spark-side bug that greened the "
+    "booleans in lockstep would still hash-mismatch on the recomputed "
+    "count. no_pair_invented / surviving_recall_1 compare operator output "
+    "against the independent truth on (id_l, id_r, distance): count "
+    "equality (oracle) + one-sided containment (Spark) = set equality.",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, substr(text, 1, 120) AS head,
+         array_to_string(list_slice(string_split(substr(text, 1, 120), ' '), 1, 2), ' ') AS blk
+  FROM documents
+),
+s AS (SELECT blk, COUNT(*) AS n FROM p GROUP BY blk),
+pairs AS (
+  SELECT s.n AS bsz, levenshtein(a.head, b.head) AS d
+  FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  JOIN s ON s.blk = a.blk
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_docs,
+  CAST(COUNT(*) FILTER (d <= 20 AND bsz <= 3) AS BIGINT) AS n_capped_pairs,
+  (SELECT COUNT(*) FROM s WHERE n > 3) >= 1 AS cap_exercised,
+  true AS no_pair_invented,
+  true AS surviving_recall_1,
+  COUNT(*) FILTER (d <= 20 AND bsz <= 3) >= 1 AS truth_nonempty,
+  COUNT(*) FILTER (d <= 20 AND bsz <= 3) < COUNT(*) FILTER (d <= 20) AS listing_degraded
+FROM pairs
+""",
+    tags=("extension", "dedup", "linkage", "recall"),
+)
+def q_linkage_block_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cap, max_d, n_tok = 3, 20, 2
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("head")
+    )
+    capped = (
+        LK.blocked_levenshtein_pairs(
+            docs, "doc_id", "head",
+            n_block_tokens=n_tok, max_distance=max_d, max_block_size=cap,
+        )
+        .select("id_l", "id_r", "distance")
+        .localCheckpoint(eager=False)
+    )
+    # "uncapped" = a cap no block reaches (INT32_MAX): its count is the
+    # all-blocks true-pair mass, so listing_degraded measures exactly the
+    # pairs the cap dropped
+    uncapped = LK.blocked_levenshtein_pairs(
+        docs, "doc_id", "head",
+        n_block_tokens=n_tok, max_distance=max_d, max_block_size=2**31 - 1,
+    ).select("id_l", "id_r")
+    # INDEPENDENT truth: inline block-key expression (deliberately NOT
+    # linkage.block_key — a regression in the operator's key helper must
+    # move the operator and the truth APART, not together), independent
+    # size pass, and the FULL quadratic-DP levenshtein (no bound) so the
+    # banded kernel is cross-checked value-for-value on surviving pairs.
+    # The quadratic self-join is bounded: only blocks of size 2..cap
+    # participate, so per-block work is ≤ cap(cap−1)/2 pairs.
+    keyed = docs.select(
+        "doc_id",
+        "head",
+        F.array_join(F.slice(F.split(F.col("head"), " "), 1, n_tok), " ").alias("blk"),
+    )
+    sizes = keyed.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+    surviving = keyed.join(sizes.filter(F.col("n").between(2, cap)), "blk")
+    lhs = surviving.select(
+        "blk", F.col("doc_id").alias("id_l"), F.col("head").alias("hl")
+    )
+    rhs = surviving.select(
+        "blk", F.col("doc_id").alias("id_r"), F.col("head").alias("hr")
+    )
+    truth = (
+        lhs.join(rhs, "blk")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .withColumn("distance", F.levenshtein("hl", "hr").cast("long"))
+        .filter(F.col("distance") <= max_d)
+        .select("id_l", "id_r", "distance")
+        .localCheckpoint(eager=False)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_capped = capped.agg(F.count(F.lit(1)).alias("n_capped"))
+    n_uncapped = uncapped.agg(F.count(F.lit(1)).alias("n_uncapped"))
+    n_over = sizes.filter(F.col("n") > cap).agg(
+        F.count(F.lit(1)).alias("n_over_cap_blocks")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    invented = capped.join(truth, ["id_l", "id_r", "distance"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_invented")
+    )
+    missed = truth.join(capped, ["id_l", "id_r", "distance"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_capped))
+        .crossJoin(F.broadcast(n_uncapped))
+        .crossJoin(F.broadcast(n_over))
+        .crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(invented))
+        .crossJoin(F.broadcast(missed))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_capped").cast("long").alias("n_capped_pairs"),
+            (F.col("n_over_cap_blocks") >= 1).alias("cap_exercised"),
+            (F.col("n_invented") == 0).alias("no_pair_invented"),
+            (F.col("n_missed") == 0).alias("surviving_recall_1"),
+            (F.col("n_truth") >= 1).alias("truth_nonempty"),
+            (F.col("n_capped") < F.col("n_uncapped")).alias("listing_degraded"),
+        )
+    )
+
+
 _TFIDF_TERMS = ("spark", "join", "query")
 
 
@@ -5896,103 +6026,77 @@ def q_linkage_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      sf0.001 oracle sweep (tests/test_oracle_parity.py) on current code.
 # Every query remains registered and locally verified regardless.
 _SWEEP_FIRST = [
-    # Round-7 ordering (VERDICT r6 asks #1-#2), planned with
-    # tools/window_planner.py --round 7 --changed <a-list>: the 50-row
-    # driver window is spent on (a) queries whose code changed THIS round —
-    # the capped-regime recall_contract rewrite (both listing floors now
-    # assert the star anchor contract INLINE instead of waiving, driver
-    # ADVICE r6) and the incremental-dedup snapshot-handle fix; plus the
-    # NEW embedding_star_cap_floor (r6 ask #2: the embedding bucket-cap
-    # star degrade, driver-pinned the way dedup_star_cap_floor pins the
-    # minhash cap); (b) the ENTIRE round-4-stale set — 32 queries at the
-    # declared two-round staleness limit (r6 ask #1): the five olist gold
-    # marts, clean_customer/lineitem, exact-dedup + cluster family,
-    # cross-corpus pair, hll/gk sketch floors + approx twins, connector
-    # roundtrip, stream upsert, sessionize, curation, text stats/BPE,
-    # pivot/cube/set-op singles, anomaly, linkage blocks, props JSON;
-    # (c) the oldest r5-green rows, STREAMING FAMILY FIRST (r6 ask #1's
-    # residual-slot rule), plus the minhash/star-cap floor pair pulled in
-    # by the co-rotation contract (CO_ROTATE in window_planner.py: a
-    # rows-only production path never re-runs without its oracled twins).
-    # (a) changed this round + new (linkage_fuzzy_docs: the bounded-
-    # Levenshtein match-stage change; its sibling linkage_block_stats is
-    # already below in the r4-stale set)
-    "dedup_minhash_recall",
-    "dedup_cross_corpus_recall",
-    "stream_incremental_dedup",
+    # Round-8 ordering (VERDICT r7 asks #1-#2), planned with
+    # tools/window_planner.py --round 8 --changed linkage_block_cap_floor:
+    # (a) the NEW linkage_block_cap_floor (r7 ask #2: the linkage
+    # max_block_size drop driver-pinned the way embedding_star_cap_floor
+    # pins the embedding bucket cap — cap=3, fully-verifying DuckDB oracle);
+    # (b) the ENTIRE round-5-stale set — 31 queries at the two-round
+    # staleness limit (r7 ask #1): olist-parity marts, curation singles,
+    # simhash pair with its completeness co-rotate, gram/pca pair,
+    # daily_sales family, clean_orders, asof, similarity_topk, streaming-
+    # adjacent singles; (c) residual slots on the oldest r6-green rows with
+    # CO_ROTATE enforced (embedding_near_dup pulls its baseline/recall/
+    # star-cap-floor twins), plus — one documented hand-tune over the
+    # planner output (VERDICT r7 residual #7) — the similarity_lsh/ivf
+    # recall twins WITH their rows-only topk diagnostics, which had no
+    # driver row since r1-r3; the four alphabetical age-2 singles they
+    # displace (doc_top_terms, doc_repetition_stats, embedding_quantize,
+    # event_counts_cms) defer to the mandatory round-9 rotation.
+    "linkage_block_cap_floor",
+    "asof_events_orders",
+    "clean_orders",
+    "corpus_boilerplate_removal",
+    "corpus_split",
+    "curate_corpus_hygiene",
+    "daily_sales",
+    "daily_sales_bucketed",
+    "daily_value_gapfilled",
+    "dedup_ngram_jaccard_baseline",
+    "dedup_simhash_docs",
+    "dedup_simhash_complete",
+    "doc_chunks",
+    "doc_chunks_udtf",
+    "doc_rarity_score",
+    "embedding_gram_baseline",
+    "embedding_pca_variance",
+    "event_type_drift",
+    "events_by_type_day",
+    "merge_upsert_orders",
+    "nation_revenue",
+    "order_status_delivery",
+    "order_value_ranking_suite",
+    "product_performance",
+    "range_join_view_purchase",
+    "salted_segment_revenue",
+    "session_window_stats",
+    "similarity_topk",
+    "supplier_performance",
+    "text_normalize_dedup",
+    "text_pii_redact",
+    "user_value_ewma",
+    "vocab_stats",
+    "basket_pairs",
+    "cohort_retention",
+    "compact_table_roundtrip",
+    "contamination_check",
+    "csv_quarantine_split",
+    "curation_funnel",
+    "customers_no_orders",
+    "daily_activity_reconciliation",
+    "doc_fingerprints",
+    "embedding_near_dup",
+    "embedding_near_dup_baseline",
+    "embedding_near_dup_recall",
     "embedding_star_cap_floor",
-    "linkage_fuzzy_docs",
-    # (b) round-4-stale: olist gold marts
-    "olist_customer_metrics",
-    "olist_product_performance",
-    "olist_seller_performance",
-    "olist_satisfaction_metrics",
-    "olist_delivery_performance",
-    # (b) clean family
-    "clean_customer",
-    "clean_lineitem",
-    # (b) dedup/cluster/cross-corpus family (co-rotation: dedup_clusters
-    # pulls dedup_clusters_baseline; dedup_cross_corpus pulls its recall —
-    # already in (a) — and its baseline)
-    "dedup_exact_docs",
-    "dedup_clusters",
-    "dedup_clusters_baseline",
-    "dedup_cross_corpus",
-    "dedup_cross_corpus_baseline",
-    # (b) sketch floors + approx twins (co-rotation pairs)
-    "daily_users_hll",
-    "hll_error_floor",
-    "value_percentiles_approx",
-    "gk_percentile_floor",
-    # (b) connectors / streaming upsert / sessionization / curation
-    "connector_roundtrip_orc_json",
-    "stream_upsert_user_latest",
-    "sessionize_events",
-    "curate_corpus",
-    # (b) text family
-    "text_stats",
-    "text_tokens_bpe",
-    # (b) SQL singles: pivot/cube/set-ops/windows/anomaly/diagnostics
-    "top_parts_per_brand",
-    "churned_customers",
-    "daily_revenue_anomaly",
-    "linkage_block_stats",
-    "props_json_stats",
-    "event_type_distinct_props",
-    "daily_distinct_users",
-    "suppliers_with_sales",
-    "one_time_buyers_except",
-    "status_priority_pivot",
-    "part_brand_size_cube",
-    # (c) oldest r5 rows — streaming family first
-    "stream_dedup_events",
-    "stream_events_windowed",
-    "stream_user_stats_stateful",
-    "stream_view_purchase_join",
-    "stream_session_windows",
-    "events_tumbling_5min",
-    # (c) minhash main + shared star-cap floor (co-rotation with the
-    # rewritten dedup_minhash_recall in (a); the floor hash-pins the same
-    # anchor contract the new inline assertions encode)
-    "dedup_minhash_docs",
-    "dedup_star_cap_floor",
-    # (c) flagship + remaining oldest r5
-    "pricing_summary",
-    "olist_daily_sales",
-    "multimodal_meta",
-    "customer_metrics",
-    # Cut for space (r5-green, age 2 — round 8's mandatory rotation):
-    # product/supplier_performance, order_status_delivery, events_by_type_
-    # day, nation_revenue, text_normalize_dedup/_pii_redact, doc_rarity,
-    # embedding_gram/pca pair, user_value_ewma, similarity_topk, range
-    # join, event_type_drift, order_value_ranking_suite, salted revenue,
-    # session_window_stats, merge_upsert, doc_chunks(+udtf), vocab_stats,
-    # corpus_split/boilerplate/hygiene, daily_sales(+bucketed),
-    # daily_value_gapfilled, ngram baseline,
-    # clean_orders, asof_events_orders, dedup_simhash_docs(+complete twin).
-    # Three rows-only diagnostics stay un-rotated on purpose (their oracled
-    # twins carry the evidence): similarity_topk_lsh/_ivf,
-    # dedup_minhash_bucket_stats.
+    "similarity_lsh_recall",
+    "similarity_topk_lsh",
+    "similarity_ivf_recall",
+    "similarity_topk_ivf",
+    # Three rows-only diagnostics co-rotate with their twins this round
+    # (similarity_topk_lsh/_ivf above); dedup_minhash_bucket_stats waits for
+    # its twin dedup_minhash_recall (r7-green, rotates r9 — CO_ROTATE in
+    # window_planner.py now pulls it automatically).
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

@@ -159,3 +159,64 @@ def test_embedding_star_cap_floor_detects_star_regression(spark, monkeypatch):
     monkeypatch.setattr(Q.SIM, "embedding_near_dup_pairs", gutted)
     row = _one_row("embedding_star_cap_floor", spark)
     assert row["anchor_pair_recall_1"] is False
+
+
+def test_linkage_block_cap_floor_detects_pair_loss(spark, monkeypatch):
+    """The round-8 floor (VERDICT r7 ask #2): honest operator green on every
+    boolean; a capped-run pair loss must flip surviving_recall_1 (the truth
+    side is derived independently, so it stays non-empty)."""
+    real = Q.LK.blocked_levenshtein_pairs
+
+    row = _one_row("linkage_block_cap_floor", spark)
+    assert row["cap_exercised"] is True
+    assert row["no_pair_invented"] is True
+    assert row["surviving_recall_1"] is True
+    assert row["truth_nonempty"] is True
+    assert row["listing_degraded"] is True
+
+    def gutted(df, id_col, text_col, **kwargs):
+        out = real(df, id_col, text_col, **kwargs)
+        if kwargs.get("max_block_size", 10**9) <= 10:  # only the capped run
+            return out.filter(F.lit(False))
+        return out
+
+    monkeypatch.setattr(Q.LK, "blocked_levenshtein_pairs", gutted)
+    row = _one_row("linkage_block_cap_floor", spark)
+    assert row["surviving_recall_1"] is False
+    assert row["truth_nonempty"] is True  # independent truth unaffected
+
+
+def test_linkage_block_cap_floor_detects_invented_pair(spark, monkeypatch):
+    """A pair the cap INVENTED (not in any surviving block) must flip
+    no_pair_invented — the 'never corrupts kept blocks' half of the
+    contract."""
+    real = Q.LK.blocked_levenshtein_pairs
+
+    def inventing(df, id_col, text_col, **kwargs):
+        out = real(df, id_col, text_col, **kwargs)
+        if kwargs.get("max_block_size", 10**9) <= 10:
+            fake = out.sparkSession.createDataFrame(
+                [(-1, -2, "a", "b", 0)], out.schema
+            )
+            return out.unionByName(fake)
+        return out
+
+    monkeypatch.setattr(Q.LK, "blocked_levenshtein_pairs", inventing)
+    row = _one_row("linkage_block_cap_floor", spark)
+    assert row["no_pair_invented"] is False
+    assert row["surviving_recall_1"] is True
+
+
+def test_linkage_block_cap_floor_detects_key_regression(spark, monkeypatch):
+    """The shared-helper-vacuity probe (ADVICE r7 class): the floor's truth
+    side deliberately does NOT call linkage.block_key, so a regression in
+    the operator's key helper moves the operator and the truth APART. Break
+    the key to all-distinct md5 blocks: the operator finds no pairs at all
+    while the independent truth is untouched — the row must go red on
+    recall, not green-in-lockstep."""
+    monkeypatch.setattr(
+        Q.LK, "block_key", lambda text, n_tokens=2: F.md5(F.monotonically_increasing_id().cast("string"))
+    )
+    row = _one_row("linkage_block_cap_floor", spark)
+    assert row["surviving_recall_1"] is False
+    assert row["truth_nonempty"] is True

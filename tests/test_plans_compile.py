@@ -58,7 +58,7 @@ _BNLJ_OK = {"priority_revenue_share", "similarity_topk", "similarity_topk_ivf",
             "similarity_ivf_recall",
             # 1-row contract scalars (counts/anchor-miss/cap-state aggs)
             # broadcast-crossed into the one-row result
-            "embedding_star_cap_floor"}
+            "embedding_star_cap_floor", "linkage_block_cap_floor"}
 # Plans allowed to contain Python nodes: the declared Arrow-batched paths.
 _PYTHON_OK = {"user_value_ewma", "multimodal_meta", "multimodal_features",
               "doc_chunks_udtf",

@@ -62,6 +62,13 @@ CO_ROTATE = {
     "daily_users_hll": ["hll_error_floor"],
     "value_percentiles_approx": ["gk_percentile_floor"],
     "embedding_pca_variance": ["embedding_gram_baseline"],
+    # reverse direction (VERDICT r7 residual #7): when an oracled twin
+    # rotates, its rows-only diagnostic rides along — otherwise the
+    # diagnostics (excluded from the pool via TWINNED_ROWS_ONLY) never get
+    # a fresh driver row at all
+    "similarity_lsh_recall": ["similarity_topk_lsh"],
+    "similarity_ivf_recall": ["similarity_topk_ivf"],
+    "dedup_minhash_recall": ["dedup_minhash_bucket_stats"],
 }
 
 
@@ -125,18 +132,32 @@ def main() -> None:
     suggestion: list[str] = []
     pulled: dict[str, str] = {}
     skipped_groups: list[tuple[str, list[str]]] = []
-    for q in changed + pool:
-        if q in suggestion:
-            continue
-        group = [q] + [t for t in CO_ROTATE.get(q, []) if t not in suggestion]
-        if len(suggestion) + len(group) > WINDOW:
-            skipped_groups.append((q, group))
-            continue
-        suggestion.extend(group)
-        for t in group[1:]:
-            pulled[t] = q
-        if len(suggestion) >= WINDOW:
-            break
+    # TWO passes (driver ADVICE r7): changed-query groups are placed FIRST,
+    # against the whole window — a changed group can only be skipped when
+    # changed groups ALONE overflow WINDOW, never because lower-priority
+    # pool singles got there first. The pool pass then fills what remains.
+    for phase, is_changed_phase in ((changed, True), (pool, False)):
+        for q in phase:
+            if q in suggestion:
+                continue
+            if len(suggestion) >= WINDOW and not is_changed_phase:
+                break  # full; what's left is covered by the stale_after warning
+            # transitive closure: a pulled twin may itself pull a diagnostic
+            # (dedup_minhash_docs -> recall -> bucket_stats)
+            group, seen = [q], {q}
+            frontier = [q]
+            while frontier:
+                nxt = [t for f in frontier for t in CO_ROTATE.get(f, [])
+                       if t not in seen]
+                seen.update(nxt)
+                group.extend(t for t in nxt if t not in suggestion)
+                frontier = nxt
+            if len(suggestion) + len(group) > WINDOW:
+                skipped_groups.append((q, group))  # changed skips warn loudest below
+                continue
+            suggestion.extend(group)
+            for t in group[1:]:
+                pulled[t] = q
     stale_after = [q for q in QUERIES
                    if q not in suggestion and q not in TWINNED_ROWS_ONLY
                    and age(q) >= 2]
