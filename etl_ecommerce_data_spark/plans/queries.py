@@ -2611,7 +2611,15 @@ def q_embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "9 vs 59 / 15 vs 910), the documented cost of linear star generation. "
     "Same banding shape as the scale path (48 bits, 16 3-bit bands, "
     "threshold 0.4) so the contract pins the production configuration, "
-    "not a toy one.",
+    "not a toy one. Independence scope (ADVICE r7): the truth pass "
+    "rebuilds the banding/bucketing/anchor machinery from scratch but "
+    "SHARES the SRP signature kernel (_srp_words_udf); the kernel itself "
+    "is pinned OUTSIDE this row against a from-scratch _plane_sign "
+    "bit derivation at exactly this configuration on the real corpus "
+    "(tests/test_properties.py::test_srp_kernel_matches_plane_sign_at_"
+    "production_config) and on random corpora (the Hypothesis star-cap "
+    "property test), so a kernel regression flips those red instead of "
+    "greening this row's operator and truth sides in lockstep.",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
        true AS cap_exercised,

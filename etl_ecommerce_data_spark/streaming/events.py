@@ -574,8 +574,18 @@ def run_incremental_dedup_ingest(
 
     Pass ``as_handle=True`` to get an ``IngestSnapshot`` instead of the
     bare frame — ``.df`` is the same lazy result, ``.release()`` reclaims
-    the scratch snapshot eagerly once consumed (a long-lived driver calling
-    this per batch should; the atexit hook is only the fallback).
+    the scratch snapshot eagerly once consumed.
+
+    .. warning:: With the default ``as_handle=False`` there is NO eager
+       reclamation path: each invocation leaves one snapshot directory in
+       ``_INGEST_ROOTS`` until interpreter exit (driver ADVICE r7). That is
+       fine for tests and one-shot jobs; a LONG-LIVED driver (notebook,
+       service, hourly scheduler) MUST use ``as_handle=True`` and call
+       ``.release()`` (or use the handle as a context manager) after the
+       last action on ``.df``, or it accumulates one snapshot dir per call
+       for the life of the process. The handle is planned to become the
+       default return in a future major revision; new call sites should
+       opt in now.
     """
     import os
     import tempfile

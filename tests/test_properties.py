@@ -722,3 +722,58 @@ def test_embedding_star_cap_contract_property(spark, vecs):
             pair = (min(anchor, m), max(anchor, m))
             if cos[pair[0], pair[1]] >= threshold + 1e-9:
                 assert pair in capped, (band, b, pair, cos[pair[0], pair[1]])
+
+
+def test_srp_kernel_matches_plane_sign_at_production_config(spark):
+    """Pin the shared SRP signature kernel at the PRODUCTION configuration
+    (driver ADVICE r7): embedding_star_cap_floor's truth-side banding pass
+    reuses _srp_words_udf, so its independence claim is scoped to the
+    banding/plan machinery — the kernel itself is pinned HERE, at the
+    floor's exact shape (num_bits=48, dim=64) on the real sf0.001 corpus,
+    against a from-scratch per-bit _plane_sign derivation (no
+    _planes_matrix, no packbits/int64-view — an independent packing). A
+    kernel regression therefore cannot green the floor vacuously: this
+    test goes red even when the floor's operator and truth sides move in
+    lockstep."""
+    import numpy as np
+
+    from etl_ecommerce_data_spark.operators.similarity import (
+        _plane_sign,
+        _srp_words_udf,
+    )
+    from etl_ecommerce_data_spark.sources.registry import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    num_bits, dim = 48, 64
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    rows = emb.select(
+        "vec_id",
+        "embedding",
+        _srp_words_udf(num_bits, dim)(F.col("embedding")).alias("words"),
+    ).collect()
+    assert len(rows) >= 50
+
+    planes = np.array(
+        [[_plane_sign(b, d) for d in range(dim)] for b in range(num_bits)]
+    )
+    n_ambiguous = 0
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        proj = planes @ v
+        if np.abs(proj).min() <= 1e-9:
+            # sign at exact cancellation depends on BLAS accumulation
+            # order — outside the deterministic contract (same rule as
+            # test_bucket_blas_near_dup_matches_numpy_model)
+            n_ambiguous += 1
+            continue
+        word = 0
+        for j in range(num_bits):
+            if proj[j] >= 0:
+                word |= 1 << j
+        expect = word - (1 << 64) if word >= (1 << 63) else word
+        assert list(r["words"]) == [expect], (r["vec_id"], r["words"], expect)
+    # the comparison must actually bite: ambiguous rows are the exception
+    assert n_ambiguous <= len(rows) // 10, n_ambiguous
