@@ -156,6 +156,34 @@ def build_nx(spark, sf_dir: str, n_copies: int) -> str:
         for c in tcopies[1:]:
             t_all = t_all.unionByName(c)
         t_all.write.mode("overwrite").parquet(os.path.join(out, f"{tname}.parquet"))
+
+    # events for the STREAMING scaling rows (round 8): event_id/user_id
+    # stride by copy, ts/event_type/value/props untouched — each copy is a
+    # disjoint user population replaying the identical event timeline.
+    # Written as ONE parquet FILE via pyarrow (not a Spark part-file
+    # directory): read_events_stream's pathGlobFilter matches the literal
+    # leaf name `events.parquet`, and a single file also keeps the
+    # maxFilesPerTrigger=1 micro-batch structure identical between the 1x
+    # and Nx runs (one batch each — the wall ratio measures per-batch
+    # throughput, not batch-count overhead). pyarrow preserves the source
+    # ts encoding; the stream reader's kind probe handles either.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    eparts = [ev]
+    for i in range(1, n_copies):
+        e2 = ev.set_column(
+            ev.schema.get_field_index("event_id"), "event_id",
+            pc.add(ev["event_id"], i * ID_STRIDE),
+        )
+        e2 = e2.set_column(
+            e2.schema.get_field_index("user_id"), "user_id",
+            pc.add(e2["user_id"], i * ID_STRIDE),
+        )
+        eparts.append(e2)
+    pq.write_table(pa.concat_tables(eparts), os.path.join(out, "events.parquet"))
     return out
 
 
@@ -237,6 +265,27 @@ def main() -> None:
         # its per-day row count with every additive aggregate at exactly Nx
         "customer_metrics": registry("customer_metrics"),
         "daily_sales": registry("daily_sales"),
+        # streaming family (round 8, VERDICT r7 ask #4): the real
+        # foreachBatch / stateful / watermark paths replayed over the Nx
+        # events (disjoint user populations, identical timeline) and Nx
+        # documents. Predictions: dedup keeps all rows (unique event_ids by
+        # construction) -> Nx; upsert emits one row per user -> Nx; session
+        # windows are per-user -> Nx; incremental dedup accepts one row per
+        # unique text (copies are token-prefixed, so disjoint) -> Nx.
+        # Streaming wall includes fixed query-startup/micro-batch overhead,
+        # so expect SUB-linear ratios on these sizes.
+        "stream_dedup_events": registry("stream_dedup_events"),
+        "stream_upsert_user_latest": registry("stream_upsert_user_latest"),
+        "stream_session_windows": registry("stream_session_windows"),
+        "stream_incremental_dedup": registry("stream_incremental_dedup"),
+        # remaining expensive-plan singles (VERDICT r7 residual #7):
+        # profile_orders is a fixed 4-row profile (out ratio 1.0, timing is
+        # the evidence); basket_pairs' per-pair n_orders scales exactly Nx,
+        # so its n_orders>=2 cut admits every 1x co-occurring pair once
+        # N>=2 — out ratio = pairs(>=1)/pairs(>=2) of the base corpus,
+        # deterministic, not a red flag.
+        "profile_orders": registry("profile_orders"),
+        "basket_pairs": registry("basket_pairs"),
     }
     # warm python workers / codegen
     for fn in ops.values():
