@@ -6016,23 +6016,16 @@ def q_linkage_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # The correctness driver records rows for (at most) the first 50 registered
 # queries per round, so registration order decides which queries get fresh
-# driver evidence. Round-3 rotation (VERDICT r2 ask #2): every query's
-# driver row should be at most one round old. The round-2-green queries
-# not listed below carry round-2 evidence, which satisfies that bound this
-# round; the window is spent on:
-#   0. the nine queries NEW this round (funnel/cohort/RFM/basket/SCD2
-#      analytics + decontamination/packing/rebalance/quantization curation);
-#   1. queries with no usable driver row before this round — the round-2 err
-#      (multimodal_features, now scalar-projected + oracled) and the
-#      recall/diagnostic/text queries added after the r2 sweep;
-#   2. the 29 queries whose last driver row is round 1;
-#   3. the three highest-churn changed-operator paths (LSH guard rewrite,
-#      LSH-fed clustering, persisted IVF index) — the other r2-green queries
-#      whose operators changed late in round 2 (bucketing cache key, salted
-#      salt source, streaming ordering pin, shared nanosAsLong helper) keep
-#      their r2 rows as slightly-stale evidence, re-verified by the local
-#      sf0.001 oracle sweep (tests/test_oracle_parity.py) on current code.
-# Every query remains registered and locally verified regardless.
+# driver evidence. Standing discipline (since round 3, mechanized in
+# tools/window_planner.py since round 6): no query's freshest driver row
+# may be older than two rounds; queries whose operators changed in the
+# current round re-verify immediately (placed in a first pass the pool can
+# never displace); rows-only diagnostics rotate only WITH their oracled
+# twins (CO_ROTATE, transitively closed). The window below is the
+# planner's suggestion for the current round plus any documented hand
+# tunes. Every query remains registered and locally verified regardless
+# of window membership (tests/test_oracle_parity.py + the per-round
+# full-registry sf0.1 sweep recorded in SCALE.md).
 _SWEEP_FIRST = [
     # Round-8 ordering (VERDICT r7 asks #1-#2), planned with
     # tools/window_planner.py --round 8 --changed linkage_block_cap_floor:
