@@ -69,6 +69,15 @@ CO_ROTATE = {
     "similarity_lsh_recall": ["similarity_topk_lsh"],
     "similarity_ivf_recall": ["similarity_topk_ivf"],
     "dedup_minhash_recall": ["dedup_minhash_bucket_stats"],
+    # ...and diagnostic -> twin, so a rows-only diagnostic arriving via
+    # --changed (its operator changed this round) can never enter the
+    # window WITHOUT the oracled twin that pins it — otherwise the
+    # changed-queries pass would bypass the co-rotation contract and the
+    # driver would record a lone rows-only row that looks like evidence
+    # while proving nothing. The closure below tolerates the cycles.
+    "similarity_topk_lsh": ["similarity_lsh_recall"],
+    "similarity_topk_ivf": ["similarity_ivf_recall"],
+    "dedup_minhash_bucket_stats": ["dedup_minhash_recall"],
 }
 
 
