@@ -107,6 +107,65 @@ def freshness() -> dict[str, tuple[int, str]]:
     return fresh
 
 
+def plan_window(
+    queries: list[str],
+    ages: dict[str, int],
+    changed: list[str],
+    *,
+    window: int = WINDOW,
+    co_rotate: dict[str, list[str]] | None = None,
+    twinned: set[str] | frozenset[str] | None = None,
+) -> tuple[list[str], dict[str, str], list[tuple[str, list[str]]]]:
+    """Pure suggestion logic (unit-tested in tests/test_window_planner.py):
+    returns (suggestion, pulled{twin: puller}, skipped_groups).
+
+    ``ages[q]`` is rounds-since-freshest-evidence (missing = never-run,
+    treated as infinitely stale). Invariants encoded here:
+    - changed-query groups are placed in a FIRST pass against the whole
+      window (driver ADVICE r7) — a changed group is only skipped when
+      changed groups ALONE overflow the window, never because
+      lower-priority pool singles got there first;
+    - CO_ROTATE groups enter whole or not at all, expanded to their
+      TRANSITIVE closure (a pulled twin may itself pull a diagnostic;
+      cycles from the bidirectional twin<->diagnostic entries are fine);
+    - twinned rows-only diagnostics never enter from the pool (their
+      twins carry the evidence) — but a changed diagnostic enters WITH
+      its twin via the closure.
+    """
+    co_rotate = CO_ROTATE if co_rotate is None else co_rotate
+    twinned = set(TWINNED_ROWS_ONLY) if twinned is None else set(twinned)
+
+    def age(q: str) -> int:
+        return ages.get(q, 10**6)
+
+    pool = [q for q in queries if q not in twinned and q not in changed]
+    pool.sort(key=lambda q: (-age(q), q))
+    suggestion: list[str] = []
+    pulled: dict[str, str] = {}
+    skipped_groups: list[tuple[str, list[str]]] = []
+    for phase, is_changed_phase in ((changed, True), (pool, False)):
+        for q in phase:
+            if q in suggestion:
+                continue
+            if len(suggestion) >= window and not is_changed_phase:
+                break  # full; what's left is covered by the stale_after warning
+            group, seen = [q], {q}
+            frontier = [q]
+            while frontier:
+                nxt = [t for f in frontier for t in co_rotate.get(f, [])
+                       if t not in seen]
+                seen.update(nxt)
+                group.extend(t for t in nxt if t not in suggestion)
+                frontier = nxt
+            if len(suggestion) + len(group) > window:
+                skipped_groups.append((q, group))  # changed skips warn loudest below
+                continue
+            suggestion.extend(group)
+            for t in group[1:]:
+                pulled[t] = q
+    return suggestion, pulled, skipped_groups
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, default=None,
@@ -133,40 +192,9 @@ def main() -> None:
         mark = " TWIN" if q in TWINNED_ROWS_ONLY else ""
         print(f"{q:36s} {r or '-':>5} {age(q) if q in fresh else '-':>4} {cls}{mark}")
 
-    # suggestion: changed first, then never-run, then oldest first; twinned
-    # rows-only entries excluded (their twins carry the evidence); CO_ROTATE
-    # groups enter whole or not at all
-    pool = [q for q in rows if q not in TWINNED_ROWS_ONLY and q not in changed]
-    pool.sort(key=lambda q: (-age(q), q))
-    suggestion: list[str] = []
-    pulled: dict[str, str] = {}
-    skipped_groups: list[tuple[str, list[str]]] = []
-    # TWO passes (driver ADVICE r7): changed-query groups are placed FIRST,
-    # against the whole window — a changed group can only be skipped when
-    # changed groups ALONE overflow WINDOW, never because lower-priority
-    # pool singles got there first. The pool pass then fills what remains.
-    for phase, is_changed_phase in ((changed, True), (pool, False)):
-        for q in phase:
-            if q in suggestion:
-                continue
-            if len(suggestion) >= WINDOW and not is_changed_phase:
-                break  # full; what's left is covered by the stale_after warning
-            # transitive closure: a pulled twin may itself pull a diagnostic
-            # (dedup_minhash_docs -> recall -> bucket_stats)
-            group, seen = [q], {q}
-            frontier = [q]
-            while frontier:
-                nxt = [t for f in frontier for t in CO_ROTATE.get(f, [])
-                       if t not in seen]
-                seen.update(nxt)
-                group.extend(t for t in nxt if t not in suggestion)
-                frontier = nxt
-            if len(suggestion) + len(group) > WINDOW:
-                skipped_groups.append((q, group))  # changed skips warn loudest below
-                continue
-            suggestion.extend(group)
-            for t in group[1:]:
-                pulled[t] = q
+    suggestion, pulled, skipped_groups = plan_window(
+        list(QUERIES), {q: cur - fresh[q][0] for q in fresh}, changed
+    )
     stale_after = [q for q in QUERIES
                    if q not in suggestion and q not in TWINNED_ROWS_ONLY
                    and age(q) >= 2]
