@@ -777,3 +777,72 @@ def test_srp_kernel_matches_plane_sign_at_production_config(spark):
         assert list(r["words"]) == [expect], (r["vec_id"], r["words"], expect)
     # the comparison must actually bite: ambiguous rows are the exception
     assert n_ambiguous <= len(rows) // 10, n_ambiguous
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["ab", "ba", "abc", "a", "b", "cab"]),
+            min_size=0,
+            max_size=5,
+        ).map(" ".join),
+        min_size=2,
+        max_size=24,
+    ),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_linkage_blocked_pairs_match_python_model(spark, docs):
+    """Operator-level linkage contract on RANDOM corpora (round 8 — the
+    floor query pins it on the shipped corpus; this pins it for any input):
+    blocked_levenshtein_pairs must equal, EXACTLY (pair set AND distance
+    values), a from-scratch python model of its declared semantics — block
+    on the first two space-split tokens, drop blocks outside [2, cap],
+    keep within-block pairs with full-DP edit distance <= max_distance.
+    The tiny vocab forces block collisions so both the kept-block and the
+    dropped-block regimes are exercised; the model's classic O(len²) DP
+    cross-checks the operator's banded bounded DP on arbitrary strings,
+    including empty texts and empty tokens from repeated separators."""
+    from etl_ecommerce_data_spark.operators.linkage import (
+        blocked_levenshtein_pairs,
+    )
+
+    cap, max_d = 3, 2
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    blocks: dict[str, list[int]] = {}
+    for i, text in enumerate(docs):
+        # model the exact key expression: split on single spaces (repeated
+        # separators yield empty tokens), first two tokens, re-joined
+        blocks.setdefault(" ".join(text.split(" ")[:2]), []).append(i)
+    expect = set()
+    for members in blocks.values():
+        if not 2 <= len(members) <= cap:
+            continue
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                d = lev(docs[i], docs[j])
+                if d <= max_d:
+                    expect.add((i, j, d))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    ).repartition(3)
+    got = {
+        (r["id_l"], r["id_r"], r["distance"])
+        for r in blocked_levenshtein_pairs(
+            df, "doc_id", "text",
+            n_block_tokens=2, max_distance=max_d, max_block_size=cap,
+        ).collect()
+    }
+    assert got == expect
