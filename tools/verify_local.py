@@ -3,7 +3,16 @@
 Runs every registry query on Spark and its DuckDB oracle at the given sf dir,
 compares row counts and order-insensitive value hashes (columns sorted by
 name, rows sorted by all columns, values stringified). Exit code 1 on any
-mismatch. Usage: python tools/verify_local.py [sf_dir] [query ...]
+mismatch.
+
+Usage: python tools/verify_local.py [--bare] [--first N] [sf_dir] [query ...]
+
+--bare     use a PLAIN SparkSession (local[8], none of the engine's tuned
+           configs) — the driver's own session shape; a query that only
+           passes under the engine session would slip through without this
+--first N  restrict to the first N REGISTERED queries (the driver records
+           rows for the first ~50) — `--bare --first 50` at sf0.01 is a
+           full end-to-end rehearsal of CORRECTNESS_r{N}
 """
 
 from __future__ import annotations
@@ -51,9 +60,29 @@ def normalize(df) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    picked = sys.argv[2:] or list(QUERIES)
-    spark = get_spark("verify_local")
+    args = sys.argv[1:]
+    bare = "--bare" in args
+    if bare:
+        args.remove("--bare")
+    first = None
+    if "--first" in args:
+        i = args.index("--first")
+        first = int(args[i + 1])
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    picked = args[1:] or list(QUERIES)
+    if first is not None:
+        picked = picked[:first]
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
