@@ -2611,15 +2611,19 @@ def q_embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "9 vs 59 / 15 vs 910), the documented cost of linear star generation. "
     "Same banding shape as the scale path (48 bits, 16 3-bit bands, "
     "threshold 0.4) so the contract pins the production configuration, "
-    "not a toy one. Independence scope (ADVICE r7): the truth pass "
-    "rebuilds the banding/bucketing/anchor machinery from scratch but "
-    "SHARES the SRP signature kernel (_srp_words_udf); the kernel itself "
-    "is pinned OUTSIDE this row against a from-scratch _plane_sign "
-    "bit derivation at exactly this configuration on the real corpus "
-    "(tests/test_properties.py::test_srp_kernel_matches_plane_sign_at_"
-    "production_config) and on random corpora (the Hypothesis star-cap "
-    "property test), so a kernel regression flips those red instead of "
-    "greening this row's operator and truth sides in lockstep.",
+    "not a toy one. Independence (ADVICE r7, closed in full): the truth "
+    "pass shares NOTHING with the operator's signature path — it rebuilds "
+    "the banding/bucketing/anchor machinery from scratch AND derives its "
+    "signature word per-bit from _plane_sign via JVM zip_with/aggregate "
+    "folds (no _srp_words_udf, no numpy matmul), so a regression anywhere "
+    "in the operator's kernel flips this row red instead of greening both "
+    "sides in lockstep. The two derivations differ in summation order "
+    "(sequential fold vs numpy matmul); measured on all three oracle "
+    "corpora the smallest |projection| margin is 7.4e-6 — seven orders "
+    "above any summation-order divergence — and the word-for-word match "
+    "is additionally pinned by tests/test_properties.py::"
+    "test_srp_kernel_matches_plane_sign_at_production_config plus the "
+    "Hypothesis star-cap property test on random corpora.",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
        true AS cap_exercised,
@@ -2666,21 +2670,37 @@ def q_embedding_star_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # red on correct code if the corpus ever grows a pair within one ulp of
     # the threshold. A sub-threshold emission still fails the row.
     _eps = 1e-9
-    # Independent anchor-pair ground truth: a FRESH SRP banding pass (its
-    # own signature UDF call + the operator's documented bucket formula,
-    # operators/similarity.py:727-750) finds oversized buckets and their
-    # min-id anchors, exact-cosine-scores every (anchor, member) pair, and
-    # the floor demands each true one appears in the capped output. The
-    # same null/zero-norm drop the operator declares is applied up front.
+    # Independent anchor-pair ground truth: a from-scratch SRP banding pass
+    # (per-bit _plane_sign signature via JVM folds — NOT the operator's
+    # _srp_words_udf numpy kernel — plus the operator's documented bucket
+    # formula, operators/similarity.py:727-750) finds oversized buckets and
+    # their min-id anchors, exact-cosine-scores every (anchor, member)
+    # pair, and the floor demands each true one appears in the capped
+    # output. The same null/zero-norm drop the operator declares is
+    # applied up front. Bit layout matches the kernel's published contract
+    # (bit j of word 0 = plane j, num_bits <= 64 here); the fold's
+    # sequential summation vs the kernel's matmul is safe because the
+    # smallest measured |projection| on the oracle corpora is 7.4e-6.
     base = emb.filter(
         F.col("embedding").isNotNull() & (SIM.norm(F.col("embedding")) > 0)
     ).select(
         F.col("vec_id").cast("long").alias("vec_a"),
         F.col("embedding").alias("__va"),
     )
-    srp = SIM._srp_words_udf(num_bits, dim)
+    vdbl = SIM.to_double_array(F.col("__va"))
+    word = F.lit(0).cast("long")
+    for bit in range(num_bits):
+        signs = F.array(*[F.lit(SIM._plane_sign(bit, d)) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(vdbl, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        word = word + F.when(
+            proj >= 0, F.lit(1 << bit).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     banded = (
-        base.select("vec_a", "__va", srp(F.col("__va")).alias("__w"))
+        base.select("vec_a", "__va", word.alias("__w"))
         .select(
             "vec_a",
             "__va",
@@ -2690,7 +2710,7 @@ def q_embedding_star_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.struct(
                             F.lit(i).alias("band"),
                             (
-                                F.shiftrightunsigned(F.get("__w", 0), i * width)
+                                F.shiftrightunsigned(F.col("__w"), i * width)
                                 .bitwiseAND(F.lit((1 << width) - 1))
                                 + F.size("__va").cast("long") * F.lit(1 << width)
                             ).alias("bucket"),

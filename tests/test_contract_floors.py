@@ -161,6 +161,38 @@ def test_embedding_star_cap_floor_detects_star_regression(spark, monkeypatch):
     assert row["anchor_pair_recall_1"] is False
 
 
+def test_embedding_star_cap_floor_detects_kernel_regression(spark, monkeypatch):
+    """The shared-kernel-vacuity probe the round-7 advisor described: the
+    floor's truth side now derives its signature word per-bit from
+    _plane_sign via JVM folds, NOT from the operator's _srp_words_udf, so
+    a kernel regression moves the operator and the truth APART instead of
+    greening both in lockstep. Gut the kernel to a constant zero word: the
+    operator's banding collapses into one mega-bucket per band and loses
+    the true per-bucket star pairs, while the independent truth still
+    derives them — the row must go red on anchor recall."""
+    real = Q.SIM._srp_words_udf
+
+    def zeroed(num_bits, dim):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        n_words = (num_bits + 63) // 64
+
+        def zero_words(vecs):
+            return pd.Series([np.zeros(n_words, dtype=np.int64)] * len(vecs))
+
+        # explicit returnType form: `from __future__ import annotations`
+        # in this module turns hints into strings pandas_udf can't infer
+        return pandas_udf(zero_words, "array<long>")
+
+    monkeypatch.setattr(Q.SIM, "_srp_words_udf", zeroed)
+    row = _one_row("embedding_star_cap_floor", spark)
+    assert row["anchor_pair_recall_1"] is False
+    assert row["anchor_truth_nonempty"] is True  # independent truth intact
+    monkeypatch.setattr(Q.SIM, "_srp_words_udf", real)
+
+
 def test_linkage_block_cap_floor_detects_pair_loss(spark, monkeypatch):
     """The round-8 floor (VERDICT r7 ask #2): honest operator green on every
     boolean; a capped-run pair loss must flip surviving_recall_1 (the truth
