@@ -510,10 +510,11 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Live per-invocation scratch roots for run_incremental_dedup_ingest. ONE
 # atexit hook (registered on first use) reclaims whatever is still live at
-# interpreter exit; eager reclamation goes through IngestSnapshot.release().
-# The per-call atexit.register of earlier rounds grew one callback + one
-# surviving snapshot dir per invocation over a long-lived driver's lifetime
-# (driver ADVICE r6) — a notebook/service calling this hourly leaked both.
+# interpreter exit — now only handles never ``release()``d: the default
+# (non-handle) mode checkpoints its result and reclaims its root before
+# returning, so nothing accumulates over a long-lived driver in either
+# mode (driver ADVICE r6/r7 — the earlier per-call atexit.register grew
+# one callback + one surviving snapshot dir per invocation).
 _INGEST_ROOTS: set[str] = set()
 _INGEST_ATEXIT_REGISTERED = False
 
@@ -572,20 +573,21 @@ def run_incremental_dedup_ingest(
     Production shape: Kafka source + Delta MERGE with the same anti-join;
     state is one hash+id per UNIQUE document, not per ingested row.
 
-    Pass ``as_handle=True`` to get an ``IngestSnapshot`` instead of the
-    bare frame — ``.df`` is the same lazy result, ``.release()`` reclaims
-    the scratch snapshot eagerly once consumed.
+    Two return modes, BOTH leak-free over a long-lived driver (ADVICE r7
+    closed: no mode accumulates snapshot dirs per call any more):
 
-    .. warning:: With the default ``as_handle=False`` there is NO eager
-       reclamation path: each invocation leaves one snapshot directory in
-       ``_INGEST_ROOTS`` until interpreter exit (driver ADVICE r7). That is
-       fine for tests and one-shot jobs; a LONG-LIVED driver (notebook,
-       service, hourly scheduler) MUST use ``as_handle=True`` and call
-       ``.release()`` (or use the handle as a context manager) after the
-       last action on ``.df``, or it accumulates one snapshot dir per call
-       for the life of the process. The handle is planned to become the
-       default return in a future major revision; new call sites should
-       opt in now.
+    - default ``as_handle=False``: the final accepted state is eagerly
+      ``localCheckpoint``-ed into Spark block storage and the scratch
+      snapshot dir is reclaimed BEFORE returning — nothing is left on
+      disk, and the checkpoint blocks are reclaimed by Spark's
+      ContextCleaner once the caller drops the frame. Costs one extra
+      materialization of the final state (one hash+id row per unique
+      document — the small side of this operator by construction).
+    - ``as_handle=True``: zero extra materialization; ``.df`` reads the
+      snapshot lazily and the caller reclaims the dir with
+      ``.release()`` (or the handle as a context manager) after the last
+      action on ``.df``. The module atexit hook remains the fallback for
+      handles never released.
     """
     import os
     import tempfile
@@ -664,4 +666,13 @@ def run_incremental_dedup_ingest(
     # (read lazily by the caller, reclaimed by the atexit hook) remains
     shutil.rmtree(stage, ignore_errors=True)
     df = spark.read.parquet(current[0]).select("content_hash", "doc_id")
-    return IngestSnapshot(df, root) if as_handle else df
+    if as_handle:
+        return IngestSnapshot(df, root)
+    # default mode: pin the result off the scratch dir (eager local
+    # checkpoint into block storage) and reclaim the dir NOW — a
+    # long-lived caller that never heard of handles accumulates nothing;
+    # ContextCleaner frees the checkpoint blocks when the frame is dropped
+    df = df.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    _INGEST_ROOTS.discard(root)
+    return df

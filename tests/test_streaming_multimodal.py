@@ -352,3 +352,28 @@ def test_incremental_dedup_ingest_handle_reclaims_eagerly(spark, tmp_path):
     assert EV._INGEST_ROOTS - before == {snap2.root}
     snap2.release()
     assert EV._INGEST_ROOTS == before
+
+
+def test_incremental_dedup_ingest_default_mode_leaves_nothing(spark, tmp_path):
+    """Driver ADVICE r7 closed: the DEFAULT (non-handle) mode must not
+    accumulate snapshot dirs either — the result is checkpointed off the
+    scratch dir, the dir reclaimed before return, and the frame stays
+    collectable (twice — it is pinned, not lazily re-read) afterwards."""
+    from etl_ecommerce_data_spark.streaming import events as EV
+
+    rows = [(0, "a text"), (1, "b text"), (2, "a text")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    import glob
+    import tempfile
+
+    pattern = tempfile.gettempdir() + "/dedup_ingest_*"
+    before = set(EV._INGEST_ROOTS)
+    on_disk_before = set(glob.glob(pattern))  # stale dirs of other sessions
+    df = EV.run_incremental_dedup_ingest(spark, str(tmp_path))
+    # no new tracked root, and no NEW dedup_ingest_* scratch dir on disk
+    assert EV._INGEST_ROOTS == before
+    assert set(glob.glob(pattern)) - on_disk_before == set()
+    assert len(df.collect()) == 2
+    assert len(df.collect()) == 2  # still valid on a second action
