@@ -6063,7 +6063,13 @@ _SWEEP_FIRST = [
     # recall twins WITH their rows-only topk diagnostics, which had no
     # driver row since r1-r3; the four alphabetical age-2 singles they
     # displace (doc_top_terms, doc_repetition_stats, embedding_quantize,
-    # event_counts_cms) defer to the mandatory round-9 rotation.
+    # event_counts_cms) defer to the mandatory round-9 rotation. Late-r8
+    # re-plan (--changed embedding_star_cap_floor,stream_incremental_dedup
+    # after the kernel-independent truth rewrite and the leak-free default
+    # ingest mode): embedding_star_cap_floor was already in the window;
+    # stream_incremental_dedup enters at the head and displaces the age-2
+    # single doc_fingerprints, which joins the round-9 mandatory set.
+    "stream_incremental_dedup",
     "linkage_block_cap_floor",
     "asof_events_orders",
     "clean_orders",
@@ -6105,7 +6111,6 @@ _SWEEP_FIRST = [
     "curation_funnel",
     "customers_no_orders",
     "daily_activity_reconciliation",
-    "doc_fingerprints",
     "embedding_near_dup",
     "embedding_near_dup_baseline",
     "embedding_near_dup_recall",

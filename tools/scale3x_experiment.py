@@ -21,9 +21,17 @@ A linear-ish operator on a not-yet-saturated local[32] should show ≤3× wall
 time at 3× rows; ≥9× would flag quadratic cross-copy work (banding failing
 to separate the copies).
 
-Usage: python tools/scale3x_experiment.py [sf_dir] [n_copies]
+Usage: python tools/scale3x_experiment.py [sf_dir] [n_copies] [op,op,…]
 (defaults /root/testdata/sf0.1, 3 — pass 10 for a second decade above
 sf0.1: 50 000 documents / 20 000 embeddings, true-pair mass exactly 10×)
+
+The optional third argument restricts to a comma-separated operator subset —
+points far above 10× exclude the operators whose OUTPUT mass is quadratic in
+the copy count by construction (minhash/simhash/embedding chance pairs ∝
+C(N,2), basket_pairs' within-order expansion): at N=100 their pair
+materialization alone is hundreds of millions of rows, measuring allocator
+throughput rather than the operator. The sublinear/bounded families are the
+ones whose 100 TB posture the extra decade actually probes.
 """
 
 from __future__ import annotations
@@ -287,6 +295,12 @@ def main() -> None:
         "profile_orders": registry("profile_orders"),
         "basket_pairs": registry("basket_pairs"),
     }
+    if len(sys.argv) > 3:
+        picked = sys.argv[3].split(",")
+        unknown = [n for n in picked if n not in ops]
+        if unknown:
+            raise SystemExit(f"unknown operators: {unknown}; have {list(ops)}")
+        ops = {n: ops[n] for n in picked}
     # warm python workers / codegen
     for fn in ops.values():
         fn(d1, e1, sf_dir)
