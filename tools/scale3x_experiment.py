@@ -54,6 +54,15 @@ SCRATCH = "/tmp/spark_graft_scale3x"
 ID_STRIDE = 10_000_000
 
 
+def _max_copies(dim: int) -> int:
+    """Largest decorrelated embedding copy count: the base copy plus one per
+    distinct coprime residue mod ``dim`` (phi(dim); 1 when dim == 1)."""
+    import math
+
+    avail = sum(1 for r in range(dim) if math.gcd(r, dim) == 1) if dim > 1 else 1
+    return avail + 1
+
+
 def _strides(n_copies: int, dim: int) -> list[int]:
     """One coprime stride per non-base copy, all DISTINCT: two copies
     sharing a stride (a gcd bump can collide adjacent candidates for dims
@@ -68,7 +77,7 @@ def _strides(n_copies: int, dim: int) -> list[int]:
     # residues mod dim, so requesting more distinct strides than that can
     # never terminate (e.g. dim=1, where every s % dim == 0) — fail loudly
     # up front instead of spinning in itertools.count.
-    avail = sum(1 for r in range(dim) if math.gcd(r, dim) == 1) if dim > 1 else 1
+    avail = _max_copies(dim) - 1
     if n_copies - 1 > avail:
         raise ValueError(
             f"n_copies={n_copies} needs {n_copies - 1} distinct coprime "
@@ -125,9 +134,19 @@ def build_nx(spark, sf_dir: str, n_copies: int) -> str:
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    strides = _strides(n_copies, dim)
+    # the decorrelating permutation family is exhausted at phi(dim)+1
+    # copies; past that, replicate embeddings only up to the bound (points
+    # that far up measure the non-embedding families — main() refuses to
+    # time an embedding operator beyond this)
+    e_copies = min(n_copies, _max_copies(dim))
+    if e_copies < n_copies:
+        print(
+            f"note: embeddings replicated {e_copies}x (stride bound "
+            f"phi({dim})+1), documents/relational/events {n_copies}x"
+        )
+    strides = _strides(e_copies, dim)
     ecopies = [emb]
-    for i in range(1, n_copies):
+    for i in range(1, e_copies):
         permuted = F.array(
             *[F.get(F.col("embedding"), p) for p in _perm(strides[i - 1], i, dim)]
         )
@@ -207,7 +226,21 @@ def timed(fn, runs: int = 3) -> tuple[float, int]:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    picked = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     spark = get_spark("scale3x")
+    # refuse an un-measurable embedding run BEFORE building the N× corpus:
+    # past the permutation-family bound, cross-copy cosines would be
+    # correlated and the embedding timing meaningless
+    dim0 = len(
+        load_table(spark, sf_dir, "embeddings").select("embedding").first()["embedding"]
+    )
+    if n_copies > _max_copies(dim0) and (picked is None or "embedding_near_dup" in picked):
+        raise SystemExit(
+            f"embedding_near_dup is not measurable at {n_copies}x: the "
+            f"decorrelating permutation family ends at {_max_copies(dim0)} "
+            "copies (cross-copy cosines would be correlated) — pass an "
+            "operator subset without it"
+        )
     tdir = build_nx(spark, sf_dir, n_copies)
 
     def inputs(d):
@@ -295,8 +328,7 @@ def main() -> None:
         "profile_orders": registry("profile_orders"),
         "basket_pairs": registry("basket_pairs"),
     }
-    if len(sys.argv) > 3:
-        picked = sys.argv[3].split(",")
+    if picked is not None:
         unknown = [n for n in picked if n not in ops]
         if unknown:
             raise SystemExit(f"unknown operators: {unknown}; have {list(ops)}")
