@@ -114,6 +114,10 @@ def dedup_events_stream(events: DataFrame, watermark: str = "10 minutes") -> Dat
 
 
 def _run_to_memory(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Local VERIFICATION sink: the memory sink collects every emission onto
+    the driver, which is exactly right for oracle comparison at test SFs and
+    exactly wrong at scale (driver heap bounds the output). Large-input runs
+    use :func:`_run_to_parquet` — same query, executor-side writes."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = stream_df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try:
@@ -121,6 +125,48 @@ def _run_to_memory(stream_df: DataFrame, spark: SparkSession, mode: str) -> Data
     finally:
         q.stop()
     return spark.table(name)
+
+
+def _run_to_parquet(
+    stream_df: DataFrame, spark: SparkSession, mode: str, out_dir: str | None = None
+) -> DataFrame:
+    """Production-shaped sink twin of :func:`_run_to_memory`: emissions land
+    in a parquet directory via distributed executor writes (the native file
+    sink for append mode, a ``foreachBatch`` parquet append otherwise), so
+    output volume is bounded by storage, not driver heap. Returns the
+    emissions read back as a batch DataFrame.
+
+    The caller owns ``out_dir`` cleanup (the returned DataFrame reads from it
+    lazily); when omitted, a fresh temp dir is created and left for the OS —
+    long-lived drivers should pass an explicit directory they manage."""
+    import tempfile
+
+    out = out_dir or tempfile.mkdtemp(prefix="stream_sink_")
+    data = _os.path.join(out, "data")
+    ckpt = _os.path.join(out, "ckpt")
+    if mode == "append":
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", data)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    else:
+        # update/complete emissions have no native file sink; foreachBatch
+        # appends each batch's emission — same rows the memory sink would
+        # hold, written by the executors
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(data))
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(data)
 
 
 def run_user_running_stats_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,13 +177,27 @@ def run_user_running_stats_to_memory(spark: SparkSession, sf_dir: str) -> DataFr
     return _run_to_memory(user_running_stats(events), spark, "update")
 
 
-def run_dedup_events_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_dedup_events_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    sink: str = "memory",
+    out_dir: str | None = None,
+) -> DataFrame:
     """Duplicate every event (union the stream with itself), then streaming-
     dedup back to the original set — exercises drop-within-watermark state
-    end-to-end with an exact batch oracle (the distinct events themselves)."""
+    end-to-end with an exact batch oracle (the distinct events themselves).
+
+    ``sink="memory"`` (default) drives the verification memory sink —
+    driver-bounded, for oracle-scale inputs. ``sink="files"`` drives the
+    production-shaped parquet file sink (executor-side writes, see
+    :func:`_run_to_parquet`) — required for large inputs, where collecting
+    the deduped stream onto the driver is the one thing this engine never
+    does."""
     events = read_events_stream(spark, sf_dir)
     doubled = events.unionByName(read_events_stream(spark, sf_dir))
     deduped = dedup_events_stream(doubled).select("event_id", "user_id", "event_type")
+    if sink == "files":
+        return _run_to_parquet(deduped, spark, "append", out_dir)
     return _run_to_memory(deduped, spark, "append")
 
 
@@ -216,8 +276,17 @@ def session_window_aggregation(
 _ADVANCER_USER = -1
 
 
-def run_session_windows_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_session_windows_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    sink: str = "memory",
+    out_dir: str | None = None,
+) -> DataFrame:
     """Drive append-mode streaming sessionization to completion.
+
+    ``sink="files"`` swaps the verification memory sink for the
+    production-shaped parquet file sink (executor-side writes) — use it for
+    large inputs; the default stays driver-collected for oracle runs.
 
     Append mode only emits sessions the watermark has closed, so a single
     micro-batch would withhold every session near the stream's end. The run
@@ -277,7 +346,11 @@ def run_session_windows_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame
         .parquet(stage)
     )
     events = events_normalize_ts(stream, kind)
-    out = _run_to_memory(session_window_aggregation(events), spark, "append")
+    agg = session_window_aggregation(events)
+    if sink == "files":
+        out = _run_to_parquet(agg, spark, "append", out_dir)
+    else:
+        out = _run_to_memory(agg, spark, "append")
     result = out.filter(F.col("user_id") != _ADVANCER_USER)
     if result.limit(1).count() == 0:
         # Zero sessions from a nonempty events file means the advancer batch

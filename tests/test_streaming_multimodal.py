@@ -377,3 +377,27 @@ def test_incremental_dedup_ingest_default_mode_leaves_nothing(spark, tmp_path):
     assert set(glob.glob(pattern)) - on_disk_before == set()
     assert len(df.collect()) == 2
     assert len(df.collect()) == 2  # still valid on a second action
+
+
+def test_file_sink_matches_memory_sink(spark, tmp_path):
+    """The production parquet file sink (streaming/events.py _run_to_parquet,
+    executor-side writes) emits exactly the row set of the driver-collected
+    memory verification sink for both append-mode streaming runners — the
+    sink swap the N-copy scaling experiment relies on above the memory
+    sink's driver-heap bound."""
+    from etl_ecommerce_data_spark.streaming.events import (
+        run_dedup_events_to_memory,
+        run_session_windows_to_memory,
+    )
+
+    for runner in (run_dedup_events_to_memory, run_session_windows_to_memory):
+        mem = runner(spark, SF_SMOKE)
+        fil = runner(
+            spark, SF_SMOKE, sink="files", out_dir=str(tmp_path / runner.__name__)
+        )
+        cols = mem.columns
+        assert set(fil.columns) == set(cols)
+        mem_rows = sorted(map(tuple, mem.select(*cols).collect()))
+        fil_rows = sorted(map(tuple, fil.select(*cols).collect()))
+        assert len(mem_rows) > 0
+        assert mem_rows == fil_rows

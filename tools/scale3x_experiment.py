@@ -284,6 +284,23 @@ def main() -> None:
 
         return lambda d, e, sdir: QUERIES[name].builder(spark, sdir).count()
 
+    def stream_files(runner_name):
+        # streaming runner driven into the production parquet file sink
+        # (executor-side writes) instead of the driver-collected memory
+        # verification sink; sink dirs live under SCRATCH so the final
+        # rmtree cleans them
+        import tempfile
+
+        from etl_ecommerce_data_spark.streaming import events as EV
+
+        fn = getattr(EV, runner_name)
+
+        def run(d, e, sdir):
+            out_dir = tempfile.mkdtemp(prefix="stream_sink_", dir=SCRATCH)
+            return fn(spark, sdir, sink="files", out_dir=out_dir).count()
+
+        return run
+
     ops = {
         "dedup_minhash_docs": lambda d, e, s: DD.minhash_lsh_pairs(d, threshold=0.6).count(),
         "dedup_simhash_docs": lambda d, e, s: DD.simhash_pairs(d, max_hamming=3).count(),
@@ -315,9 +332,15 @@ def main() -> None:
         # unique text (copies are token-prefixed, so disjoint) -> Nx.
         # Streaming wall includes fixed query-startup/micro-batch overhead,
         # so expect SUB-linear ratios on these sizes.
-        "stream_dedup_events": registry("stream_dedup_events"),
+        # dedup + session windows run the production-shaped parquet FILE
+        # sink (sink="files"): the registry's memory sink is the oracle
+        # verification harness and collects every emission onto the driver,
+        # which caps how far it can scale (10M events OOM an 8g heap); the
+        # file sink writes from the executors, so these two rows measure
+        # the operator, not the harness. Both scales use the same sink.
+        "stream_dedup_events": stream_files("run_dedup_events_to_memory"),
         "stream_upsert_user_latest": registry("stream_upsert_user_latest"),
-        "stream_session_windows": registry("stream_session_windows"),
+        "stream_session_windows": stream_files("run_session_windows_to_memory"),
         "stream_incremental_dedup": registry("stream_incremental_dedup"),
         # remaining expensive-plan singles (VERDICT r7 residual #7):
         # profile_orders is a fixed 4-row profile (out ratio 1.0, timing is
