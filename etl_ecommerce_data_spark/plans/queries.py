@@ -6069,6 +6069,15 @@ _SWEEP_FIRST = [
     # ingest mode): embedding_star_cap_floor was already in the window;
     # stream_incremental_dedup enters at the head and displaces the age-2
     # single doc_fingerprints, which joins the round-9 mandatory set.
+    # Second late-r8 re-plan (--changed stream_dedup_events,
+    # stream_session_windows after the production file-sink addition —
+    # their registry default is the unchanged memory sink, but the runner
+    # functions were edited, and changed code re-verifies in-window, no
+    # exceptions): both enter at the head; the two displaced age-2 fill
+    # singles (customers_no_orders, daily_activity_reconciliation) join
+    # the round-9 mandatory set.
+    "stream_dedup_events",
+    "stream_session_windows",
     "stream_incremental_dedup",
     "linkage_block_cap_floor",
     "asof_events_orders",
@@ -6109,8 +6118,6 @@ _SWEEP_FIRST = [
     "contamination_check",
     "csv_quarantine_split",
     "curation_funnel",
-    "customers_no_orders",
-    "daily_activity_reconciliation",
     "embedding_near_dup",
     "embedding_near_dup_baseline",
     "embedding_near_dup_recall",
