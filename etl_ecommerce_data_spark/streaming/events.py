@@ -138,12 +138,24 @@ def _run_to_parquet(
 
     The caller owns ``out_dir`` cleanup (the returned DataFrame reads from it
     lazily); when omitted, a fresh temp dir is created and left for the OS —
-    long-lived drivers should pass an explicit directory they manage."""
+    long-lived drivers should pass an explicit directory they manage.
+
+    Sink semantics per output mode, matched to the memory sink's:
+
+    - ``append``: native parquet file sink — each batch's new final rows
+      land once; the dir accumulates exactly the appended emissions.
+    - ``update``: ``foreachBatch`` parquet *append* — the memory sink also
+      accumulates update-mode emissions, so file == memory row-for-row.
+    - ``complete``: ``foreachBatch`` parquet *overwrite* — the memory sink
+      REPLACES its table with each batch's full re-emitted state, so the
+      file twin must too (a per-batch append would duplicate every earlier
+      batch's state in the read-back)."""
     import tempfile
 
     out = out_dir or tempfile.mkdtemp(prefix="stream_sink_")
     data = _os.path.join(out, "data")
     ckpt = _os.path.join(out, "ckpt")
+    schema = stream_df.schema
     if mode == "append":
         q = (
             stream_df.writeStream.outputMode("append")
@@ -154,27 +166,54 @@ def _run_to_parquet(
         )
     else:
         # update/complete emissions have no native file sink; foreachBatch
-        # appends each batch's emission — same rows the memory sink would
-        # hold, written by the executors
+        # writes each batch's emission executor-side — append accumulates
+        # (update), overwrite keeps only the latest full state (complete)
+        write_mode = "overwrite" if mode == "complete" else "append"
         q = (
             stream_df.writeStream.outputMode(mode)
             .option("checkpointLocation", ckpt)
-            .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(data))
+            .foreachBatch(
+                lambda bdf, _bid: bdf.write.mode(write_mode).parquet(data)
+            )
             .start()
         )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+    # Zero emissions leave no parquet data files (or no dir at all for
+    # foreachBatch modes); read.parquet would raise an opaque inference
+    # error there, preempting callers' own empty-result diagnostics — hand
+    # back an honest empty frame with the stream's schema instead.
+    has_data = _os.path.isdir(data) and any(
+        f.startswith("part-") and not f.endswith(".crc")
+        for _r, _d, files in _os.walk(data)
+        for f in files
+    )
+    if not has_data:
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(data)
 
 
-def run_user_running_stats_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_user_running_stats_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    sink: str = "memory",
+    out_dir: str | None = None,
+) -> DataFrame:
     """Drive the stateful per-user stats over all available input. The events
     file arrives as a single micro-batch, so the one 'update' emission per
-    user is the final state — equal to the batch groupBy oracle."""
+    user is the final state — equal to the batch groupBy oracle.
+
+    ``sink="files"`` swaps the driver-collected verification memory sink for
+    the production parquet file sink (executor-side writes, update-mode
+    append semantics match the memory sink row-for-row) — required above the
+    driver-heap bound the 100× scaling run exposed."""
     events = read_events_stream(spark, sf_dir)
-    return _run_to_memory(user_running_stats(events), spark, "update")
+    stats = user_running_stats(events)
+    if sink == "files":
+        return _run_to_parquet(stats, spark, "update", out_dir)
+    return _run_to_memory(stats, spark, "update")
 
 
 def run_dedup_events_to_memory(
@@ -238,13 +277,25 @@ def view_purchase_stream_join(
     )
 
 
-def run_view_purchase_join_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_view_purchase_join_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    sink: str = "memory",
+    out_dir: str | None = None,
+) -> DataFrame:
+    """Drive the stream-stream interval join to completion. ``sink="files"``
+    uses the native append-mode parquet file sink (executor-side writes)
+    instead of the driver-collected memory sink — the join's output volume
+    is O(matched pairs), which at production rates outgrows driver heap long
+    before it outgrows storage."""
     events = read_events_stream(spark, sf_dir)
     views = events.filter(F.col("event_type") == "view")
     purchases = read_events_stream(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     )
     joined = view_purchase_stream_join(views, purchases)
+    if sink == "files":
+        return _run_to_parquet(joined, spark, "append", out_dir)
     return _run_to_memory(joined, spark, "append")
 
 
@@ -368,29 +419,24 @@ def run_windowed_stream_to_memory(
     sf_dir: str,
     window: str = "5 minutes",
     watermark: str = "10 minutes",
+    sink: str = "memory",
+    out_dir: str | None = None,
 ) -> DataFrame:
     """Drive the streaming aggregation over all available input and return the
     final result as a (batch) DataFrame.
 
-    Uses the memory sink in *complete* mode: every micro-batch re-emits the
-    full aggregation state, so after ``processAllAvailable`` the table holds
-    exactly the batch-equivalent result (append mode would withhold windows
-    newer than the watermark — untestable without an extra batch).
-    """
+    *Complete* mode: every micro-batch re-emits the full aggregation state,
+    so after ``processAllAvailable`` the sink holds exactly the
+    batch-equivalent result (append mode would withhold windows newer than
+    the watermark — untestable without an extra batch). ``sink="files"``
+    swaps the memory sink for the parquet file sink's complete-mode twin
+    (per-batch executor-side overwrite — only the latest full state
+    survives, matching the memory sink's table replacement)."""
     events = read_events_stream(spark, sf_dir)
     agg = windowed_event_aggregation(events, window, watermark)
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    if sink == "files":
+        return _run_to_parquet(agg, spark, "complete", out_dir)
+    return _run_to_memory(agg, spark, "complete")
 
 
 def user_type_counts_tws(events: DataFrame) -> DataFrame:
@@ -445,10 +491,20 @@ def user_type_counts_tws(events: DataFrame) -> DataFrame:
     )
 
 
-def run_user_type_counts_tws_to_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drive the transformWithState processor over all available input."""
+def run_user_type_counts_tws_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    sink: str = "memory",
+    out_dir: str | None = None,
+) -> DataFrame:
+    """Drive the transformWithState processor over all available input.
+    ``sink="files"`` writes update-mode emissions via the parquet file sink
+    (executor-side append — matches the memory sink's accumulation)."""
     events = read_events_stream(spark, sf_dir)
-    return _run_to_memory(user_type_counts_tws(events), spark, "update")
+    counts = user_type_counts_tws(events)
+    if sink == "files":
+        return _run_to_parquet(counts, spark, "update", out_dir)
+    return _run_to_memory(counts, spark, "update")
 
 
 def run_stream_static_enrich_to_memory(
@@ -456,6 +512,8 @@ def run_stream_static_enrich_to_memory(
     sf_dir: str,
     window: str = "5 minutes",
     watermark: str = "10 minutes",
+    sink: str = "memory",
+    out_dir: str | None = None,
 ) -> DataFrame:
     """Stream-STATIC enrichment join + windowed aggregation: the production
     pattern of joining an event stream against a dimension table (here the
@@ -465,9 +523,10 @@ def run_stream_static_enrich_to_memory(
     The join is stateless — Spark re-plans the static side each micro-batch
     (picking up dim updates between batches) and the explicit ``broadcast``
     keeps it shuffle-free on the stream side: each micro-batch's tasks probe
-    a broadcast hash map, no state store involved. Complete-mode memory sink
-    as in ``run_windowed_stream_to_memory`` so the final table equals the
-    batch twin (which is the DuckDB oracle).
+    a broadcast hash map, no state store involved. Complete-mode sink as in
+    ``run_windowed_stream_to_memory`` so the final table equals the batch
+    twin (which is the DuckDB oracle); ``sink="files"`` uses the file sink's
+    complete-mode twin (per-batch overwrite, executor-side writes).
     """
     from etl_ecommerce_data_spark.sources.registry import load_table
 
@@ -484,13 +543,9 @@ def run_stream_static_enrich_to_memory(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    if sink == "files":
+        return _run_to_parquet(agg, spark, "complete", out_dir)
+    return _run_to_memory(agg, spark, "complete")
 
 
 def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -382,15 +382,31 @@ def test_incremental_dedup_ingest_default_mode_leaves_nothing(spark, tmp_path):
 def test_file_sink_matches_memory_sink(spark, tmp_path):
     """The production parquet file sink (streaming/events.py _run_to_parquet,
     executor-side writes) emits exactly the row set of the driver-collected
-    memory verification sink for both append-mode streaming runners — the
-    sink swap the N-copy scaling experiment relies on above the memory
-    sink's driver-heap bound."""
+    memory verification sink for EVERY streaming runner — append mode
+    (native file sink), update mode (foreachBatch append matches the memory
+    sink's accumulation), and complete mode (foreachBatch per-batch
+    OVERWRITE matches the memory sink's table replacement; ADVICE r8: a
+    per-batch append would duplicate earlier batches' re-emitted state).
+    This is the sink swap the N-copy scaling experiments rely on above the
+    memory sink's driver-heap bound."""
     from etl_ecommerce_data_spark.streaming.events import (
         run_dedup_events_to_memory,
         run_session_windows_to_memory,
+        run_stream_static_enrich_to_memory,
+        run_user_running_stats_to_memory,
+        run_view_purchase_join_to_memory,
+        run_windowed_stream_to_memory,
     )
 
-    for runner in (run_dedup_events_to_memory, run_session_windows_to_memory):
+    runners = (
+        run_dedup_events_to_memory,  # append, native file sink
+        run_session_windows_to_memory,  # append, native file sink
+        run_user_running_stats_to_memory,  # update, foreachBatch append
+        run_view_purchase_join_to_memory,  # append, native file sink
+        run_windowed_stream_to_memory,  # complete, foreachBatch overwrite
+        run_stream_static_enrich_to_memory,  # complete, foreachBatch overwrite
+    )
+    for runner in runners:
         mem = runner(spark, SF_SMOKE)
         fil = runner(
             spark, SF_SMOKE, sink="files", out_dir=str(tmp_path / runner.__name__)
@@ -399,5 +415,57 @@ def test_file_sink_matches_memory_sink(spark, tmp_path):
         assert set(fil.columns) == set(cols)
         mem_rows = sorted(map(tuple, mem.select(*cols).collect()))
         fil_rows = sorted(map(tuple, fil.select(*cols).collect()))
-        assert len(mem_rows) > 0
-        assert mem_rows == fil_rows
+        assert len(mem_rows) > 0, runner.__name__
+        assert mem_rows == fil_rows, runner.__name__
+
+
+def test_file_sink_tws_matches_memory(spark, tmp_path):
+    """transformWithState runner's file sink == memory sink (capability-gated
+    with the module's protobuf gate)."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available - transformWithState gated")
+    from etl_ecommerce_data_spark.streaming.events import (
+        run_user_type_counts_tws_to_memory,
+    )
+
+    mem = run_user_type_counts_tws_to_memory(spark, SF_SMOKE)
+    fil = run_user_type_counts_tws_to_memory(
+        spark, SF_SMOKE, sink="files", out_dir=str(tmp_path / "tws")
+    )
+    assert sorted(map(tuple, mem.collect())) == sorted(map(tuple, fil.collect()))
+
+
+def test_file_sink_zero_emissions_returns_empty_frame(spark, tmp_path):
+    """ADVICE r8: a stream with zero emissions must hand back an empty frame
+    with the stream's schema, not an opaque read.parquet path/inference
+    error — callers' own empty-result diagnostics (e.g. the session
+    runner's micro-batch-ordering RuntimeError) depend on it."""
+    from etl_ecommerce_data_spark.streaming.events import (
+        _run_to_parquet,
+        dedup_events_stream,
+        events_read_schema,
+        events_ts_kind,
+    )
+    import os
+
+    src = os.path.join(SF_SMOKE, "events.parquet")
+    kind = events_ts_kind(spark, src)
+    stream = (
+        spark.readStream.schema(events_read_schema(kind))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMOKE)
+    )
+    from etl_ecommerce_data_spark.sources.registry import events_normalize_ts
+
+    ev = events_normalize_ts(stream, kind)
+    # a filter nothing passes -> the dedup stream emits zero rows
+    silenced = dedup_events_stream(ev.filter("event_id < 0")).select(
+        "event_id", "user_id", "event_type"
+    )
+    out = _run_to_parquet(silenced, spark, "append", str(tmp_path / "empty"))
+    assert out.columns == ["event_id", "user_id", "event_type"]
+    assert out.count() == 0

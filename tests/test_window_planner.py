@@ -117,3 +117,16 @@ def test_real_registry_contract_smoke():
     for diag in twinned:
         assert diag in pulled_targets, f"{diag} unreachable by co-rotation"
         assert co.get(diag), f"{diag} cannot pull its twin when --changed"
+
+
+def test_converging_co_rotate_edges_enter_target_once():
+    """ADVICE r8: two same-level frontier members pulling the SAME target
+    must not enter it twice — the duplicate inflated the group size and
+    spuriously skipped the changed query at a window it actually fits."""
+    queries = ["q", "a", "b", "x"]
+    co = {"q": ["a", "b"], "a": ["x"], "b": ["x"]}
+    sugg, pulled, skipped = plan_window(
+        queries, {}, ["q"], window=4, co_rotate=co, twinned=set())
+    assert sugg == ["q", "a", "b", "x"]  # x exactly once, group fits
+    assert pulled == {"a": "q", "b": "q", "x": "q"}
+    assert not skipped

@@ -152,9 +152,15 @@ def plan_window(
             group, seen = [q], {q}
             frontier = [q]
             while frontier:
-                nxt = [t for f in frontier for t in co_rotate.get(f, [])
-                       if t not in seen]
-                seen.update(nxt)
+                # dedupe WITHIN the level too: two frontier members pulling
+                # the same target must not enter it twice (converging edges
+                # would inflate the group size and spuriously skip it)
+                nxt: list[str] = []
+                for f in frontier:
+                    for t in co_rotate.get(f, []):
+                        if t not in seen:
+                            seen.add(t)
+                            nxt.append(t)
                 group.extend(t for t in nxt if t not in suggestion)
                 frontier = nxt
             if len(suggestion) + len(group) > window:
