@@ -6047,89 +6047,81 @@ def q_linkage_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of window membership (tests/test_oracle_parity.py + the per-round
 # full-registry sf0.1 sweep recorded in SCALE.md).
 _SWEEP_FIRST = [
-    # Round-8 ordering (VERDICT r7 asks #1-#2), planned with
-    # tools/window_planner.py --round 8 --changed linkage_block_cap_floor:
-    # (a) the NEW linkage_block_cap_floor (r7 ask #2: the linkage
-    # max_block_size drop driver-pinned the way embedding_star_cap_floor
-    # pins the embedding bucket cap — cap=3, fully-verifying DuckDB oracle);
-    # (b) the ENTIRE round-5-stale set — 31 queries at the two-round
-    # staleness limit (r7 ask #1): olist-parity marts, curation singles,
-    # simhash pair with its completeness co-rotate, gram/pca pair,
-    # daily_sales family, clean_orders, asof, similarity_topk, streaming-
-    # adjacent singles; (c) residual slots on the oldest r6-green rows with
-    # CO_ROTATE enforced (embedding_near_dup pulls its baseline/recall/
-    # star-cap-floor twins), plus — one documented hand-tune over the
-    # planner output (VERDICT r7 residual #7) — the similarity_lsh/ivf
-    # recall twins WITH their rows-only topk diagnostics, which had no
-    # driver row since r1-r3; the four alphabetical age-2 singles they
-    # displace (doc_top_terms, doc_repetition_stats, embedding_quantize,
-    # event_counts_cms) defer to the mandatory round-9 rotation. Late-r8
-    # re-plan (--changed embedding_star_cap_floor,stream_incremental_dedup
-    # after the kernel-independent truth rewrite and the leak-free default
-    # ingest mode): embedding_star_cap_floor was already in the window;
-    # stream_incremental_dedup enters at the head and displaces the age-2
-    # single doc_fingerprints, which joins the round-9 mandatory set.
-    # Second late-r8 re-plan (--changed stream_dedup_events,
-    # stream_session_windows after the production file-sink addition —
-    # their registry default is the unchanged memory sink, but the runner
-    # functions were edited, and changed code re-verifies in-window, no
-    # exceptions): both enter at the head; the two displaced age-2 fill
-    # singles (customers_no_orders, daily_activity_reconciliation) join
-    # the round-9 mandatory set.
-    "stream_dedup_events",
-    "stream_session_windows",
-    "stream_incremental_dedup",
-    "linkage_block_cap_floor",
-    "asof_events_orders",
-    "clean_orders",
-    "corpus_boilerplate_removal",
-    "corpus_split",
-    "curate_corpus_hygiene",
-    "daily_sales",
-    "daily_sales_bucketed",
-    "daily_value_gapfilled",
-    "dedup_ngram_jaccard_baseline",
-    "dedup_simhash_docs",
-    "dedup_simhash_complete",
-    "doc_chunks",
-    "doc_chunks_udtf",
-    "doc_rarity_score",
-    "embedding_gram_baseline",
-    "embedding_pca_variance",
-    "event_type_drift",
-    "events_by_type_day",
-    "merge_upsert_orders",
-    "nation_revenue",
-    "order_status_delivery",
-    "order_value_ranking_suite",
-    "product_performance",
-    "range_join_view_purchase",
-    "salted_segment_revenue",
-    "session_window_stats",
-    "similarity_topk",
-    "supplier_performance",
-    "text_normalize_dedup",
-    "text_pii_redact",
-    "user_value_ewma",
-    "vocab_stats",
-    "basket_pairs",
-    "cohort_retention",
-    "compact_table_roundtrip",
-    "contamination_check",
-    "csv_quarantine_split",
-    "curation_funnel",
-    "embedding_near_dup",
-    "embedding_near_dup_baseline",
-    "embedding_near_dup_recall",
-    "embedding_star_cap_floor",
-    "similarity_lsh_recall",
-    "similarity_topk_lsh",
-    "similarity_ivf_recall",
-    "similarity_topk_ivf",
-    # Three rows-only diagnostics co-rotate with their twins this round
-    # (similarity_topk_lsh/_ivf above); dedup_minhash_bucket_stats waits for
-    # its twin dedup_minhash_recall (r7-green, rotates r9 — CO_ROTATE in
-    # window_planner.py now pulls it automatically).
+    # Round-9 ordering (VERDICT r8 asks #1-#2), planned with
+    # tools/window_planner.py --round 9 --changed stream_events_windowed,
+    # stream_user_stats_stateful,stream_view_purchase_join,
+    # stream_static_enrich:
+    # (a) the four streaming queries whose runners changed this round
+    # (sink="files" extended to the remaining memory-sink runners; the
+    # windowed-agg and static-enrich runners also moved from inline
+    # memory-sink code to the shared _run_to_memory helper) — changed code
+    # re-verifies in-window, no exceptions;
+    # (b) the ENTIRE round-6-stale set — 34 queries at the two-round
+    # staleness limit (r8 ask #1; stream_static_enrich, the 35th, is
+    # already in as changed);
+    # (c) residual slots on the oldest r7-green rows with CO_ROTATE
+    # enforced (daily_users_hll pulls hll_error_floor; dedup_clusters
+    # pulls dedup_clusters_baseline — the latter also feeds the round's
+    # dedup_clusters scaling row, VERDICT r8 #7), plus ONE documented
+    # hand-tune over the planner output: dedup_minhash_recall enters WITH
+    # its rows-only diagnostic dedup_minhash_bucket_stats (no driver row
+    # since r3 — the oldest evidence in the registry; VERDICT r8 ask #1
+    # names this pair explicitly), displacing the two alphabetical age-2
+    # singles daily_distinct_users and daily_revenue_anomaly, which join
+    # the round-10 mandatory rotation.
+    # Planner-warned spill (documented per VERDICT r8 ask #1): 31 queries
+    # keep their r7 evidence this round and become round 10's mandatory
+    # rotation (31 < 50 — they all fit).
+    "stream_events_windowed",
+    "stream_user_stats_stateful",
+    "stream_view_purchase_join",
+    "stream_static_enrich",
+    "customers_no_orders",
+    "daily_activity_reconciliation",
+    "doc_fingerprints",
+    "doc_repetition_stats",
+    "doc_top_terms",
+    "embedding_quantize",
+    "event_counts_cms",
+    "events_sliding_10x5",
+    "funnel_conversion",
+    "inverted_index",
+    "language_rebalance_sample",
+    "multimodal_features",
+    "nation_daily_revenue_ma",
+    "pack_concat_chunks",
+    "price_histogram",
+    "priority_revenue_share",
+    "profile_orders",
+    "props_variant_stats",
+    "pydatasource_docs",
+    "region_supplier_volume",
+    "repeat_buyers_intersect",
+    "revenue_grouping_sets",
+    "revenue_rollup",
+    "rfm_segments",
+    "sql_segment_priority_revenue",
+    "status_latest_order",
+    "status_priority_unpivot",
+    "text_langid",
+    "text_quality",
+    "tfidf_search",
+    "user_event_profile",
+    "user_event_scd2",
+    "value_percentiles",
+    "zorder_layout_keys",
+    "churned_customers",
+    "clean_customer",
+    "clean_lineitem",
+    "connector_roundtrip_orc_json",
+    "curate_corpus",
+    "customer_metrics",
+    "daily_users_hll",
+    "hll_error_floor",
+    "dedup_clusters",
+    "dedup_clusters_baseline",
+    "dedup_minhash_recall",
+    "dedup_minhash_bucket_stats",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {
