@@ -184,6 +184,17 @@ def build_nx(spark, sf_dir: str, n_copies: int) -> str:
             t_all = t_all.unionByName(c)
         t_all.write.mode("overwrite").parquet(os.path.join(out, f"{tname}.parquet"))
 
+    # UNSCALED dimension tables for the wide-mart scaling rows (round 9):
+    # part and supplier are staged 1× — the production shape at 100 TB is
+    # facts growing ~linearly while dims stay near-constant, so the N-copy
+    # lineitems (l_partkey/l_suppkey untouched by the key striding) all
+    # join the SAME dim rows: mart row counts hold constant while every
+    # additive aggregate scales exactly N×.
+    for tname in ("part", "supplier"):
+        load_table(spark, sf_dir, tname).write.mode("overwrite").parquet(
+            os.path.join(out, f"{tname}.parquet")
+        )
+
     # events for the STREAMING scaling rows (round 8): event_id/user_id
     # stride by copy, ts/event_type/value/props untouched — each copy is a
     # disjoint user population replaying the identical event timeline.
@@ -284,6 +295,17 @@ def main() -> None:
 
         return lambda d, e, sdir: QUERIES[name].builder(spark, sdir).count()
 
+    def registry_sum(name, col):
+        # like registry(), but the reported 'out' value is the rounded SUM
+        # of an additive bigint column instead of the row count — for marts
+        # whose row count is constant under N copies (1x dims), the
+        # additive aggregate is the exactly-Nx-checkable quantity
+        from etl_ecommerce_data_spark.plans.queries import QUERIES
+
+        return lambda d, e, sdir: int(
+            QUERIES[name].builder(spark, sdir).agg(F.sum(col)).first()[0]
+        )
+
     def stream_files(runner_name):
         # streaming runner driven into the production parquet file sink
         # (executor-side writes) instead of the driver-collected memory
@@ -298,6 +320,23 @@ def main() -> None:
         def run(d, e, sdir):
             out_dir = tempfile.mkdtemp(prefix="stream_sink_", dir=SCRATCH)
             return fn(spark, sdir, sink="files", out_dir=out_dir).count()
+
+        return run
+
+    def stream_files_sum(runner_name, col):
+        # file-sink streaming runner reporting the SUM of an additive
+        # column (for complete-mode aggs whose row count is constant under
+        # N copies sharing one timeline)
+        import tempfile
+
+        from etl_ecommerce_data_spark.streaming import events as EV
+
+        fn = getattr(EV, runner_name)
+
+        def run(d, e, sdir):
+            out_dir = tempfile.mkdtemp(prefix="stream_sink_", dir=SCRATCH)
+            out = fn(spark, sdir, sink="files", out_dir=out_dir)
+            return int(out.agg(F.sum(col)).first()[0])
 
         return run
 
@@ -350,6 +389,31 @@ def main() -> None:
         # deterministic, not a red flag.
         "profile_orders": registry("profile_orders"),
         "basket_pairs": registry("basket_pairs"),
+        # wide marts over 1x dims (round 9, VERDICT r8 #7): lineitem scales
+        # Nx, part/supplier stay 1x (build_nx stages them unscaled), so
+        # mart rows hold constant and the reported 'out' is the additive
+        # item count — predicted exactly Nx (it equals matched lineitem
+        # rows). product_performance probes the broadcast-dim join path,
+        # supplier_performance the broadcast + fact-fact shuffle join.
+        "product_performance": registry_sum("product_performance", "times_sold"),
+        "supplier_performance": registry_sum("supplier_performance", "total_items"),
+        # duplicate clustering (round 9, VERDICT r8 #7): label propagation
+        # over the banded LSH pair graph. Copies are token-disjoint, so
+        # clusters never span copies: node rows exactly Nx, iteration count
+        # unchanged (component diameters are per-copy). Subject to the
+        # quadratic-chance-pair subset rule like its minhash input.
+        "dedup_clusters": registry("dedup_clusters"),
+        # update-mode + complete-mode streaming runners through the
+        # production parquet file sink (round 9, VERDICT r8 ask #2):
+        # user_stats emits one update row per user -> out exactly Nx;
+        # windowed agg re-emits full state per batch (complete mode,
+        # per-batch overwrite sink) over the copies' IDENTICAL timeline ->
+        # window rows constant, reported 'out' is sum(n_events) -> exactly
+        # Nx.
+        "stream_user_stats_stateful": stream_files("run_user_running_stats_to_memory"),
+        "stream_events_windowed": stream_files_sum(
+            "run_windowed_stream_to_memory", "n_events"
+        ),
     }
     if picked is not None:
         unknown = [n for n in picked if n not in ops]
