@@ -127,6 +127,25 @@ def _run_to_memory(stream_df: DataFrame, spark: SparkSession, mode: str) -> Data
     return spark.table(name)
 
 
+def _foreach_batch_writer(data: str, mode: str):
+    """The ``foreachBatch`` writer behind :func:`_run_to_parquet`'s
+    update/complete modes, REPLAY-IDEMPOTENT by construction: foreachBatch
+    gives at-least-once delivery after a checkpoint restart, so a batch can
+    run twice with the same ``batch_id``. Complete mode overwrites the
+    whole data dir with the latest full state (re-running the last batch
+    rewrites the same answer); update mode overwrites a per-``batch_id``
+    subdirectory, so the replayed batch replaces its own earlier output
+    instead of appending a duplicate copy. Module-level (not a closure) so
+    the idempotence contract is unit-testable directly."""
+    if mode == "complete":
+        return lambda bdf, _bid: bdf.write.mode("overwrite").parquet(data)
+
+    def write_update(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(_os.path.join(data, f"b{batch_id}"))
+
+    return write_update
+
+
 def _run_to_parquet(
     stream_df: DataFrame, spark: SparkSession, mode: str, out_dir: str | None = None
 ) -> DataFrame:
@@ -144,12 +163,18 @@ def _run_to_parquet(
 
     - ``append``: native parquet file sink — each batch's new final rows
       land once; the dir accumulates exactly the appended emissions.
-    - ``update``: ``foreachBatch`` parquet *append* — the memory sink also
-      accumulates update-mode emissions, so file == memory row-for-row.
-    - ``complete``: ``foreachBatch`` parquet *overwrite* — the memory sink
-      REPLACES its table with each batch's full re-emitted state, so the
-      file twin must too (a per-batch append would duplicate every earlier
-      batch's state in the read-back)."""
+    - ``update``: ``foreachBatch``, each batch OVERWRITING its own
+      ``b{batch_id}`` subdirectory — accumulates across batches like the
+      memory sink, so file == memory row-for-row, while staying idempotent
+      under micro-batch REPLAY (foreachBatch is at-least-once after a
+      checkpoint restart: a replayed batch rewrites its own output instead
+      of appending a duplicate copy — the production exactly-once pattern
+      for non-transactional sinks).
+    - ``complete``: ``foreachBatch`` parquet *overwrite* of the whole data
+      dir — the memory sink REPLACES its table with each batch's full
+      re-emitted state, so the file twin must too (a per-batch append
+      would duplicate every earlier batch's state in the read-back);
+      whole-dir overwrite is replay-idempotent for free."""
     import tempfile
 
     out = out_dir or tempfile.mkdtemp(prefix="stream_sink_")
@@ -166,15 +191,12 @@ def _run_to_parquet(
         )
     else:
         # update/complete emissions have no native file sink; foreachBatch
-        # writes each batch's emission executor-side — append accumulates
-        # (update), overwrite keeps only the latest full state (complete)
-        write_mode = "overwrite" if mode == "complete" else "append"
+        # writes each batch's emission executor-side (idempotent per batch
+        # — see _foreach_batch_writer)
         q = (
             stream_df.writeStream.outputMode(mode)
             .option("checkpointLocation", ckpt)
-            .foreachBatch(
-                lambda bdf, _bid: bdf.write.mode(write_mode).parquet(data)
-            )
+            .foreachBatch(_foreach_batch_writer(data, mode))
             .start()
         )
     try:
@@ -192,7 +214,11 @@ def _run_to_parquet(
     )
     if not has_data:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(data)
+    if mode == "append":
+        return spark.read.parquet(data)
+    # update mode nests per-batch subdirs (b{batch_id}); complete mode is
+    # flat but the recursive read handles both without partition discovery
+    return spark.read.option("recursiveFileLookup", "true").parquet(data)
 
 
 def run_user_running_stats_to_memory(

@@ -469,3 +469,29 @@ def test_file_sink_zero_emissions_returns_empty_frame(spark, tmp_path):
     out = _run_to_parquet(silenced, spark, "append", str(tmp_path / "empty"))
     assert out.columns == ["event_id", "user_id", "event_type"]
     assert out.count() == 0
+
+
+def test_update_mode_file_sink_idempotent_under_batch_replay(spark, tmp_path):
+    """foreachBatch is at-least-once after a checkpoint restart, so the
+    update-mode file sink must tolerate a batch running TWICE with the same
+    batch_id without duplicating rows (per-batch-id overwrite subdirs —
+    the production exactly-once pattern for non-transactional sinks), while
+    distinct batch_ids still accumulate like the memory sink."""
+    from etl_ecommerce_data_spark.streaming.events import _foreach_batch_writer
+
+    data = str(tmp_path / "data")
+    write = _foreach_batch_writer(data, "update")
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    b1 = spark.createDataFrame([(3, 30)], "k long, v long")
+    write(b0, 0)
+    write(b0, 0)  # replayed batch: overwrites its own subdir, no dupes
+    write(b1, 1)
+    out = sorted(
+        map(
+            tuple,
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(data)
+            .collect(),
+        )
+    )
+    assert out == [(1, 10), (2, 20), (3, 30)]
