@@ -495,3 +495,37 @@ def test_update_mode_file_sink_idempotent_under_batch_replay(spark, tmp_path):
         )
     )
     assert out == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_update_mode_file_sink_multi_batch_equals_memory(spark, tmp_path):
+    """End-to-end multi-micro-batch update-mode run through BOTH sinks: the
+    per-batch-id subdir file sink must accumulate emissions across batches
+    exactly like the memory sink (3 files -> 3 batches -> one running-stats
+    emission per user per batch it appears in)."""
+    from etl_ecommerce_data_spark.streaming.events import (
+        _run_to_memory,
+        _run_to_parquet,
+        user_running_stats,
+    )
+
+    rows = [(u, float(v) / 100.0) for u in range(5) for v in range(100, 1300, 100)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "user_id long, value double").repartition(
+        3
+    ).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    mem = _run_to_memory(user_running_stats(stream()), spark, "update")
+    fil = _run_to_parquet(
+        user_running_stats(stream()), spark, "update", str(tmp_path / "sink")
+    )
+    mem_rows = sorted(map(tuple, mem.select("user_id", "n_events", "total_value").collect()))
+    fil_rows = sorted(map(tuple, fil.select("user_id", "n_events", "total_value").collect()))
+    assert len(mem_rows) >= 5  # multiple batches really emitted
+    assert mem_rows == fil_rows
