@@ -529,3 +529,59 @@ def test_update_mode_file_sink_multi_batch_equals_memory(spark, tmp_path):
     fil_rows = sorted(map(tuple, fil.select("user_id", "n_events", "total_value").collect()))
     assert len(mem_rows) >= 5  # multiple batches really emitted
     assert mem_rows == fil_rows
+
+
+def test_update_file_sink_restart_replayed_batch_not_duplicated(spark, tmp_path):
+    """The at-least-once path FOR REAL: delete the newest commit marker from
+    the checkpoint after a run, so the restarted query re-executes that
+    micro-batch with the SAME batch_id (offsets logged, commit missing —
+    Spark's recovery contract). The per-batch-id overwrite writer must
+    leave the sink exactly-once; a plain parquet append here would
+    duplicate the replayed batch's rows."""
+    import os
+
+    from etl_ecommerce_data_spark.streaming.events import _foreach_batch_writer
+
+    src, ckpt, data = (str(tmp_path / d) for d in ("src", "ckpt", "data"))
+
+    def add_file(lo, hi):
+        spark.createDataFrame(
+            [(i,) for i in range(lo, hi)], "id long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(_foreach_batch_writer(data, "update"))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    add_file(0, 50)
+    add_file(50, 100)
+    run_once()  # batches 0 and 1
+    commits = [f for f in os.listdir(os.path.join(ckpt, "commits"))
+               if not f.startswith(".")]
+    latest = max(commits, key=int)
+    os.remove(os.path.join(ckpt, "commits", latest))
+    crc = os.path.join(ckpt, "commits", f".{latest}.crc")  # checksum-FS twin
+    if os.path.exists(crc):
+        os.remove(crc)
+    add_file(100, 150)
+    run_once()  # replays batch 1, then batch 2
+    got = sorted(
+        r["id"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(data)
+        .collect()
+    )
+    assert got == list(range(150))  # replayed batch rewrote, not duplicated

@@ -414,6 +414,15 @@ def main() -> None:
         "stream_events_windowed": stream_files_sum(
             "run_windowed_stream_to_memory", "n_events"
         ),
+        # the final two streaming runners (round 9): the stream-stream
+        # interval join's matches stay within a copy (disjoint user
+        # populations) -> out exactly Nx; static-enrich joins copy-i events
+        # to copy-i customers (both stride), window x segment rows constant
+        # over the shared timeline -> reported sum(n_events) exactly Nx.
+        "stream_view_purchase_join": stream_files("run_view_purchase_join_to_memory"),
+        "stream_static_enrich": stream_files_sum(
+            "run_stream_static_enrich_to_memory", "n_events"
+        ),
     }
     if picked is not None:
         unknown = [n for n in picked if n not in ops]
