@@ -151,9 +151,9 @@ def _run_to_parquet(
 ) -> DataFrame:
     """Production-shaped sink twin of :func:`_run_to_memory`: emissions land
     in a parquet directory via distributed executor writes (the native file
-    sink for append mode, a ``foreachBatch`` parquet append otherwise), so
-    output volume is bounded by storage, not driver heap. Returns the
-    emissions read back as a batch DataFrame.
+    sink for append mode, a replay-idempotent ``foreachBatch`` parquet
+    writer otherwise), so output volume is bounded by storage, not driver
+    heap. Returns the emissions read back as a batch DataFrame.
 
     The caller owns ``out_dir`` cleanup (the returned DataFrame reads from it
     lazily); when omitted, a fresh temp dir is created and left for the OS —
@@ -221,6 +221,25 @@ def _run_to_parquet(
     return spark.read.option("recursiveFileLookup", "true").parquet(data)
 
 
+def _run_sink(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    mode: str,
+    sink: str,
+    out_dir: str | None,
+) -> DataFrame:
+    """Single sink dispatch for every runner. Validates the sink name so a
+    typo (``"file"``, ``"parquet"``) errors immediately instead of silently
+    falling back to the driver-collected memory sink — at production
+    volumes that silent fallback IS the driver-heap OOM ``sink="files"``
+    exists to avoid."""
+    if sink == "files":
+        return _run_to_parquet(stream_df, spark, mode, out_dir)
+    if sink == "memory":
+        return _run_to_memory(stream_df, spark, mode)
+    raise ValueError(f"unknown sink {sink!r}: expected 'memory' or 'files'")
+
+
 def run_user_running_stats_to_memory(
     spark: SparkSession,
     sf_dir: str,
@@ -232,14 +251,11 @@ def run_user_running_stats_to_memory(
     user is the final state — equal to the batch groupBy oracle.
 
     ``sink="files"`` swaps the driver-collected verification memory sink for
-    the production parquet file sink (executor-side writes, update-mode
-    append semantics match the memory sink row-for-row) — required above the
-    driver-heap bound the 100× scaling run exposed."""
+    the production parquet file sink (executor-side writes; update-mode
+    per-batch-id subdirs accumulate the same rows the memory sink holds) —
+    required above the driver-heap bound the 100× scaling run exposed."""
     events = read_events_stream(spark, sf_dir)
-    stats = user_running_stats(events)
-    if sink == "files":
-        return _run_to_parquet(stats, spark, "update", out_dir)
-    return _run_to_memory(stats, spark, "update")
+    return _run_sink(user_running_stats(events), spark, "update", sink, out_dir)
 
 
 def run_dedup_events_to_memory(
@@ -261,9 +277,7 @@ def run_dedup_events_to_memory(
     events = read_events_stream(spark, sf_dir)
     doubled = events.unionByName(read_events_stream(spark, sf_dir))
     deduped = dedup_events_stream(doubled).select("event_id", "user_id", "event_type")
-    if sink == "files":
-        return _run_to_parquet(deduped, spark, "append", out_dir)
-    return _run_to_memory(deduped, spark, "append")
+    return _run_sink(deduped, spark, "append", sink, out_dir)
 
 
 def view_purchase_stream_join(
@@ -320,9 +334,7 @@ def run_view_purchase_join_to_memory(
         F.col("event_type") == "purchase"
     )
     joined = view_purchase_stream_join(views, purchases)
-    if sink == "files":
-        return _run_to_parquet(joined, spark, "append", out_dir)
-    return _run_to_memory(joined, spark, "append")
+    return _run_sink(joined, spark, "append", sink, out_dir)
 
 
 def session_window_aggregation(
@@ -424,10 +436,7 @@ def run_session_windows_to_memory(
     )
     events = events_normalize_ts(stream, kind)
     agg = session_window_aggregation(events)
-    if sink == "files":
-        out = _run_to_parquet(agg, spark, "append", out_dir)
-    else:
-        out = _run_to_memory(agg, spark, "append")
+    out = _run_sink(agg, spark, "append", sink, out_dir)
     result = out.filter(F.col("user_id") != _ADVANCER_USER)
     if result.limit(1).count() == 0:
         # Zero sessions from a nonempty events file means the advancer batch
@@ -460,9 +469,7 @@ def run_windowed_stream_to_memory(
     survives, matching the memory sink's table replacement)."""
     events = read_events_stream(spark, sf_dir)
     agg = windowed_event_aggregation(events, window, watermark)
-    if sink == "files":
-        return _run_to_parquet(agg, spark, "complete", out_dir)
-    return _run_to_memory(agg, spark, "complete")
+    return _run_sink(agg, spark, "complete", sink, out_dir)
 
 
 def user_type_counts_tws(events: DataFrame) -> DataFrame:
@@ -527,10 +534,7 @@ def run_user_type_counts_tws_to_memory(
     ``sink="files"`` writes update-mode emissions via the parquet file sink
     (executor-side append — matches the memory sink's accumulation)."""
     events = read_events_stream(spark, sf_dir)
-    counts = user_type_counts_tws(events)
-    if sink == "files":
-        return _run_to_parquet(counts, spark, "update", out_dir)
-    return _run_to_memory(counts, spark, "update")
+    return _run_sink(user_type_counts_tws(events), spark, "update", sink, out_dir)
 
 
 def run_stream_static_enrich_to_memory(
@@ -569,9 +573,7 @@ def run_stream_static_enrich_to_memory(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
-    if sink == "files":
-        return _run_to_parquet(agg, spark, "complete", out_dir)
-    return _run_to_memory(agg, spark, "complete")
+    return _run_sink(agg, spark, "complete", sink, out_dir)
 
 
 def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:

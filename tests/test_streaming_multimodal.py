@@ -585,3 +585,15 @@ def test_update_file_sink_restart_replayed_batch_not_duplicated(spark, tmp_path)
         .collect()
     )
     assert got == list(range(150))  # replayed batch rewrote, not duplicated
+
+
+def test_unknown_sink_value_errors_immediately(spark):
+    """A sink typo must raise, not silently fall back to the driver-collected
+    memory sink (at production volumes that silent fallback IS the
+    driver-heap OOM sink="files" exists to avoid)."""
+    from etl_ecommerce_data_spark.streaming.events import (
+        run_dedup_events_to_memory,
+    )
+
+    with pytest.raises(ValueError, match="unknown sink"):
+        run_dedup_events_to_memory(spark, SF_SMOKE, sink="file")

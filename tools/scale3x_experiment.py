@@ -302,9 +302,12 @@ def main() -> None:
         # additive aggregate is the exactly-Nx-checkable quantity
         from etl_ecommerce_data_spark.plans.queries import QUERIES
 
-        return lambda d, e, sdir: int(
-            QUERIES[name].builder(spark, sdir).agg(F.sum(col)).first()[0]
-        )
+        def run(d, e, sdir):
+            v = QUERIES[name].builder(spark, sdir).agg(F.sum(col)).first()[0]
+            return int(v) if v is not None else 0  # empty result -> out=0,
+            # so the out-ratio column flags it instead of int(None) crashing
+
+        return run
 
     def stream_files(runner_name):
         # streaming runner driven into the production parquet file sink
@@ -336,7 +339,8 @@ def main() -> None:
         def run(d, e, sdir):
             out_dir = tempfile.mkdtemp(prefix="stream_sink_", dir=SCRATCH)
             out = fn(spark, sdir, sink="files", out_dir=out_dir)
-            return int(out.agg(F.sum(col)).first()[0])
+            v = out.agg(F.sum(col)).first()[0]
+            return int(v) if v is not None else 0  # same empty-result guard
 
         return run
 
