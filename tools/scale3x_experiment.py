@@ -427,6 +427,15 @@ def main() -> None:
         "stream_static_enrich": stream_files_sum(
             "run_stream_static_enrich_to_memory", "n_events"
         ),
+        # REFERENCE-PARITY medallion marts (round 9): the actual
+        # pipeline.py gold functions (to_gold.py semantics, fan-out count
+        # quirk and window-derived keys included) over the Olist-shaped
+        # views. olist_daily_sales rows hold constant per day with the
+        # additive fan-out count at exactly Nx; olist_customer_metrics is
+        # per-customer (customer strides) -> rows exactly Nx, and its
+        # min/max window functions run at Nx partition cardinality.
+        "olist_daily_sales": registry_sum("olist_daily_sales", "total_orders"),
+        "olist_customer_metrics": registry("olist_customer_metrics"),
     }
     if picked is not None:
         unknown = [n for n in picked if n not in ops]
