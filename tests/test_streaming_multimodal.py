@@ -597,3 +597,20 @@ def test_unknown_sink_value_errors_immediately(spark):
 
     with pytest.raises(ValueError, match="unknown sink"):
         run_dedup_events_to_memory(spark, SF_SMOKE, sink="file")
+
+
+def test_complete_mode_file_sink_replay_and_latest_state_only(spark, tmp_path):
+    """Complete-mode writer contract: each batch's whole-dir overwrite keeps
+    ONLY the latest full state (matching the memory sink's table
+    replacement) and is trivially replay-idempotent."""
+    from etl_ecommerce_data_spark.streaming.events import _foreach_batch_writer
+
+    data = str(tmp_path / "data")
+    write = _foreach_batch_writer(data, "complete")
+    b0 = spark.createDataFrame([(1, 1)], "k long, n long")
+    b1 = spark.createDataFrame([(1, 3), (2, 1)], "k long, n long")
+    write(b0, 0)
+    write(b1, 1)
+    write(b1, 1)  # replayed final batch rewrites the same answer
+    out = sorted(map(tuple, spark.read.parquet(data).collect()))
+    assert out == [(1, 3), (2, 1)]  # only the latest full state
