@@ -436,6 +436,17 @@ def main() -> None:
         # min/max window functions run at Nx partition cardinality.
         "olist_daily_sales": registry_sum("olist_daily_sales", "total_orders"),
         "olist_customer_metrics": registry("olist_customer_metrics"),
+        # sketch family (round 9): mergeable fixed-size state under Nx
+        # input. CMS cell counts are additive over the SAME hash mapping,
+        # so every estimate — and their reported sum — scales EXACTLY Nx
+        # (collisions add the same relative mass). HLL distinct-users per
+        # day is ~Nx (disjoint user populations per copy) within the
+        # declared 2% rsd — out ratio ~N, not exactly N.00, BY DESIGN.
+        # GK percentiles are copy-invariant (each copy replays the same
+        # value distribution): out rows 1.00x, timing is the evidence.
+        "event_counts_cms": registry_sum("event_counts_cms", "cms_estimate"),
+        "daily_users_hll": registry_sum("daily_users_hll", "approx_users"),
+        "value_percentiles_approx": registry("value_percentiles_approx"),
     }
     if picked is not None:
         unknown = [n for n in picked if n not in ops]
