@@ -576,24 +576,106 @@ def run_stream_static_enrich_to_memory(
     return _run_sink(agg, spark, "complete", sink, out_dir)
 
 
-def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bucketed_upsert_batch(
+    spark: SparkSession,
+    root: str,
+    bucket_dirs: dict[int, str],
+    num_buckets: int,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> None:
+    """One micro-batch of the bucketed latest-per-user upsert. Module-level
+    (not a closure) so the touched-bucket contract is unit-testable.
+
+    Three scale decisions, each fixing a measured 100× cost (SCALE.md):
+
+    - per-batch "latest per user" is a ``max_by`` AGGREGATE, not a
+      row_number window — aggregates get map-side partial combine, so the
+      shuffle carries ~one row per (partition, user) instead of every
+      event row. Survivor identical: (ts, event_id) is unique per row, so
+      ``max_by(row, struct(ts, event_id))`` picks exactly the window's
+      ``ORDER BY ts DESC, event_id DESC`` head.
+    - the latest-state snapshot is BUCKETED by ``pmod(xxhash64(user_id),
+      num_buckets)`` and each batch merges + rewrites ONLY the buckets
+      containing touched users — rewrite cost scales with the batch's
+      touched state, not total snapshot size (the superlinear term the
+      whole-snapshot rewrite had: B batches × full-snapshot IO).
+    - writes stay snapshot-not-in-place: each batch writes a fresh
+      ``snap_{batch_id}/__bkt={b}`` tree and flips the per-bucket pointer;
+      untouched buckets keep pointing at their prior snapshot dirs
+      (asserted by tests/test_streaming_multimodal.py's untouched-bucket
+      pin).
+
+    Production shape: Kafka source + Delta/Iceberg ``MERGE INTO`` a table
+    partitioned/clustered by the same key hash — the formats' data skipping
+    does the touched-bucket pruning this does by hand over plain parquet.
+    """
+    import os
+
+    from etl_ecommerce_data_spark.sources.incremental import merge_dataframes
+
+    bkt = F.pmod(F.xxhash64("user_id"), F.lit(num_buckets))
+    others = [c for c in batch_df.columns if c != "user_id"]
+    updates = (
+        batch_df.groupBy("user_id")
+        .agg(F.max_by(F.struct(*others), F.struct("ts", "event_id")).alias("__r"))
+        .select("user_id", "__r.*")
+        .withColumn("__bkt", bkt)
+        # materialize once: reused by the touched-bucket probe AND the merge
+        .localCheckpoint()
+    )
+    touched = sorted(r[0] for r in updates.select("__bkt").distinct().collect())
+    out = os.path.join(root, f"snap_{batch_id}")
+    upd_ver = updates.withColumn("__ver", F.struct("ts", "event_id"))
+    existing = [bucket_dirs[b] for b in touched if b in bucket_dirs]
+    if existing:
+        # partitionBy stripped __bkt into the dir names; recompute it (pure
+        # function of user_id) instead of re-reading it as a partition col
+        cur = (
+            spark.read.parquet(*existing)
+            .withColumn("__bkt", bkt)
+            .withColumn("__ver", F.struct("ts", "event_id"))
+        )
+        merged = merge_dataframes(cur, upd_ver, ["user_id"], "__ver")
+    else:
+        merged = upd_ver
+    # co-locate each bucket's rows in one task before the partitionBy write:
+    # without this every task writes a file per bucket it holds (tasks ×
+    # buckets tiny files); with it the snapshot is exactly one file per
+    # touched bucket — the shuffle moves only the merged state (≤ one row
+    # per user), not event rows
+    (
+        merged.drop("__ver")
+        .repartition(num_buckets, "__bkt")
+        .write.partitionBy("__bkt")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    for b in touched:
+        bucket_dirs[b] = os.path.join(out, f"__bkt={b}")
+
+
+def run_foreach_batch_upsert(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 32
+) -> DataFrame:
     """Streaming → incremental-table sink: ``foreachBatch`` merges each
     micro-batch's per-user latest event into a persistent keyed table using
     the engine's merge/upsert operator (latest-(ts, event_id)-wins, snapshot
     writes — never in place). The events file is staged as TWO micro-batches
-    (split by event_id parity, mtime-pinned in order) so the upsert really
-    runs across batches; because the merge survivor is deterministic by
-    (ts, event_id), the end state equals the batch "latest row per user"
-    regardless of how rows were batched — which is what the DuckDB oracle
-    checks. Production shape: Kafka source + Delta/Iceberg MERGE INTO with
-    the same merge_dataframes expression.
+    (split by event_id parity, written in parallel, mtime-pinned in order)
+    so the upsert really runs across batches; because the merge survivor is
+    deterministic by (ts, event_id), the end state equals the batch "latest
+    row per user" regardless of how rows were batched — which is what the
+    DuckDB oracle checks. The latest-state table is hash-bucketed by
+    user_id and each batch rewrites only the buckets it touches — see
+    :func:`_bucketed_upsert_batch` for the scale contract. Production
+    shape: Kafka source + Delta/Iceberg MERGE INTO with the same
+    merge_dataframes expression.
     """
     import hashlib
     import os
     import shutil
     import tempfile
-
-    from etl_ecommerce_data_spark.sources.incremental import merge_dataframes
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), f"upsert_stream_{tag}")
@@ -607,43 +689,38 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b0 = os.path.join(stage, "batch0.parquet")
     b1 = os.path.join(stage, "batch1.parquet")
-    raw.filter(F.pmod("event_id", F.lit(2)) == 0).coalesce(1).write.parquet(b0)
-    raw.filter(F.pmod("event_id", F.lit(2)) == 1).coalesce(1).write.parquet(b1)
+    # stage with PARALLEL multi-file writes (a coalesce(1) single-task write
+    # serialized the whole staging phase — at 100× it was half the wall);
+    # the batch boundary is restored below via maxFilesPerTrigger
+    par = max(2, spark.sparkContext.defaultParallelism)
+    raw.filter(F.pmod("event_id", F.lit(2)) == 0).repartition(par).write.parquet(b0)
+    raw.filter(F.pmod("event_id", F.lit(2)) == 1).repartition(par).write.parquet(b1)
     # pin micro-batch order explicitly (file source sequences by mtime)
     base = os.stat(b0).st_mtime
     for i, d in enumerate((b0, b1)):
         for r, _dirs, files in os.walk(d):
             for f in files:
                 os.utime(os.path.join(r, f), (base + 2.0 * i, base + 2.0 * i))
+    # one micro-batch per stage dir: batch 0 takes the n0 oldest files (all
+    # of b0 — its mtime strictly precedes b1's); b1 follows in ≥1 batches.
+    # Correctness never depends on the grouping — the merge is
+    # batching-invariant — this only keeps the exercised shape predictable.
+    n0 = sum(
+        1
+        for f in os.listdir(b0)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
 
-    current: list[str | None] = [None]
+    bucket_dirs: dict[int, str] = {}
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
+        _bucketed_upsert_batch(
+            spark, root, bucket_dirs, num_buckets, batch_df, batch_id
         )
-        updates = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-            .withColumn("__ver", F.struct("ts", "event_id"))
-        )
-        out = os.path.join(root, f"snap_{batch_id}.parquet")
-        if current[0] is None:
-            updates.drop("__ver").write.mode("overwrite").parquet(out)
-        else:
-            cur = spark.read.parquet(current[0]).withColumn(
-                "__ver", F.struct("ts", "event_id")
-            )
-            merged = merge_dataframes(cur, updates, ["user_id"], "__ver")
-            merged.drop("__ver").write.mode("overwrite").parquet(out)
-        current[0] = out
 
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(max(n0, 1)))
         .option("recursiveFileLookup", "true")
         .parquet(stage)
     )
@@ -653,9 +730,9 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    if current[0] is None:
+    if not bucket_dirs:
         raise RuntimeError("foreachBatch upsert processed no micro-batches")
-    final = spark.read.parquet(current[0])
+    final = spark.read.parquet(*[bucket_dirs[b] for b in sorted(bucket_dirs)])
     return final.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),

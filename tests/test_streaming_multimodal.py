@@ -614,3 +614,55 @@ def test_complete_mode_file_sink_replay_and_latest_state_only(spark, tmp_path):
     write(b1, 1)  # replayed final batch rewrites the same answer
     out = sorted(map(tuple, spark.read.parquet(data).collect()))
     assert out == [(1, 3), (2, 1)]  # only the latest full state
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The latest-state snapshot is hash-bucketed; a batch must merge and
+    rewrite ONLY the buckets containing touched users (the 100 TB contract:
+    rewrite cost ∝ touched state, not snapshot size), keep untouched bucket
+    pointers on their prior snapshot, and stay latest-(ts, event_id)-wins
+    across batches."""
+    import datetime
+
+    from etl_ecommerce_data_spark.streaming.events import _bucketed_upsert_batch
+
+    nb = 8
+    # pick three users in three DIFFERENT buckets (same expr as the runner)
+    probe = (
+        spark.range(1, 200)
+        .select(
+            F.col("id").alias("user_id"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).alias("b"),
+        )
+        .collect()
+    )
+    by_bucket: dict[int, int] = {}
+    for r in probe:
+        by_bucket.setdefault(r["b"], r["user_id"])
+        if len(by_bucket) == 3:
+            break
+    (ba, ua), (bb, ub), (bc, uc) = list(by_bucket.items())[:3]
+
+    def ts(h):
+        return datetime.datetime(2024, 1, 1, h)
+
+    cols = "event_id long, ts timestamp, user_id long, value double"
+    root = str(tmp_path / "snap_root")
+    dirs: dict[int, str] = {}
+    b0 = spark.createDataFrame(
+        [(10, ts(5), ua, 1.0), (11, ts(5), ub, 2.0), (12, ts(5), uc, 3.0)], cols
+    )
+    _bucketed_upsert_batch(spark, root, dirs, nb, b0, 0)
+    assert set(dirs) == {ba, bb, bc} and all("snap_0" in p for p in dirs.values())
+    # batch 1: ua gets a NEWER row, ub an OLDER one, uc is untouched
+    b1 = spark.createDataFrame([(20, ts(9), ua, 9.0), (21, ts(1), ub, 0.5)], cols)
+    _bucketed_upsert_batch(spark, root, dirs, nb, b1, 1)
+    assert "snap_0" in dirs[bc]  # untouched bucket: pointer (and files) kept
+    assert "snap_1" in dirs[ba] and "snap_1" in dirs[bb]
+    final = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in spark.read.parquet(*dirs.values()).collect()
+    }
+    assert final[ua] == (20, 9.0)  # newer ts wins
+    assert final[ub] == (11, 2.0)  # older update loses to current state
+    assert final[uc] == (12, 3.0)  # untouched state intact
