@@ -180,6 +180,27 @@ def _run_to_parquet(
     out = out_dir or tempfile.mkdtemp(prefix="stream_sink_")
     data = _os.path.join(out, "data")
     ckpt = _os.path.join(out, "ckpt")
+    # Batch-id-based idempotence only holds within ONE checkpoint lineage:
+    # if the caller reuses an out_dir whose data/ already holds part files
+    # while ckpt/ has no prior commits, a fresh checkpoint restarts batch
+    # ids at 0 and the stale files would silently mix into the read-back.
+    # Fail fast instead of returning wrong rows (resuming WITH its
+    # checkpoint — data files AND commits present — stays legitimate).
+    commits = _os.path.join(ckpt, "commits")
+    has_commits = _os.path.isdir(commits) and any(
+        not f.startswith(".") for f in _os.listdir(commits)
+    )
+    has_stale = _os.path.isdir(data) and any(
+        f.startswith("part-") and not f.endswith(".crc")
+        for _r, _d, files in _os.walk(data)
+        for f in files
+    )
+    if has_stale and not has_commits:
+        raise ValueError(
+            f"out_dir {out!r} already holds sink data from another run "
+            "(part files present, no checkpoint commits) — pass a fresh "
+            "directory, or keep the checkpoint to resume its lineage"
+        )
     schema = stream_df.schema
     if mode == "append":
         q = (

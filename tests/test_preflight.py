@@ -62,3 +62,17 @@ def test_cli_runs_selected_cheap_gates_green():
         capture_output=True, text=True)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "2/2 gates green" in proc.stdout
+
+
+def test_leak_gate_ignores_prose_word_internal(tmp_path):
+    # ADVICE r9: a sentence ending in "internal." is prose, not a hostname
+    (tmp_path / "doc.md").write_text("This knob is strictly internal.\n")
+    ok, detail = preflight.gate_leaks(roots=["."], repo=str(tmp_path))
+    assert ok, detail
+
+
+def test_leak_gate_still_flags_internal_hostnames(tmp_path):
+    host = "internal" + ".example-corp"  # assembled so THIS file stays clean
+    (tmp_path / "cfg.py").write_text(f"HOST = '{host}.com'\n")
+    ok, detail = preflight.gate_leaks(roots=["."], repo=str(tmp_path))
+    assert not ok and "cfg.py:1" in detail

@@ -666,3 +666,31 @@ def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     assert final[ua] == (20, 9.0)  # newer ts wins
     assert final[ub] == (11, 2.0)  # older update loses to current state
     assert final[uc] == (12, 3.0)  # untouched state intact
+
+
+def test_file_sink_rejects_stale_data_dir_without_checkpoint(spark, tmp_path):
+    """ADVICE r9: reusing an out_dir whose data/ holds part files from an
+    EARLIER run (fresh checkpoint → batch ids restart at 0) must fail fast
+    instead of silently mixing stale files into the read-back; resuming
+    with the checkpoint intact stays legitimate."""
+    import shutil
+
+    from etl_ecommerce_data_spark.streaming.events import (
+        run_windowed_stream_to_memory,
+    )
+
+    out = str(tmp_path / "sink")
+    first = run_windowed_stream_to_memory(
+        spark, SF_SMOKE, sink="files", out_dir=out
+    )
+    n = first.count()
+    assert n > 0
+    # legitimate resume: data + commits both present -> no error, same rows
+    again = run_windowed_stream_to_memory(
+        spark, SF_SMOKE, sink="files", out_dir=out
+    )
+    assert again.count() == n
+    # stale reuse: wipe the checkpoint but keep the data files
+    shutil.rmtree(str(tmp_path / "sink" / "ckpt"))
+    with pytest.raises(ValueError, match="another run"):
+        run_windowed_stream_to_memory(spark, SF_SMOKE, sink="files", out_dir=out)

@@ -11,6 +11,7 @@ Usage:
     python tools/preflight.py --skip bench    # all but bench
     python tools/preflight.py --only leaks,gates   # just the cheap scans
     python tools/preflight.py --sweep-sf /root/testdata/sf0.1
+    python tools/preflight.py --rehearse-sf /data/sf0.01   # non-default host
 
 Gates (names for --only / --skip):
     pytest    python -m pytest tests/ -q
@@ -49,7 +50,9 @@ LEAK_PATTERNS = [
     r"gs://",
     r"api[_-]?key",
     r"hooks\.slack\.com",
-    r"internal\.",
+    # hostname-shaped only: a prose sentence ending in the word "internal."
+    # is not a leak (ADVICE r9) — require a domain label after the dot
+    r"\binternal\.[a-z0-9-]+",
 ]
 LEAK_ROOTS = ["etl_ecommerce_data_spark", "tools", "tests", "bench.py",
               "__spark_entry__.py"]
@@ -78,10 +81,10 @@ def gate_sweep(sf_dir: str) -> tuple[bool, str]:
     return ok, f"{tail or 'see log'} ({dt:.0f}s, {log})"
 
 
-def gate_rehearse() -> tuple[bool, str]:
+def gate_rehearse(sf_dir: str = "/root/testdata/sf0.01") -> tuple[bool, str]:
     ok, dt, log = _run(
         [sys.executable, "tools/verify_local.py", "--bare", "--first", "50",
-         "/root/testdata/sf0.01"],
+         sf_dir],
         "preflight_rehearse")
     tail = _tail_line(log, r"(queries match|FAILURES)")
     return ok, f"{tail or 'see log'} ({dt:.0f}s, {log})"
@@ -89,8 +92,10 @@ def gate_rehearse() -> tuple[bool, str]:
 
 def gate_bench() -> tuple[bool, str]:
     ok, dt, log = _run([sys.executable, "bench.py"], "preflight_bench")
-    # bench prints ONE json line; surface the headline metric
-    detail = "see log"
+    # bench prints ONE json line; surface the headline metric — and surface
+    # a PARSE failure instead of swallowing it (ADVICE r9: a green-but-
+    # unparseable bench line must be visible in the summary table)
+    detail = "no metric line found in log"
     try:
         with open(log) as fh:
             for line in fh:
@@ -98,8 +103,8 @@ def gate_bench() -> tuple[bool, str]:
                 if line.startswith("{") and '"metric"' in line:
                     j = json.loads(line)
                     detail = f"{j.get('value')} {j.get('unit')} / {len(j.get('queries', {}))} queries"
-    except Exception:
-        pass
+    except Exception as exc:  # malformed JSON / unreadable log
+        detail = f"METRIC PARSE FAILED: {type(exc).__name__}: {exc}"
     return ok, f"{detail} ({dt:.0f}s, {log})"
 
 
@@ -164,7 +169,19 @@ def main() -> int:
     ap.add_argument("--skip", help="comma-separated gate names to skip")
     ap.add_argument("--sweep-sf", default="/root/testdata/sf0.01",
                     help="sf dir for the full-registry sweep")
+    ap.add_argument("--rehearse-sf", default=None,
+                    help="sf dir for the bare driver-window rehearsal "
+                         "(defaults to sf0.01 next to --sweep-sf's parent, "
+                         "falling back to --sweep-sf itself)")
     args = ap.parse_args()
+
+    # ADVICE r9: don't hard-code /root/testdata/sf0.01 — derive the
+    # rehearsal dir from --sweep-sf's layout so the runner works on hosts
+    # with testdata elsewhere
+    if args.rehearse_sf is None:
+        sibling = os.path.join(os.path.dirname(args.sweep_sf.rstrip("/")),
+                               "sf0.01")
+        args.rehearse_sf = sibling if os.path.isdir(sibling) else args.sweep_sf
 
     selected = list(GATE_ORDER)
     if args.only:
@@ -183,7 +200,7 @@ def main() -> int:
     runners = {
         "pytest": gate_pytest,
         "sweep": lambda: gate_sweep(args.sweep_sf),
-        "rehearse": gate_rehearse,
+        "rehearse": lambda: gate_rehearse(args.rehearse_sf),
         "bench": gate_bench,
         "leaks": gate_leaks,
         "gates": gate_capabilities,
