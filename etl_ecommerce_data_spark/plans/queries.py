@@ -6047,81 +6047,73 @@ def q_linkage_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of window membership (tests/test_oracle_parity.py + the per-round
 # full-registry sf0.1 sweep recorded in SCALE.md).
 _SWEEP_FIRST = [
-    # Round-9 ordering (VERDICT r8 asks #1-#2), planned with
-    # tools/window_planner.py --round 9 --changed stream_events_windowed,
-    # stream_user_stats_stateful,stream_view_purchase_join,
-    # stream_static_enrich:
-    # (a) the four streaming queries whose runners changed this round
-    # (sink="files" extended to the remaining memory-sink runners; the
-    # windowed-agg and static-enrich runners also moved from inline
-    # memory-sink code to the shared _run_to_memory helper) — changed code
-    # re-verifies in-window, no exceptions;
-    # (b) the ENTIRE round-6-stale set — 34 queries at the two-round
-    # staleness limit (r8 ask #1; stream_static_enrich, the 35th, is
-    # already in as changed);
-    # (c) residual slots on the oldest r7-green rows with CO_ROTATE
-    # enforced (daily_users_hll pulls hll_error_floor; dedup_clusters
-    # pulls dedup_clusters_baseline — the latter also feeds the round's
-    # dedup_clusters scaling row, VERDICT r8 #7), plus ONE documented
-    # hand-tune over the planner output: dedup_minhash_recall enters WITH
-    # its rows-only diagnostic dedup_minhash_bucket_stats (no driver row
-    # since r3 — the oldest evidence in the registry; VERDICT r8 ask #1
-    # names this pair explicitly), displacing the two alphabetical age-2
-    # singles daily_distinct_users and daily_revenue_anomaly, which join
-    # the round-10 mandatory rotation.
-    # Planner-warned spill (documented per VERDICT r8 ask #1): 31 queries
-    # keep their r7 evidence this round and become round 10's mandatory
-    # rotation (31 < 50 — they all fit).
-    "stream_events_windowed",
-    "stream_user_stats_stateful",
-    "stream_view_purchase_join",
-    "stream_static_enrich",
-    "customers_no_orders",
-    "daily_activity_reconciliation",
-    "doc_fingerprints",
-    "doc_repetition_stats",
-    "doc_top_terms",
-    "embedding_quantize",
-    "event_counts_cms",
-    "events_sliding_10x5",
-    "funnel_conversion",
-    "inverted_index",
-    "language_rebalance_sample",
-    "multimodal_features",
-    "nation_daily_revenue_ma",
-    "pack_concat_chunks",
-    "price_histogram",
-    "priority_revenue_share",
-    "profile_orders",
-    "props_variant_stats",
-    "pydatasource_docs",
-    "region_supplier_volume",
-    "repeat_buyers_intersect",
-    "revenue_grouping_sets",
-    "revenue_rollup",
-    "rfm_segments",
-    "sql_segment_priority_revenue",
-    "status_latest_order",
-    "status_priority_unpivot",
-    "text_langid",
-    "text_quality",
-    "tfidf_search",
-    "user_event_profile",
-    "user_event_scd2",
-    "value_percentiles",
-    "zorder_layout_keys",
-    "churned_customers",
-    "clean_customer",
-    "clean_lineitem",
-    "connector_roundtrip_orc_json",
-    "curate_corpus",
-    "customer_metrics",
-    "daily_users_hll",
-    "hll_error_floor",
-    "dedup_clusters",
-    "dedup_clusters_baseline",
+    # Round-10 ordering (VERDICT r9 ask #1), planned with
+    # tools/window_planner.py --round 10 --changed stream_upsert_user_latest
+    # and applied VERBATIM (no hand-tunes this round):
+    # (a) stream_upsert_user_latest first — its runner changed this round
+    #     (bucketed latest-state snapshot with touched-bucket-only
+    #     rewrites, max_by partial-agg updates, parallel staging; VERDICT
+    #     r9 ask #3) and changed code re-verifies in-window, no exceptions;
+    # (b) the ENTIRE round-7-stale set at the two-round staleness limit —
+    #     the 31 planner-flagged queries plus the two r9-displaced singles
+    #     (daily_distinct_users, daily_revenue_anomaly) — with CO_ROTATE
+    #     pulling the cross-corpus and minhash twins in adjacent slots
+    #     (dedup_minhash_bucket_stats rides its oracled twin again per the
+    #     twinned-rows-only rule);
+    # (c) residual slots on the oldest r8-green rows, alphabetical.
+    # Planner-warned spill (expected steady-state at 132 queries / 50
+    # slots): 32 queries keep their r8 evidence this round and become
+    # round 11's mandatory rotation (32 < 50 — they all fit).
+    "stream_upsert_user_latest",
+    "daily_distinct_users",
+    "daily_revenue_anomaly",
+    "dedup_cross_corpus",
+    "dedup_cross_corpus_recall",
+    "dedup_cross_corpus_baseline",
+    "dedup_exact_docs",
+    "dedup_minhash_docs",
     "dedup_minhash_recall",
+    "dedup_star_cap_floor",
     "dedup_minhash_bucket_stats",
+    "event_type_distinct_props",
+    "events_tumbling_5min",
+    "gk_percentile_floor",
+    "linkage_block_stats",
+    "linkage_fuzzy_docs",
+    "multimodal_meta",
+    "olist_customer_metrics",
+    "olist_daily_sales",
+    "olist_delivery_performance",
+    "olist_product_performance",
+    "olist_satisfaction_metrics",
+    "olist_seller_performance",
+    "one_time_buyers_except",
+    "part_brand_size_cube",
+    "pricing_summary",
+    "props_json_stats",
+    "sessionize_events",
+    "status_priority_pivot",
+    "suppliers_with_sales",
+    "text_stats",
+    "text_tokens_bpe",
+    "top_parts_per_brand",
+    "value_percentiles_approx",
+    "asof_events_orders",
+    "basket_pairs",
+    "clean_orders",
+    "cohort_retention",
+    "compact_table_roundtrip",
+    "contamination_check",
+    "corpus_boilerplate_removal",
+    "corpus_split",
+    "csv_quarantine_split",
+    "curate_corpus_hygiene",
+    "curation_funnel",
+    "daily_sales",
+    "daily_sales_bucketed",
+    "daily_value_gapfilled",
+    "dedup_ngram_jaccard_baseline",
+    "dedup_simhash_complete",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {
