@@ -280,6 +280,38 @@ def main() -> None:
     def boilerplate(d, e, sdir):
         return DD.boilerplate_removal(d, chunk_tokens=8, min_docs=3).count()
 
+    def cc_graph(d, e, sdir):
+        # CC-isolated 100x point for duplicate clustering (VERDICT r9
+        # residual #7): the full dedup_clusters chain is subject to the
+        # quadratic-chance-pair subset rule — its minhash input's chance
+        # mass (∝ C(N,2)) dominates above ~30x, measuring the allocator,
+        # not the operator. This op moves build_nx's copy-disjoint
+        # construction to the EDGE level instead: the 1x LSH pair graph is
+        # computed ONCE from the base corpus, then nodes and edges are
+        # replicated with the same id stride documents get — chance mass
+        # cannot enter, components cannot span copies, and the iteration
+        # count is per-copy structure, so label propagation itself is the
+        # only thing the N-x wall can measure. Staged to parquet on first
+        # call; timed(best-of-3) reports the post-staging runs.
+        tag = "1x" if sdir == sf_dir else f"{n_copies}x"
+        gdir = os.path.join(SCRATCH, f"ccgraph_{tag}")
+        edges_p, nodes_p = os.path.join(gdir, "edges"), os.path.join(gdir, "nodes")
+        if not os.path.exists(gdir):
+            base = load_table(spark, sf_dir, "documents")
+            pairs = DD.minhash_lsh_pairs(base, threshold=0.6)
+            k = 1 if tag == "1x" else n_copies
+            offs = spark.range(k).select((F.col("id") * ID_STRIDE).alias("off"))
+            pairs.select("doc_a", "doc_b").crossJoin(F.broadcast(offs)).select(
+                (F.col("doc_a") + F.col("off")).alias("doc_a"),
+                (F.col("doc_b") + F.col("off")).alias("doc_b"),
+            ).write.parquet(edges_p)
+            base.select("doc_id").crossJoin(F.broadcast(offs)).select(
+                (F.col("doc_id") + F.col("off")).alias("doc_id")
+            ).write.parquet(nodes_p)
+        return DD.connected_components(
+            spark.read.parquet(edges_p), spark.read.parquet(nodes_p), node_col="doc_id"
+        ).count()
+
     def hygiene(d, e, sdir):
         # the composed redact -> boilerplate -> quality -> dedup pipeline
         # (round-6 third scaling point, VERDICT r5 ask #6) — the registry
@@ -407,6 +439,10 @@ def main() -> None:
         # unchanged (component diameters are per-copy). Subject to the
         # quadratic-chance-pair subset rule like its minhash input.
         "dedup_clusters": registry("dedup_clusters"),
+        # the CC stage alone on a copy-disjoint replicated edge graph —
+        # the 100x-safe variant (see cc_graph's comment): node rows exactly
+        # Nx, edge rows exactly Nx, iteration count copy-invariant.
+        "dedup_clusters_cc": cc_graph,
         # update-mode + complete-mode streaming runners through the
         # production parquet file sink (round 9, VERDICT r8 ask #2):
         # user_stats emits one update row per user -> out exactly Nx;
