@@ -630,6 +630,13 @@ def _bucketed_upsert_batch(
     Production shape: Kafka source + Delta/Iceberg ``MERGE INTO`` a table
     partitioned/clustered by the same key hash — the formats' data skipping
     does the touched-bucket pruning this does by hand over plain parquet.
+
+    Scope: single query lifetime only. ``bucket_dirs`` is driver memory and
+    the runner recreates ``root`` per call, so a cross-process restart
+    (where a replayed batch id could make this overwrite a ``snap_{id}``
+    dir the pointer map still reads from) cannot occur here; a restartable
+    deployment must keep the pointer map in the transactional table format
+    this hand-rolls — not re-enter this function on a reused root.
     """
     import os
 
