@@ -694,3 +694,113 @@ def test_file_sink_rejects_stale_data_dir_without_checkpoint(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "sink" / "ckpt"))
     with pytest.raises(ValueError, match="another run"):
         run_windowed_stream_to_memory(spark, SF_SMOKE, sink="files", out_dir=out)
+
+
+def test_sink_dir_lineage_guard_distinguishes_crash_from_stale(tmp_path):
+    """ADVICE r10 #1: part files + offsets-but-no-commits is a legitimate
+    crashed-before-first-commit lineage (Spark's recovery replays that
+    batch), NOT stale reuse — only data with no checkpoint trace at all
+    may raise."""
+    import os
+
+    from etl_ecommerce_data_spark.streaming.events import _check_sink_dir_lineage
+
+    def mk(case, offsets=False, commits=False, part=True):
+        out = str(tmp_path / case)
+        os.makedirs(os.path.join(out, "data"))
+        if part:
+            open(os.path.join(out, "data", "part-00000.parquet"), "w").close()
+        for sub, yes in (("offsets", offsets), ("commits", commits)):
+            d = os.path.join(out, "ckpt", sub)
+            os.makedirs(d)
+            if yes:
+                open(os.path.join(d, "0"), "w").close()
+        return out
+
+    with pytest.raises(ValueError, match="another run"):
+        _check_sink_dir_lineage(mk("stale"))  # data, no lineage -> stale
+    _check_sink_dir_lineage(mk("crashed", offsets=True))  # crash recovery ok
+    _check_sink_dir_lineage(mk("resume", offsets=True, commits=True))  # ok
+    _check_sink_dir_lineage(mk("fresh", part=False))  # no data at all ok
+
+
+def test_file_sink_resumes_after_crash_before_first_commit(spark, tmp_path):
+    """Integration twin of the guard unit test: wipe the commit markers but
+    keep the offsets (the exact on-disk state a run leaves when it dies
+    after writing data files but before its commit lands) — the rerun must
+    resume the lineage and converge to the same rows, not raise."""
+    import os
+
+    out = str(tmp_path / "sink")
+    first = run_windowed_stream_to_memory(spark, SF_SMOKE, sink="files", out_dir=out)
+    n = first.count()
+    assert n > 0
+    commits = os.path.join(out, "ckpt", "commits")
+    for f in os.listdir(commits):
+        os.remove(os.path.join(commits, f))
+    again = run_windowed_stream_to_memory(spark, SF_SMOKE, sink="files", out_dir=out)
+    assert again.count() == n
+
+
+def test_bucketed_upsert_restart_resumes_from_manifest_and_prunes(spark, tmp_path):
+    """VERDICT r10 ask #2: the bucketed upsert survives a process restart —
+    the pointer map reloads from the latest per-batch manifest and a
+    replayed offsets-logged-but-uncommitted batch applies idempotently
+    through BOTH crash points (after the manifest landed; before it) —
+    and disk stays bounded: only snap dirs referenced by a retained
+    manifest remain (two generations max — the predecessor's snapshots
+    must survive for exactly the crash-before-manifest replay path this
+    test exercises)."""
+    import json
+    import os
+
+    from etl_ecommerce_data_spark.streaming.events import (
+        _load_latest_upsert_manifest,
+        _upsert_live_snaps,
+        run_foreach_batch_upsert,
+    )
+
+    root = str(tmp_path / "upsert_root")
+    baseline = {
+        tuple(r)
+        for r in run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=8, root=root).collect()
+    }
+    assert baseline
+
+    def on_disk_snaps():
+        return {d for d in os.listdir(root) if d.startswith("snap_")}
+
+    assert on_disk_snaps() == _upsert_live_snaps(root)  # unreferenced pruned
+    assert len(os.listdir(os.path.join(root, "manifests"))) <= 2
+
+    def drop_latest_commit():
+        commits = os.path.join(root, "ckpt", "commits")
+        latest = max(
+            (f for f in os.listdir(commits) if not f.startswith(".")), key=int
+        )
+        os.remove(os.path.join(commits, latest))
+        crc = os.path.join(commits, f".{latest}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        return int(latest)
+
+    # restart A — crash landed BETWEEN manifest write and checkpoint commit:
+    # the replayed batch's manifest exists, so it adopts it and skips.
+    # num_buckets is deliberately wrong: resume must take the manifest's.
+    drop_latest_commit()
+    again = run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=999, root=root)
+    assert {tuple(r) for r in again.collect()} == baseline
+    assert _load_latest_upsert_manifest(root)[1] == 8  # layout preserved
+    assert on_disk_snaps() == _upsert_live_snaps(root)
+
+    # restart B — crash BEFORE the manifest landed: drop the commit AND the
+    # replayed batch's manifest; the rerun recomputes the merge from the
+    # prior manifest's pointers and overwrites the orphan snapshot.
+    bid = drop_latest_commit()
+    mdir = os.path.join(root, "manifests")
+    latest_m = sorted(os.listdir(mdir))[-1]
+    assert json.load(open(os.path.join(mdir, latest_m)))["batch_id"] == bid
+    os.remove(os.path.join(mdir, latest_m))
+    again = run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=999, root=root)
+    assert {tuple(r) for r in again.collect()} == baseline
+    assert on_disk_snaps() == _upsert_live_snaps(root)
