@@ -296,7 +296,19 @@ def main() -> None:
         tag = "1x" if sdir == sf_dir else f"{n_copies}x"
         gdir = os.path.join(SCRATCH, f"ccgraph_{tag}")
         edges_p, nodes_p = os.path.join(gdir, "edges"), os.path.join(gdir, "nodes")
-        if not os.path.exists(gdir):
+        # staging-complete gate is on BOTH leaf _SUCCESS markers, not gdir
+        # existence (ADVICE r10 #3: a retry in the same process after a
+        # death between the edges and nodes writes would otherwise read a
+        # half-staged graph and report a silently wrong CC row); staging
+        # lands in a temp dir renamed into place so gdir is all-or-nothing
+        if not all(
+            os.path.exists(os.path.join(p, "_SUCCESS")) for p in (edges_p, nodes_p)
+        ):
+            import shutil
+
+            tmp = gdir + ".staging"
+            for d in (gdir, tmp):
+                shutil.rmtree(d, ignore_errors=True)
             base = load_table(spark, sf_dir, "documents")
             pairs = DD.minhash_lsh_pairs(base, threshold=0.6)
             k = 1 if tag == "1x" else n_copies
@@ -304,10 +316,11 @@ def main() -> None:
             pairs.select("doc_a", "doc_b").crossJoin(F.broadcast(offs)).select(
                 (F.col("doc_a") + F.col("off")).alias("doc_a"),
                 (F.col("doc_b") + F.col("off")).alias("doc_b"),
-            ).write.parquet(edges_p)
+            ).write.parquet(os.path.join(tmp, "edges"))
             base.select("doc_id").crossJoin(F.broadcast(offs)).select(
                 (F.col("doc_id") + F.col("off")).alias("doc_id")
-            ).write.parquet(nodes_p)
+            ).write.parquet(os.path.join(tmp, "nodes"))
+            os.rename(tmp, gdir)
         return DD.connected_components(
             spark.read.parquet(edges_p), spark.read.parquet(nodes_p), node_col="doc_id"
         ).count()
