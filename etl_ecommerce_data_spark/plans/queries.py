@@ -6047,73 +6047,78 @@ def q_linkage_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of window membership (tests/test_oracle_parity.py + the per-round
 # full-registry sf0.1 sweep recorded in SCALE.md).
 _SWEEP_FIRST = [
-    # Round-10 ordering (VERDICT r9 ask #1), planned with
-    # tools/window_planner.py --round 10 --changed stream_upsert_user_latest
-    # and applied VERBATIM (no hand-tunes this round):
+    # Round-11 ordering (VERDICT r10 ask #1), planned with
+    # tools/window_planner.py --round 11 --changed stream_upsert_user_latest
+    #   --include value_percentiles,dedup_clusters
+    # and applied VERBATIM:
     # (a) stream_upsert_user_latest first — its runner changed this round
-    #     (bucketed latest-state snapshot with touched-bucket-only
-    #     rewrites, max_by partial-agg updates, parallel staging; VERDICT
-    #     r9 ask #3) and changed code re-verifies in-window, no exceptions;
-    # (b) the ENTIRE round-7-stale set at the two-round staleness limit —
-    #     the 31 planner-flagged queries plus the two r9-displaced singles
-    #     (daily_distinct_users, daily_revenue_anomaly) — with CO_ROTATE
-    #     pulling the cross-corpus and minhash twins in adjacent slots
-    #     (dedup_minhash_bucket_stats rides its oracled twin again per the
-    #     twinned-rows-only rule);
-    # (c) residual slots on the oldest r8-green rows, alphabetical.
-    # Planner-warned spill (expected steady-state at 132 queries / 50
-    # slots): 32 queries keep their r8 evidence this round and become
-    # round 11's mandatory rotation (32 < 50 — they all fit).
+    #     (restart-durable bucketed snapshot: per-batch pointer-map
+    #     manifests, snap-dir pruning, checkpointed resume; VERDICT r10
+    #     ask #2) and changed code re-verifies in-window, no exceptions;
+    # (b) --include value_percentiles: VERDICT r10 ask #3 — the exact
+    #     percentile query now CO_ROTATEs with its rows-only approx sketch
+    #     and the gk floor, so the trio enters together;
+    # (c) --include dedup_clusters: without it the tail boundary admitted
+    #     dedup_clusters_baseline as a lone 50th single while deferring
+    #     its production twin — forcing the pair keeps CO_ROTATE groups
+    #     whole; the displaced daily_users_hll+hll_error_floor pair
+    #     defers WHOLE to round 12 instead (planner-warned);
+    # (d) the ENTIRE round-8-stale set (the 34 planner-flagged queries,
+    #     with CO_ROTATE pulling the similarity/embedding/simhash twins);
+    # (e) residual slots on the oldest r9-green rows, alphabetical.
+    # Planner-warned spill (steady-state at 132 queries / 50 slots): 36
+    # queries keep their r9 evidence this round and become round 12's
+    # mandatory rotation (36 < 50 — they all fit).
     "stream_upsert_user_latest",
-    "daily_distinct_users",
-    "daily_revenue_anomaly",
-    "dedup_cross_corpus",
-    "dedup_cross_corpus_recall",
-    "dedup_cross_corpus_baseline",
-    "dedup_exact_docs",
-    "dedup_minhash_docs",
-    "dedup_minhash_recall",
-    "dedup_star_cap_floor",
-    "dedup_minhash_bucket_stats",
-    "event_type_distinct_props",
-    "events_tumbling_5min",
-    "gk_percentile_floor",
-    "linkage_block_stats",
-    "linkage_fuzzy_docs",
-    "multimodal_meta",
-    "olist_customer_metrics",
-    "olist_daily_sales",
-    "olist_delivery_performance",
-    "olist_product_performance",
-    "olist_satisfaction_metrics",
-    "olist_seller_performance",
-    "one_time_buyers_except",
-    "part_brand_size_cube",
-    "pricing_summary",
-    "props_json_stats",
-    "sessionize_events",
-    "status_priority_pivot",
-    "suppliers_with_sales",
-    "text_stats",
-    "text_tokens_bpe",
-    "top_parts_per_brand",
+    "value_percentiles",
     "value_percentiles_approx",
-    "asof_events_orders",
-    "basket_pairs",
-    "clean_orders",
-    "cohort_retention",
-    "compact_table_roundtrip",
-    "contamination_check",
-    "corpus_boilerplate_removal",
-    "corpus_split",
-    "csv_quarantine_split",
-    "curate_corpus_hygiene",
-    "curation_funnel",
-    "daily_sales",
-    "daily_sales_bucketed",
-    "daily_value_gapfilled",
-    "dedup_ngram_jaccard_baseline",
+    "gk_percentile_floor",
+    "dedup_clusters",
+    "dedup_clusters_baseline",
+    "dedup_simhash_docs",
     "dedup_simhash_complete",
+    "doc_chunks",
+    "doc_chunks_udtf",
+    "doc_rarity_score",
+    "embedding_gram_baseline",
+    "embedding_near_dup",
+    "embedding_near_dup_baseline",
+    "embedding_near_dup_recall",
+    "embedding_star_cap_floor",
+    "embedding_pca_variance",
+    "event_type_drift",
+    "events_by_type_day",
+    "linkage_block_cap_floor",
+    "merge_upsert_orders",
+    "nation_revenue",
+    "order_status_delivery",
+    "order_value_ranking_suite",
+    "product_performance",
+    "range_join_view_purchase",
+    "salted_segment_revenue",
+    "session_window_stats",
+    "similarity_ivf_recall",
+    "similarity_topk_ivf",
+    "similarity_lsh_recall",
+    "similarity_topk_lsh",
+    "similarity_topk",
+    "stream_dedup_events",
+    "stream_incremental_dedup",
+    "stream_session_windows",
+    "supplier_performance",
+    "text_normalize_dedup",
+    "text_pii_redact",
+    "user_value_ewma",
+    "vocab_stats",
+    "churned_customers",
+    "clean_customer",
+    "clean_lineitem",
+    "connector_roundtrip_orc_json",
+    "curate_corpus",
+    "customer_metrics",
+    "customers_no_orders",
+    "daily_activity_reconciliation",
+    "doc_fingerprints",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

@@ -39,6 +39,9 @@ TWINNED_ROWS_ONLY = {
     "similarity_topk_lsh": "similarity_lsh_recall",
     "similarity_topk_ivf": "similarity_ivf_recall",
     "dedup_minhash_bucket_stats": "dedup_minhash_recall",
+    # VERDICT r10 ask #3: the approx-percentile sketch is rows-only; its
+    # exact oracled twin carries the evidence and pulls it along
+    "value_percentiles_approx": "value_percentiles",
 }
 
 # Co-rotation contract (VERDICT r6 residual #1): a rows-only production path
@@ -60,7 +63,7 @@ CO_ROTATE = {
     ],
     "dedup_clusters": ["dedup_clusters_baseline"],
     "daily_users_hll": ["hll_error_floor"],
-    "value_percentiles_approx": ["gk_percentile_floor"],
+    "value_percentiles_approx": ["gk_percentile_floor", "value_percentiles"],
     "embedding_pca_variance": ["embedding_gram_baseline"],
     # reverse direction (VERDICT r7 residual #7): when an oracled twin
     # rotates, its rows-only diagnostic rides along — otherwise the
@@ -78,6 +81,9 @@ CO_ROTATE = {
     "similarity_topk_lsh": ["similarity_lsh_recall"],
     "similarity_topk_ivf": ["similarity_ivf_recall"],
     "dedup_minhash_bucket_stats": ["dedup_minhash_recall"],
+    # VERDICT r10 ask #3 (the one twin-rule soft spot in r10): the exact
+    # percentile query and its rows-only sketch rotate together, both ways
+    "value_percentiles": ["value_percentiles_approx", "gk_percentile_floor"],
 }
 
 
@@ -178,14 +184,20 @@ def main() -> None:
                     help="current round (default: max seen + 1)")
     ap.add_argument("--changed", default="",
                     help="comma-separated queries whose operators changed")
+    ap.add_argument("--include", default="",
+                    help="comma-separated queries to force into the window "
+                         "regardless of age (judge-requested co-rotations); "
+                         "placed with the changed phase so pool singles "
+                         "cannot displace them, CO_ROTATE closure applies")
     args = ap.parse_args()
 
     fresh = freshness()
     cur = args.round or (max(r for r, _ in fresh.values()) + 1 if fresh else 1)
     changed = [q for q in args.changed.split(",") if q]
+    changed += [q for q in args.include.split(",") if q and q not in changed]
     unknown = sorted(set(changed) - set(QUERIES))
     if unknown:
-        ap.error(f"--changed names not in registry: {unknown}")
+        ap.error(f"--changed/--include names not in registry: {unknown}")
 
     def age(q: str) -> int:
         return cur - fresh[q][0] if q in fresh else 10**6
