@@ -803,6 +803,9 @@ def _bucketed_upsert_batch(
         bucket_dirs.update(
             {int(b): os.path.join(root, rel) for b, rel in m["buckets"].items()}
         )
+        # the crashed attempt may have died between its manifest write and
+        # its prune — finish the prune here (safe: manifests are committed)
+        _prune_upsert_snapshots(root)
         return
     bkt = F.pmod(F.xxhash64("user_id"), F.lit(num_buckets))
     others = [c for c in batch_df.columns if c != "user_id"]
