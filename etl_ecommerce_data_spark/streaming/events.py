@@ -146,6 +146,17 @@ def _foreach_batch_writer(data: str, mode: str):
     return write_update
 
 
+def _has_part_files(data_dir: str) -> bool:
+    """True when ``data_dir`` holds at least one writer part file (the one
+    recognition rule, shared by the lineage guard and the empty-result
+    check so they can never disagree about the same directory)."""
+    return _os.path.isdir(data_dir) and any(
+        f.startswith("part-") and not f.endswith(".crc")
+        for _r, _d, files in _os.walk(data_dir)
+        for f in files
+    )
+
+
 def _check_sink_dir_lineage(out: str) -> None:
     """Fail fast when ``out`` holds sink data from ANOTHER checkpoint
     lineage. Batch-id-based idempotence only holds within one lineage: if
@@ -176,12 +187,7 @@ def _check_sink_dir_lineage(out: str) -> None:
     has_lineage = _nonempty(_os.path.join(ckpt, "commits")) or _nonempty(
         _os.path.join(ckpt, "offsets")
     )
-    has_stale = _os.path.isdir(data) and any(
-        f.startswith("part-") and not f.endswith(".crc")
-        for _r, _d, files in _os.walk(data)
-        for f in files
-    )
-    if has_stale and not has_lineage:
+    if _has_part_files(data) and not has_lineage:
         raise ValueError(
             f"out_dir {out!r} already holds sink data from another run "
             "(part files present, no checkpoint lineage) — pass a fresh "
@@ -254,12 +260,7 @@ def _run_to_parquet(
     # foreachBatch modes); read.parquet would raise an opaque inference
     # error there, preempting callers' own empty-result diagnostics — hand
     # back an honest empty frame with the stream's schema instead.
-    has_data = _os.path.isdir(data) and any(
-        f.startswith("part-") and not f.endswith(".crc")
-        for _r, _d, files in _os.walk(data)
-        for f in files
-    )
-    if not has_data:
+    if not _has_part_files(data):
         return spark.createDataFrame([], schema)
     if mode == "append":
         return spark.read.parquet(data)
@@ -638,10 +639,13 @@ def _write_upsert_manifest(
 ) -> None:
     """Persist the per-bucket pointer map durably, AFTER the batch's
     snapshot write succeeds: a manifest's existence means its batch is
-    fully applied. Pointers are stored root-relative (the root may be a
-    temp path that differs across hosts) and the write is atomic
-    (tmp + os.replace), so a crash mid-write leaves the previous manifest
-    as the latest — never a torn one."""
+    fully applied. Pointers are stored root-relative with a FIXED ``/``
+    separator (the root may be a temp path that differs across hosts, and
+    a manifest written on one platform must parse on another) and the
+    write is atomic AND fsynced (tmp + fsync + os.replace + dir fsync), so
+    neither a crash nor a power loss mid-write leaves a torn latest — and
+    the loader skips an unparseable file anyway, falling back to the
+    retained predecessor."""
     import json
 
     mdir = _os.path.join(root, _UPSERT_MANIFEST_DIR)
@@ -650,21 +654,32 @@ def _write_upsert_manifest(
         "batch_id": batch_id,
         "num_buckets": num_buckets,
         "buckets": {
-            str(b): _os.path.relpath(p, root) for b, p in bucket_dirs.items()
+            str(b): _os.path.relpath(p, root).replace(_os.sep, "/")
+            for b, p in bucket_dirs.items()
         },
     }
     tmp = _os.path.join(mdir, f".manifest_{batch_id:020d}.tmp")
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
+        fh.flush()
+        _os.fsync(fh.fileno())
     _os.replace(tmp, _upsert_manifest_path(root, batch_id))
+    dir_fd = _os.open(mdir, _os.O_RDONLY)
+    try:
+        _os.fsync(dir_fd)  # make the rename itself power-loss durable
+    finally:
+        _os.close(dir_fd)
     # superseded manifests are dead weight (restart reads only the latest);
-    # keep one predecessor for post-mortem diffing, prune the rest
+    # keep one predecessor for post-mortem diffing, prune the rest — along
+    # with any tmp file a crashed earlier attempt left behind
     keep = {
         f"manifest_{batch_id:020d}.json",
         f"manifest_{max(batch_id - 1, 0):020d}.json",
     }
     for f in _os.listdir(mdir):
-        if f.startswith("manifest_") and f not in keep:
+        if (f.startswith("manifest_") and f not in keep) or (
+            f.startswith(".manifest_") and f.endswith(".tmp") and f != _os.path.basename(tmp)
+        ):
             _os.remove(_os.path.join(mdir, f))
 
 
@@ -672,11 +687,12 @@ def _load_latest_upsert_manifest(
     root: str,
 ) -> tuple[int, int, dict[int, str]] | None:
     """(batch_id, num_buckets, {bucket: abs snapshot dir}) from the latest
-    manifest under ``root``, or None when no batch has ever committed —
-    the restart entry point: latest-manifest-wins, same pattern as the
-    update sink's per-batch-id idempotence."""
-    import json
-
+    READABLE manifest under ``root``, or None when no batch has ever
+    committed — the restart entry point: latest-manifest-wins, same
+    pattern as the update sink's per-batch-id idempotence. An unparseable
+    latest (a torn write that somehow survived the fsync discipline) is
+    skipped, not fatal: the retained predecessor is exactly the fallback
+    it is kept for, and Spark replays the batches after it."""
     mdir = _os.path.join(root, _UPSERT_MANIFEST_DIR)
     if not _os.path.isdir(mdir):
         return None
@@ -685,14 +701,31 @@ def _load_latest_upsert_manifest(
         for f in _os.listdir(mdir)
         if f.startswith("manifest_") and f.endswith(".json")
     )
-    if not names:
+    for name in reversed(names):
+        m = _read_upsert_manifest(_os.path.join(mdir, name))
+        if m is None:
+            continue
+        buckets = {
+            int(b): _os.path.join(root, *rel.split("/"))
+            for b, rel in m["buckets"].items()
+        }
+        return int(m["batch_id"]), int(m["num_buckets"]), buckets
+    return None
+
+
+def _read_upsert_manifest(path: str) -> dict | None:
+    """Parse one manifest file; None for torn/unreadable content (the
+    callers treat that as 'this manifest does not exist')."""
+    import json
+
+    try:
+        with open(path) as fh:
+            m = json.load(fh)
+        if not isinstance(m.get("buckets"), dict):
+            return None
+        return m
+    except (OSError, ValueError):
         return None
-    with open(_os.path.join(mdir, names[-1])) as fh:
-        m = json.load(fh)
-    buckets = {
-        int(b): _os.path.join(root, rel) for b, rel in m["buckets"].items()
-    }
-    return int(m["batch_id"]), int(m["num_buckets"]), buckets
 
 
 def _upsert_live_snaps(root: str) -> set[str]:
@@ -701,19 +734,17 @@ def _upsert_live_snaps(root: str) -> set[str]:
     predecessor's references matters for recovery: a batch that crashed
     before its manifest landed replays against the PREVIOUS manifest's
     pointers, so those snapshots must still be on disk."""
-    import json
-
     mdir = _os.path.join(root, _UPSERT_MANIFEST_DIR)
     live: set[str] = set()
     if not _os.path.isdir(mdir):
         return live
     for f in _os.listdir(mdir):
         if f.startswith("manifest_") and f.endswith(".json"):
-            with open(_os.path.join(mdir, f)) as fh:
-                m = json.load(fh)
-            live.update(
-                rel.split(_os.sep, 1)[0] for rel in m["buckets"].values()
-            )
+            m = _read_upsert_manifest(_os.path.join(mdir, f))
+            if m is not None:
+                live.update(
+                    rel.split("/", 1)[0] for rel in m["buckets"].values()
+                )
     return live
 
 
@@ -792,16 +823,18 @@ def _bucketed_upsert_batch(
     from etl_ecommerce_data_spark.sources.incremental import merge_dataframes
     from pyspark import StorageLevel
 
-    if os.path.exists(_upsert_manifest_path(root, batch_id)):
+    applied = _read_upsert_manifest(_upsert_manifest_path(root, batch_id))
+    if applied is not None:
         # replayed, already-applied batch: adopt ITS manifest verbatim
-        # (not "the latest" — precise even if a later one ever coexisted)
-        import json
-
-        with open(_upsert_manifest_path(root, batch_id)) as fh:
-            m = json.load(fh)
+        # (not "the latest" — precise even if a later one ever coexisted);
+        # a torn manifest parses as None and falls through to the re-merge
+        # path below, which is the correct recovery for a not-applied batch
         bucket_dirs.clear()
         bucket_dirs.update(
-            {int(b): os.path.join(root, rel) for b, rel in m["buckets"].items()}
+            {
+                int(b): os.path.join(root, *rel.split("/"))
+                for b, rel in applied["buckets"].items()
+            }
         )
         # the crashed attempt may have died between its manifest write and
         # its prune — finish the prune here (safe: manifests are committed)
@@ -897,27 +930,64 @@ def run_foreach_batch_upsert(
     import shutil
     import tempfile
 
+    explicit_root = root is not None
     if root is None:
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         root = os.path.join(tempfile.gettempdir(), f"upsert_stream_{tag}")
         shutil.rmtree(root, ignore_errors=True)
     stage = os.path.join(root, "stage")
     ckpt = os.path.join(root, "ckpt")
+    table_meta = os.path.join(root, "table.json")
     kind = events_ts_kind(spark, os.path.join(sf_dir, "events.parquet"))
     schema = events_read_schema(kind)
     bucket_dirs: dict[int, str] = {}
     resumed = _load_latest_upsert_manifest(root)
     if resumed is not None and os.path.isdir(ckpt):
+        # a resumed table answers for ONE source: silently replaying an
+        # old checkpoint against a different requested sf_dir would return
+        # the old table as if it were the new input's
+        if os.path.exists(table_meta):
+            import json
+
+            recorded = json.load(open(table_meta)).get("sf_dir")
+            if recorded != os.path.abspath(sf_dir):
+                raise ValueError(
+                    f"root {root!r} holds the upsert table for "
+                    f"{recorded!r}; refusing to resume it for "
+                    f"{os.path.abspath(sf_dir)!r} — pass a fresh root"
+                )
         _bid, num_buckets, loaded = resumed
         bucket_dirs.update(loaded)
         b0 = os.path.join(stage, "batch0.parquet")
     else:
-        # fresh table: anything on an explicit root without a committed
-        # manifest + checkpoint pair is a crashed-before-first-commit run
-        # (no state applied — rebuilding from scratch is the idempotent
-        # recovery) or leftover junk; both start over
+        # fresh table: an explicit root without a committed manifest +
+        # checkpoint pair is a crashed-before-first-commit run of THIS
+        # runner (no state applied — rebuilding from scratch is the
+        # idempotent recovery) — but only if everything in it is ours.
+        # A directory holding anything this runner did not create is a
+        # mistyped/foreign path; deleting it would be silent data loss
+        # (the destructive mirror of _check_sink_dir_lineage's raise).
+        if explicit_root and os.path.isdir(root):
+            owned = {"stage", "ckpt", _UPSERT_MANIFEST_DIR, "table.json"}
+            foreign = [
+                e
+                for e in os.listdir(root)
+                if e not in owned
+                and not e.startswith("snap_")
+                and not e.startswith(".")
+            ]
+            if foreign:
+                raise ValueError(
+                    f"root {root!r} contains entries this runner did not "
+                    f"create ({foreign[:5]}) and has no resumable table — "
+                    "refusing to delete it; pass a fresh or empty root"
+                )
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(stage)
+        import json
+
+        with open(table_meta, "w") as fh:
+            json.dump({"sf_dir": os.path.abspath(sf_dir)}, fh)
         raw = spark.read.schema(schema).parquet(
             os.path.join(sf_dir, "events.parquet")
         )

@@ -804,3 +804,49 @@ def test_bucketed_upsert_restart_resumes_from_manifest_and_prunes(spark, tmp_pat
     again = run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=999, root=root)
     assert {tuple(r) for r in again.collect()} == baseline
     assert on_disk_snaps() == _upsert_live_snaps(root)
+
+
+def test_bucketed_upsert_refuses_foreign_root_and_wrong_source(spark, tmp_path):
+    """Data-safety contract of the durable upsert's root handling: (a) an
+    explicit root holding anything this runner did not create must raise,
+    not be silently rm -rf'd; (b) a resumable table answers for ONE
+    source — resuming it against a different sf_dir must raise, not
+    return the old table as if it were the new input's."""
+    import os
+
+    from etl_ecommerce_data_spark.streaming.events import run_foreach_batch_upsert
+
+    foreign = tmp_path / "user_data"
+    foreign.mkdir()
+    (foreign / "precious.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="did not create"):
+        run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=8, root=str(foreign))
+    assert (foreign / "precious.txt").read_text() == "do not delete"
+
+    root = str(tmp_path / "tbl")
+    run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=8, root=root)
+    other = os.path.join(os.path.dirname(SF_SMOKE.rstrip("/")), "sf0.01")
+    with pytest.raises(ValueError, match="refusing to resume"):
+        run_foreach_batch_upsert(spark, other, num_buckets=8, root=root)
+
+
+def test_upsert_manifest_loader_skips_torn_latest(tmp_path):
+    """A torn/unparseable latest manifest (the power-loss case the fsync
+    discipline defends against) must not brick the table: the loader falls
+    back to the retained predecessor, the exact file kept for recovery."""
+    import os
+
+    from etl_ecommerce_data_spark.streaming.events import (
+        _load_latest_upsert_manifest,
+        _write_upsert_manifest,
+    )
+
+    root = str(tmp_path / "tbl")
+    ptr = {3: os.path.join(root, "snap_0", "__bkt=3")}
+    _write_upsert_manifest(root, 0, 8, ptr)
+    torn = os.path.join(root, "manifests", f"manifest_{1:020d}.json")
+    with open(torn, "w") as fh:
+        fh.write('{"batch_id": 1, "num_buck')  # truncated mid-write
+    bid, nb, loaded = _load_latest_upsert_manifest(root)
+    assert (bid, nb) == (0, 8)
+    assert loaded == ptr

@@ -304,11 +304,9 @@ def main() -> None:
         if not all(
             os.path.exists(os.path.join(p, "_SUCCESS")) for p in (edges_p, nodes_p)
         ):
-            import shutil
-
             tmp = gdir + ".staging"
-            for d in (gdir, tmp):
-                shutil.rmtree(d, ignore_errors=True)
+            for stale_dir in (gdir, tmp):  # not 'd' — that's the docs frame
+                shutil.rmtree(stale_dir, ignore_errors=True)
             base = load_table(spark, sf_dir, "documents")
             pairs = DD.minhash_lsh_pairs(base, threshold=0.6)
             k = 1 if tag == "1x" else n_copies
