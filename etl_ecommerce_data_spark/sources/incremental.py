@@ -36,14 +36,27 @@ def overwrite_partitions(
     df: DataFrame, path: str, partition_by: Sequence[str]
 ) -> None:
     """Overwrite ONLY the partitions present in ``df`` (dynamic mode); other
-    partitions of the table keep their data."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    partitions of the table keep their data.
+
+    The dynamic mode is set as a PER-WRITER option, not by mutating the
+    session conf: a set/restore around the write races with concurrent
+    writers on a shared session (one thread's ``finally`` restoring
+    ``static`` before another's job reads the conf turns that job into a
+    whole-table wipe — the exact failure this function exists to prevent).
+    An empty ``partition_by`` would degrade to the same full overwrite, so
+    it fails fast instead."""
+    if not partition_by:
+        raise ValueError(
+            "overwrite_partitions with no partition columns would replace "
+            "the whole table — use a plain overwrite explicitly if that is "
+            "intended"
+        )
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
 
 
 def merge_dataframes(
@@ -55,15 +68,30 @@ def merge_dataframes(
     """Latest-wins upsert as a pure transform: one row per key, the survivor
     being the greatest ``version_col`` with updates beating current on ties.
 
-    Single shuffle on the keys; the tie-break column makes the survivor
-    deterministic (the reference's ``dropDuplicates([k])`` survivor is
-    whichever partition wins the race — SURVEY §2.6 D2).
+    Single shuffle on the keys, deterministic survivor at EVERY tie level
+    (the reference's ``dropDuplicates([k])`` survivor is whichever
+    partition wins the race — SURVEY §2.6 D2): version desc, then updates
+    over current, then — for duplicate (key, version) rows WITHIN one
+    relation, which well-formed batches should pre-deduplicate but the
+    contract must not depend on — a total order over the full serialized
+    row, so the pick can never flip between runs. The serialization is a
+    per-row JVM expression (codegen'd, no shuffle of its own); exact
+    duplicates serialize identically and are interchangeable survivors.
     """
+    for c in ("__src", "__rn"):
+        if c in current.columns or c in updates.columns:
+            raise ValueError(
+                f"merge_dataframes reserves column name {c!r}; rename it in "
+                "the input (it would be silently overwritten and dropped)"
+            )
     tagged = current.withColumn("__src", F.lit(0)).unionByName(
         updates.withColumn("__src", F.lit(1))
     )
+    row_key = F.to_json(
+        F.struct(*[c for c in tagged.columns if c != "__src"])
+    )
     w = Window.partitionBy(*keys).orderBy(
-        F.col(version_col).desc(), F.col("__src").desc()
+        F.col(version_col).desc(), F.col("__src").desc(), row_key.desc()
     )
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
@@ -81,13 +109,25 @@ def merge_upsert(
     snapshot: str = "snapshot",
 ) -> str:
     """Merge ``updates`` into the parquet table at ``table_path`` and write
-    the result as a new snapshot directory next to it (never in place — a
-    reader of ``table_path`` must not observe a half-overwritten table).
-    Returns the snapshot path; the caller promotes it (rename / view flip).
+    the result as a new UNIQUELY-NAMED snapshot directory next to it (never
+    in place — a reader of ``table_path`` must not observe a
+    half-overwritten table). Returns the snapshot path; the caller promotes
+    it (rename / view flip) and retires the predecessor.
+
+    The uuid suffix matters for the promote-then-merge-again cycle: a fixed
+    sibling name would make the second merge overwrite the very snapshot
+    the first one promoted — clobbering it under concurrent readers, or,
+    when the promoted path IS the new ``table_path``, overwriting the path
+    being lazily read (same isolation contract as ``compact_table``).
     """
+    import uuid
+
     current = spark.read.parquet(table_path)
     merged = merge_dataframes(current, updates, keys, version_col)
-    out = os.path.join(os.path.dirname(table_path.rstrip("/")), f"{snapshot}.parquet")
+    out = os.path.join(
+        os.path.dirname(table_path.rstrip("/")),
+        f"{snapshot}_{uuid.uuid4().hex[:8]}.parquet",
+    )
     merged.write.mode("overwrite").parquet(out)
     return out
 
@@ -97,6 +137,7 @@ def compact_table(
     table_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_within_by: list[str] | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> tuple[str, int]:
     """Small-file compaction for a plain-parquet table — the maintenance op
     every incremental sink needs: streaming/upsert writers accumulate files
@@ -113,7 +154,13 @@ def compact_table(
     write to a sibling directory — never in place, same crash-safety
     contract as ``merge_upsert``. ``sort_within_by`` optionally sorts within
     output files (restores min-max pruning after appends interleave key
-    ranges — compose with zorder keys for 2-D layouts). Returns
+    ranges — compose with zorder keys for 2-D layouts).
+
+    Hive-partitioned tables MUST pass ``partition_by`` (their partition
+    columns): the read infers partition columns as ordinary data columns,
+    so a rewrite without ``partitionBy`` would silently flatten the layout
+    — the compacted snapshot would lose directory-level partition pruning
+    and no longer compose with ``overwrite_partitions``. Returns
     ``(new_snapshot_path, n_output_files)``.
     """
     import uuid
@@ -138,8 +185,17 @@ def compact_table(
 
     df = spark.read.parquet(table_path)
     out = f"{table_path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
-    writer = df.repartition(n_files)
+    if partition_by:
+        # n_files per PARTITION would over-shard; repartition on the
+        # partition columns co-locates each hive partition's rows so the
+        # layout-preserving rewrite emits one file per partition chunk
+        writer = df.repartition(n_files, *partition_by)
+    else:
+        writer = df.repartition(n_files)
     if sort_within_by:
         writer = writer.sortWithinPartitions(*sort_within_by)
-    writer.write.mode("overwrite").parquet(out)
+    w = writer.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out)
     return out, n_files

@@ -566,3 +566,72 @@ def test_quarantine_cache_released_after_ingest(spark, tmp_path):
             assert cm_split._parsed.storageLevel.useMemory
             raise RuntimeError("boom")
     assert not cm_split._parsed.storageLevel.useMemory
+
+
+def test_overwrite_partitions_rejects_empty_partition_list(spark, tmp_path):
+    """An empty partition_by would degrade dynamic overwrite into a silent
+    full-table replace — the one behavior the function exists to prevent."""
+    from etl_ecommerce_data_spark.sources.incremental import overwrite_partitions
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="whole table"):
+        overwrite_partitions(df, str(tmp_path / "t"), [])
+
+
+def test_merge_dataframes_reserved_columns_and_intra_batch_ties(spark):
+    """Inputs carrying the internal __src/__rn names raise (they would be
+    silently overwritten and dropped); duplicate (key, version) rows WITHIN
+    one relation — which well-formed batches pre-deduplicate but the
+    contract must not depend on — get a deterministic survivor (full-row
+    total order), never a shuffle-race pick."""
+    from etl_ecommerce_data_spark.sources.incremental import merge_dataframes
+
+    cur = spark.createDataFrame([(1, "a", 10)], "k long, v string, ver long")
+    bad = cur.withColumnRenamed("v", "__src")
+    with pytest.raises(ValueError, match="reserves column"):
+        merge_dataframes(bad, bad, ["k"], "ver")
+
+    upd = spark.createDataFrame(
+        [(1, "x", 11), (1, "y", 11)], "k long, v string, ver long"
+    )
+    picks = {
+        merge_dataframes(cur, upd, ["k"], "ver").collect()[0]["v"]
+        for _ in range(3)
+    }
+    assert len(picks) == 1 and picks <= {"x", "y"}
+
+
+def test_merge_upsert_snapshots_are_uniquely_named_and_chainable(spark, tmp_path):
+    """Each merge writes a NEW snapshot: a fixed sibling name would make
+    the second merge clobber the snapshot the first one promoted — or, when
+    the promoted path is merged into next, overwrite the path being read."""
+    from etl_ecommerce_data_spark.sources.incremental import merge_upsert
+
+    table = str(tmp_path / "zone" / "t.parquet")
+    spark.createDataFrame([(1, "a", 10)], "k long, v string, ver long").write.parquet(table)
+    upd1 = spark.createDataFrame([(1, "b", 11)], "k long, v string, ver long")
+    snap1 = merge_upsert(spark, table, upd1, ["k"], "ver")
+    upd2 = spark.createDataFrame([(1, "c", 12)], "k long, v string, ver long")
+    snap2 = merge_upsert(spark, snap1, upd2, ["k"], "ver")  # promote-then-merge
+    assert len({table, snap1, snap2}) == 3
+    assert [r["v"] for r in spark.read.parquet(snap1).collect()] == ["b"]
+    assert [r["v"] for r in spark.read.parquet(snap2).collect()] == ["c"]
+
+
+def test_compact_table_preserves_hive_partition_layout(spark, tmp_path):
+    """Compacting a hive-partitioned table with partition_by keeps the
+    directory layout (pruning + overwrite_partitions composability); the
+    default rewrite documents that it flattens."""
+    import os
+
+    from etl_ecommerce_data_spark.sources.incremental import compact_table
+
+    src = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("2024-01-0%d" % (i % 2 + 1), i) for i in range(20)], "d string, k long"
+    ).repartition(8).write.partitionBy("d").parquet(src)
+    out, _ = compact_table(spark, src, target_file_bytes=1 << 30, partition_by=["d"])
+    dirs = {e for e in os.listdir(out) if e.startswith("d=")}
+    assert dirs == {"d=2024-01-01", "d=2024-01-02"}
+    got = {(str(r["d"]), r["k"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("2024-01-0%d" % (i % 2 + 1), i) for i in range(20)}
