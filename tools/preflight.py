@@ -81,10 +81,21 @@ def gate_sweep(sf_dir: str) -> tuple[bool, str]:
     return ok, f"{tail or 'see log'} ({dt:.0f}s, {log})"
 
 
+def _window_size() -> int:
+    """The driver-window size, derived from the registry itself — a
+    hardcoded 50 here would silently under-rehearse if _SWEEP_FIRST ever
+    grows (three uncoordinated 50s: this gate, window_planner.WINDOW, and
+    the list length)."""
+    sys.path.insert(0, REPO)
+    from etl_ecommerce_data_spark.plans.queries import _SWEEP_FIRST
+
+    return len(_SWEEP_FIRST)
+
+
 def gate_rehearse(sf_dir: str = "/root/testdata/sf0.01") -> tuple[bool, str]:
     ok, dt, log = _run(
-        [sys.executable, "tools/verify_local.py", "--bare", "--first", "50",
-         sf_dir],
+        [sys.executable, "tools/verify_local.py", "--bare", "--first",
+         str(_window_size()), sf_dir],
         "preflight_rehearse")
     tail = _tail_line(log, r"(queries match|FAILURES)")
     return ok, f"{tail or 'see log'} ({dt:.0f}s, {log})"
@@ -111,8 +122,14 @@ def gate_bench() -> tuple[bool, str]:
 def gate_leaks(roots: list[str] | None = None, repo: str = REPO) -> tuple[bool, str]:
     pat = re.compile("|".join(LEAK_PATTERNS), re.IGNORECASE)
     hits: list[str] = []
+    missing: list[str] = []
     for root in (roots if roots is not None else LEAK_ROOTS):
         path = os.path.join(repo, root)
+        if not os.path.exists(path):
+            # a guard gate must fail CLOSED: a renamed/moved root silently
+            # skipped would keep this gate green with zero coverage of it
+            missing.append(root)
+            continue
         files = []
         if os.path.isfile(path):
             files = [path]
@@ -131,6 +148,8 @@ def gate_leaks(roots: list[str] | None = None, repo: str = REPO) -> tuple[bool, 
                             hits.append(f"{os.path.relpath(f, repo)}:{i}")
             except OSError:
                 pass
+    if missing:
+        return False, f"scan roots missing (gate fails closed): {missing}"
     return not hits, ("0 hits" if not hits else f"{len(hits)} hits: " + ", ".join(hits[:5]))
 
 
@@ -177,29 +196,36 @@ def main() -> int:
 
     # ADVICE r9: don't hard-code /root/testdata/sf0.01 — derive the
     # rehearsal dir from --sweep-sf's layout so the runner works on hosts
-    # with testdata elsewhere
+    # with testdata elsewhere. A RELATIVE --sweep-sf resolves against the
+    # repo (where the gate subprocesses run), not the invoker's cwd — the
+    # two resolutions disagreeing would silently rehearse at the wrong SF.
+    sweep_abs = (args.sweep_sf if os.path.isabs(args.sweep_sf)
+                 else os.path.join(REPO, args.sweep_sf))
     if args.rehearse_sf is None:
-        sibling = os.path.join(os.path.dirname(args.sweep_sf.rstrip("/")),
-                               "sf0.01")
-        args.rehearse_sf = sibling if os.path.isdir(sibling) else args.sweep_sf
+        sibling = os.path.join(os.path.dirname(sweep_abs.rstrip("/")), "sf0.01")
+        args.rehearse_sf = sibling if os.path.isdir(sibling) else sweep_abs
+
+    def parse_gates(raw: str, flag: str) -> set[str]:
+        names = {g.strip() for g in raw.split(",") if g.strip()}
+        unknown = names - set(GATE_ORDER)
+        if unknown:
+            ap.error(f"unknown gate(s) in {flag}: {sorted(unknown)}")
+        return names
 
     selected = list(GATE_ORDER)
     if args.only:
-        wanted = {g.strip() for g in args.only.split(",")}
-        unknown = wanted - set(GATE_ORDER)
-        if unknown:
-            ap.error(f"unknown gate(s): {sorted(unknown)}")
-        selected = [g for g in selected if g in wanted]
+        selected = [g for g in selected if g in parse_gates(args.only, "--only")]
     if args.skip:
-        dropped = {g.strip() for g in args.skip.split(",")}
-        unknown = dropped - set(GATE_ORDER)
-        if unknown:
-            ap.error(f"unknown gate(s): {sorted(unknown)}")
+        dropped = parse_gates(args.skip, "--skip")
         selected = [g for g in selected if g not in dropped]
+    if not selected:
+        # "0/0 gates green, exit 0" would record success off a run that
+        # verified nothing
+        ap.error("the --only/--skip combination selects no gates")
 
     runners = {
         "pytest": gate_pytest,
-        "sweep": lambda: gate_sweep(args.sweep_sf),
+        "sweep": lambda: gate_sweep(sweep_abs),
         "rehearse": lambda: gate_rehearse(args.rehearse_sf),
         "bench": gate_bench,
         "leaks": gate_leaks,

@@ -192,9 +192,17 @@ def main() -> None:
     args = ap.parse_args()
 
     fresh = freshness()
-    cur = args.round or (max(r for r, _ in fresh.values()) + 1 if fresh else 1)
-    changed = [q for q in args.changed.split(",") if q]
-    changed += [q for q in args.include.split(",") if q and q not in changed]
+    max_seen = max((r for r, _ in fresh.values()), default=0)
+    cur = args.round if args.round is not None else max_seen + 1
+    if cur < max_seen:
+        # ages would go negative and -age(q) would rank the FRESHEST
+        # queries first — a silently inverted rotation
+        ap.error(f"--round {cur} predates existing evidence (files up to "
+                 f"round {max_seen}); pass >= {max_seen}")
+    changed = [q for q in args.changed.split(",") if q.strip()]
+    truly_changed = set(changed)  # --include merges below, labels differ
+    changed += [q for q in args.include.split(",")
+                if q.strip() and q not in changed]
     unknown = sorted(set(changed) - set(QUERIES))
     if unknown:
         ap.error(f"--changed/--include names not in registry: {unknown}")
@@ -226,15 +234,22 @@ def main() -> None:
     # surface every skip, loudest for changed queries (the 're-verify
     # immediately' rule is violated if one is dropped silently)
     for q, group in skipped_groups:
-        sev = "changed query NOT re-verified" if q in changed else "group deferred"
+        # --include entries ride the changed phase for placement but are
+        # NOT changed code — the loudest warning class stays reserved for
+        # the re-verify-immediately rule it exists to enforce
+        sev = ("changed query NOT re-verified" if q in truly_changed
+               else "included query deferred" if q in changed
+               else "group deferred")
         print(f"\nWARNING ({sev}): {q} skipped — CO_ROTATE group {group} "
               f"does not fit the remaining window; shrink lower-priority "
               f"entries or rotate it first next round")
     if stale_after:
         print(f"\nWARNING: {len(stale_after)} queries remain >=2 rounds stale "
               f"after this window: {stale_after}")
+    # denominator is the actual suggestion size: tail groups that did not
+    # fit leave slots empty, and /WINDOW would overstate the edits needed
     print(f"\ncurrent _SWEEP_FIRST overlap: "
-          f"{len(set(suggestion) & set(_SWEEP_FIRST))}/{WINDOW}")
+          f"{len(set(suggestion) & set(_SWEEP_FIRST))}/{len(suggestion)}")
 
 
 if __name__ == "__main__":
