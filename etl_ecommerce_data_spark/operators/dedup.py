@@ -33,12 +33,18 @@ from etl_ecommerce_data_spark.functions.text import tokens
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: one survivor (min id) per distinct text + duplicate count.
 
-    At scale, grouping by a 64-char md5 instead of the full text keeps shuffle
-    rows small; we group by the hash and keep min(id). (Output keeps the hash
-    so downstream can join back to content if needed.)
+    At scale, grouping by a 32-hex-char md5 instead of the full text keeps
+    shuffle rows small; we group by the hash and keep min(id). (Output keeps
+    the hash so downstream can join back to content if needed.)
+
+    NULL texts are excluded, matching the minhash/simhash paths: md5(NULL)
+    is NULL and groupBy treats NULLs as equal, so without the filter every
+    content-less document would collapse into ONE "duplicate" group and a
+    keep-one-per-cluster consumer would drop all but one of them.
     """
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("content_hash"))
         .agg(
             F.min(F.col(id_col)).alias(id_col),
             F.count(F.lit(1)).alias("dup_count"),
@@ -129,6 +135,15 @@ def _banded_buckets_from_hashes(
     the re-join (see ``minhash_lsh_pairs``). Taking the hash frame as input
     lets callers compute the tokenize+hash scan ONCE and reuse it for exact
     verification."""
+    if bands <= 0 or num_perms % bands != 0:
+        # a silent floor-division would band only (num_perms // bands) *
+        # bands of the computed permutations — the caller's tuned S-curve
+        # quietly becomes a different one (and bands > num_perms builds a
+        # zero-arg xxhash64 that fails far from the mistaken parameter)
+        raise ValueError(
+            f"num_perms ({num_perms}) must be a positive multiple of bands "
+            f"({bands}) — every permutation must land in exactly one band"
+        )
     rows_per_band = num_perms // bands
     sigs = pre.select(
         "doc_id",
@@ -198,9 +213,17 @@ def minhash_lsh_pairs(
        representative (min id) before any signature work — on real crawl
        corpora exact dups are the usual mega-bucket cause, and hashing them
        once instead of per-copy is pure savings. Pairs among collapsed
-       copies are re-emitted at the end (jaccard = 1.0 by construction), and
-       representative pairs are expanded back to member pairs, so the output
-       contract ("all near-dup pairs above threshold") is unchanged.
+       copies are re-emitted at the end (jaccard = 1.0 by construction) and
+       representative pairs are expanded back to member pairs — with the
+       SAME ``bucket_cap`` star degradation as step 4 once a duplicate
+       group outgrows the cap (intra groups emit a star around the
+       representative; cross expansions where either group exceeds the cap
+       emit a double star through the two representatives instead of the
+       |G_a|×|G_b| bipartite product). Below the cap — every group at the
+       oracle scale factors — the full pair listing is unchanged; above
+       it, pair-LISTING completeness degrades exactly like an oversized
+       band bucket while cluster connectivity survives through the
+       representatives.
     2. signatures in one scan pass (no shuffle) over representatives only;
     3. banding explodes IDS ONLY — the band-bucket join and the candidate
        dedup shuffle narrow (doc_a, doc_b) rows, never token arrays (on a
@@ -246,16 +269,24 @@ def minhash_lsh_pairs(
     base = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     ).filter(F.col("__text").isNotNull())
-    hashed = base.withColumn("__ch", F.md5("__text"))
+    # Materialize the hashed corpus once: groups and mapping both consume
+    # it with DIFFERENT downstream projections (no exchange reuse), so
+    # without the checkpoint the full text scan + md5 runs once per
+    # consumer. Same executor-storage tradeoff as rep_hs/banded below.
+    hashed = base.withColumn("__ch", F.md5("__text")).localCheckpoint(
+        eager=False
+    )
     groups = hashed.groupBy("__ch").agg(
         F.min("doc_id").alias("rep_id"),
         F.count(F.lit(1)).alias("grp_n"),
         F.first("__text").alias("__text"),  # identical within the group
     )
-    # member → representative mapping (identity rows included)
+    # member → representative mapping (identity rows included); read by the
+    # cross expansion (both sides) and dup_members — narrow rows, so the
+    # checkpoint is cheap and saves the join replaying per consumer
     mapping = hashed.select("doc_id", "__ch").join(
         groups.select("__ch", "rep_id"), "__ch"
-    ).select("doc_id", "rep_id")
+    ).select("doc_id", "rep_id").localCheckpoint(eager=False)
     rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "__text")
 
     # ONE tokenize+hash scan: the hash arrays feed BOTH the banding
@@ -335,23 +366,60 @@ def minhash_lsh_pairs(
     )
 
     # Expand representative pairs back to member pairs (each doc has exactly
-    # one representative, so the expansion cannot duplicate a pair).
-    cross = (
-        verified.join(
-            mapping.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("__x")),
-            "doc_a",
-        )
-        .join(
-            mapping.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("__y")),
-            "doc_b",
-        )
-        .select(
-            F.least("__x", "__y").alias("doc_a"),
-            F.greatest("__x", "__y").alias("doc_b"),
-            "n_inter",
-            "jaccard",
-        )
+    # one representative, so the expansion cannot duplicate a pair). The
+    # expansion is |G_a|×|G_b| per verified rep pair — quadratic in group
+    # size, the SAME skew blowup the band-bucket guard exists for (two
+    # mega-groups of near-identical boilerplate would emit their full
+    # bipartite product from ONE verified row). Pairs where either group
+    # exceeds bucket_cap therefore degrade to a DOUBLE STAR through the two
+    # representatives (|G_a|+|G_b| pairs): members are byte-identical to
+    # their reps, so every emitted pair carries the rep pair's true
+    # (n_inter, jaccard), and both groups stay fully connected through the
+    # rep-rep edge for the clustering consumer — the identical
+    # guard/connectivity argument as the intra-group star below.
+    ma = mapping.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("__x"))
+    mb = mapping.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("__y"))
+    gsz = groups.select("rep_id", "grp_n")
+    sized = verified.join(
+        gsz.select(F.col("rep_id").alias("doc_a"), F.col("grp_n").alias("__ga")),
+        "doc_a",
+    ).join(
+        gsz.select(F.col("rep_id").alias("doc_b"), F.col("grp_n").alias("__gb")),
+        "doc_b",
     )
+    pair_cols = lambda x, y: [  # noqa: E731 — normalized output columns
+        F.least(x, y).alias("doc_a"),
+        F.greatest(x, y).alias("doc_b"),
+        F.col("n_inter"),
+        F.col("jaccard"),
+    ]
+    if bucket_cap is not None:
+        small = sized.filter(
+            (F.col("__ga") <= bucket_cap) & (F.col("__gb") <= bucket_cap)
+        )
+        big = sized.filter(
+            (F.col("__ga") > bucket_cap) | (F.col("__gb") > bucket_cap)
+        )
+        cross = (
+            small.join(ma, "doc_a").join(mb, "doc_b")
+            .select(*pair_cols(F.col("__x"), F.col("__y")))
+            # star over A's members against rep_b (identity row covers the
+            # rep-rep pair) ...
+            .unionByName(
+                big.join(ma, "doc_a").select(*pair_cols(F.col("__x"), F.col("doc_b")))
+            )
+            # ... and rep_a against B's members, rep_b excluded (emitted above)
+            .unionByName(
+                big.join(mb, "doc_b")
+                .filter(F.col("__y") != F.col("doc_b"))
+                .select(*pair_cols(F.col("doc_a"), F.col("__y")))
+            )
+        )
+    else:
+        cross = (
+            sized.join(ma, "doc_a").join(mb, "doc_b")
+            .select(*pair_cols(F.col("__x"), F.col("__y")))
+        )
     # Intra-group pairs: byte-identical texts ⇒ jaccard 1.0, n_inter = token
     # count (matching what exact verification would compute; empty-token
     # texts yield null jaccard in the exact path, so they are excluded here
@@ -366,11 +434,10 @@ def minhash_lsh_pairs(
         .join(nt, "rep_id")
         .filter(F.col("__nt") > 0)
     )
-    cap = bucket_cap if bucket_cap is not None else None
     ia = dup_members.select("rep_id", F.col("doc_id").alias("__x"), "__nt", "grp_n")
     ib = dup_members.select("rep_id", F.col("doc_id").alias("__y"))
     intra_all = (
-        (ia.filter(F.col("grp_n") <= cap) if cap is not None else ia)
+        (ia.filter(F.col("grp_n") <= bucket_cap) if bucket_cap is not None else ia)
         .join(ib, "rep_id")
         .filter(F.col("__x") < F.col("__y"))
         .select(
@@ -381,9 +448,9 @@ def minhash_lsh_pairs(
         )
     )
     intra = intra_all
-    if cap is not None:
+    if bucket_cap is not None:
         intra_star = (
-            ia.filter(F.col("grp_n") > cap)
+            ia.filter(F.col("grp_n") > bucket_cap)
             .filter(F.col("__x") != F.col("rep_id"))
             .select(
                 F.col("rep_id").alias("doc_a"),
@@ -601,15 +668,30 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_pairs(
     df: DataFrame,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     bands: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit hash into ``bands`` 16-bit
-    chunks; any pair within Hamming distance < bands must collide on ≥1 chunk
+    """SimHash near-dup pairs: band the 64-bit hash into ``bands`` chunks;
+    any pair within Hamming distance < ``bands`` must collide on ≥1 chunk
     (pigeonhole), so the chunk-groupBy finds all such pairs without a cross
-    join. Wider ``max_hamming`` trades recall for candidate volume."""
+    join.
+
+    ``max_hamming`` must stay BELOW ``bands`` — that is the completeness
+    guarantee's whole extent. A wider filter would silently miss pairs: two
+    hashes differing by one bit in EVERY chunk (hamming == bands) collide
+    on no chunk and never become candidates, yet would pass the filter —
+    the output would claim a completeness it doesn't have. Wider radii need
+    more bands (pinned by ``dedup_simhash_complete``'s pigeonhole oracle).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) >= bands ({bands}): the chunk "
+            "pigeonhole only guarantees candidates below the band count — "
+            "raise bands to widen the radius (listing would be silently "
+            "incomplete otherwise)"
+        )
     h = df.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("simhash"))
     width = 64 // bands
     chunks = h.select(
@@ -638,8 +720,12 @@ def simhash_pairs(
         a.join(b, ["chunk_id", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        # hamming is a pure function of the pair, so filtering BEFORE the
+        # pair-dedup exchange is semantically identical and keeps the
+        # majority of chunk collisions (random 16-bit matches on a diverse
+        # corpus) out of the shuffle entirely
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -673,6 +759,24 @@ def connected_components(
     labels = nodes.select(F.col(node_col).alias("n")).distinct().withColumn(
         "lbl", F.col("n")
     ).localCheckpoint(eager=True)
+    # An edge endpoint absent from nodes has no label row, so the inner
+    # join below silently drops every hop through it — components that the
+    # edges DO connect converge as separate clusters with no error. That is
+    # a caller bug (e.g. docs filtered after pairing); fail loudly like the
+    # non-convergence path does instead of mislabeling. Cost: one anti-join
+    # count over the (already persisted) edge list, once per call.
+    orphans = (
+        und.select(F.col("s").alias("n")).distinct()
+        .join(labels.select("n"), "n", "left_anti")
+        .count()
+    )
+    if orphans:
+        und.unpersist()
+        raise ValueError(
+            f"connected_components: {orphans} edge endpoint(s) missing from "
+            "nodes — labels would silently split components; pass every "
+            "endpoint in the nodes frame"
+        )
     converged = False
     try:
         for _ in range(max_iters):

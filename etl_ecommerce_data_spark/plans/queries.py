@@ -984,6 +984,7 @@ def q_nation_daily_revenue_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash, COUNT(*) AS dup_count
 FROM documents
+WHERE text IS NOT NULL  -- operator parity: NULL is absence, not content
 GROUP BY md5(text)
 """,
     tags=("extension", "dedup"),

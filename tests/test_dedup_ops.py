@@ -109,3 +109,58 @@ def test_connected_components_path_graph_converges(spark):
     got = connected_components(edges, nodes).collect()
     assert {r["cluster_id"] for r in got} == {0}
     assert len(got) == 12
+
+
+def test_exact_dedup_excludes_null_texts(spark):
+    """md5(NULL) is NULL and groupBy treats NULLs as equal — without the
+    filter, unrelated content-less docs collapse into one 'duplicate' group
+    and a keep-one consumer drops all but one of them."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real")], "doc_id long, text string"
+    )
+    rows = DD.exact_dedup(df).collect()
+    assert [(r["doc_id"], r["dup_count"]) for r in rows] == [(3, 1)]
+
+
+def test_minhash_cross_group_expansion_is_star_capped(spark):
+    """Two exact-dup groups larger than bucket_cap whose texts are near-dups
+    of each other must NOT emit the |A|x|B| bipartite product from their one
+    verified rep pair — the expansion degrades to a double star through the
+    representatives, and clustering connectivity survives."""
+    ta = " ".join(f"tok{i}" for i in range(40))
+    tb = " ".join(f"tok{i}" for i in range(38)) + " zza zzb"  # jaccard ~0.9
+    rows = [(i, ta) for i in range(10)] + [(100 + i, tb) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = DD.minhash_lsh_pairs(df, threshold=0.6, bucket_cap=4)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # intra stars: (|A|-1) + (|B|-1); cross double star: |A| + |B| - 1
+    assert len(got) == 9 + 9 + 19
+    # full bipartite would be 100 cross pairs; star keeps reps connected
+    nodes = df.select("doc_id")
+    cc = DD.connected_components(pairs, nodes)
+    n_clusters = cc.select("cluster_id").distinct().count()
+    assert n_clusters == 1  # all 20 docs reachable through the reps
+    # below the cap the full listing is unchanged
+    full = DD.minhash_lsh_pairs(df, threshold=0.6, bucket_cap=512)
+    assert full.count() == 45 + 45 + 100  # C(10,2)*2 intra + 10*10 cross
+
+
+def test_banding_and_simhash_parameter_guards(spark, docs):
+    """Silent mis-banding is worse than an error: num_perms must split
+    evenly into bands, and simhash's hamming filter must stay inside the
+    pigeonhole guarantee (pairs at hamming >= bands can collide on zero
+    chunks and vanish from a listing that claims them)."""
+    with pytest.raises(ValueError, match="multiple of bands"):
+        DD.minhash_lsh_pairs(docs, num_perms=64, bands=24).count()
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.simhash_pairs(docs, max_hamming=8, bands=4)
+
+
+def test_connected_components_rejects_missing_endpoints(spark):
+    """An edge endpoint absent from nodes silently splits components (its
+    label row never exists, so hops through it are dropped) — fail loudly
+    like the non-convergence path."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    with pytest.raises(ValueError, match="missing from"):
+        DD.connected_components(edges, nodes)
