@@ -158,12 +158,15 @@ def _srp_words_udf(num_bits: int, dim: int):
     match JVM long semantics).
 
     ``dim`` is only the EXPECTED width: the kernel derives the actual
-    dimension from each Arrow batch and builds the (deterministic,
+    dimension from each row group and builds the (deterministic,
     per-worker-cached) plane matrix for it, so a regenerated embeddings
     table with a different width keeps working instead of dying inside a
-    shape-mismatched matmul. Signatures are only comparable within one
-    width — fine for a self-join operator where every row goes through the
-    same kernel.
+    shape-mismatched matmul — INCLUDING widths mixed inside one Arrow
+    batch (rows group by width before the stack; the per-width matmuls
+    reassemble in row order). Signatures are only comparable within one
+    width; the caller folds the width into the bucket id, so mixed-width
+    tables degrade to independent per-width dedup rather than banding
+    incomparable signatures together.
     """
     import numpy as np
     import pandas as pd
@@ -171,25 +174,24 @@ def _srp_words_udf(num_bits: int, dim: int):
 
     n_words = (num_bits + 63) // 64
 
-    seen_width: list[int] = []  # per-worker: catches mixed-width tables
-
-    def srp_words(vecs):
-        x = np.stack(vecs.values).astype(np.float64)  # batch × dim
-        if seen_width and seen_width[0] != x.shape[1]:
-            raise ValueError(
-                f"embedding width drift within one run: saw {seen_width[0]} "
-                f"and {x.shape[1]} — signatures from different widths are "
-                "not comparable (mixed-width source files?)"
-            )
-        seen_width[:] = [x.shape[1]]
+    def pack(x: "np.ndarray") -> "np.ndarray":
         planes_t = _planes_matrix(num_bits, x.shape[1]).T  # dim × num_bits
         bits = (x @ planes_t) >= 0  # batch × num_bits
         if num_bits % 64:  # pad to whole words so the int64 view is valid
             pad = np.zeros((bits.shape[0], 64 * n_words - num_bits), dtype=bool)
             bits = np.concatenate([bits, pad], axis=1)
         packed = np.packbits(bits, axis=1, bitorder="little")
-        words = packed.view("<i8")  # batch × n_words signed longs
-        return pd.Series(list(words))
+        return packed.view("<i8")  # batch × n_words signed longs
+
+    def srp_words(vecs):
+        lens = vecs.map(len)
+        if lens.nunique() == 1:  # uniform batch: one stack, one matmul
+            return pd.Series(list(pack(np.stack(vecs.values).astype(np.float64))))
+        out = pd.Series([None] * len(vecs), index=vecs.index, dtype=object)
+        for _d, idx in lens.groupby(lens).groups.items():
+            sub = np.stack(vecs.loc[idx].values).astype(np.float64)
+            out.loc[idx] = pd.Series(list(pack(sub)), index=idx, dtype=object)
+        return out
 
     # explicit returnType form: `from __future__ import annotations` makes
     # pd.Series hints unresolvable strings for the type-hint inferrer
@@ -234,7 +236,40 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing ≥1 signature
     band with the query; exact cosine re-ranks candidates. Recall is tuned by
-    (num_bits, bands): more bands → more candidates → higher recall."""
+    (num_bits, bands): more bands → more candidates → higher recall.
+
+    ``dim`` must MATCH the actual embedding width: the JVM signature fold
+    zip_with-pads a mismatched vector with nulls, the projection goes null,
+    and ``when(null >= 0)`` maps every bit to 0 — every vector would share
+    one bucket per band and the "LSH" silently becomes an all-pairs join.
+    Checked eagerly against the first row of each side (two 1-row jobs).
+    Null / zero-norm vectors are dropped up front: their cosines are null
+    (filtered at scoring anyway) but all-zero vectors share the all-ones
+    signature and would pile into one degenerate bucket in every band —
+    quadratic skew for zero recall benefit.
+    """
+    if bands <= 0 or num_bits % bands != 0:
+        raise ValueError(
+            f"num_bits ({num_bits}) must be a positive multiple of bands "
+            f"({bands}) — a silent remainder changes the tuned recall curve"
+        )
+    if num_bits * dim > 65536:
+        raise ValueError(
+            f"num_bits*dim = {num_bits * dim} literal terms would blow the "
+            "codegen method limit and fall back to interpreted evaluation "
+            "(measured ~200 ns/element-op) — use the packed Arrow kernel "
+            "path (embedding_near_dup_pairs) for wide signatures"
+        )
+    for side, name in ((corpus, "corpus"), (queries, "queries")):
+        row = side.select(F.size(to_double_array(F.col(vec_col)))).first()
+        if row is not None and row[0] is not None and row[0] != dim:
+            raise ValueError(
+                f"lsh_topk dim={dim} but the {name} embeddings are "
+                f"{row[0]}-wide — the signature fold would null-pad and "
+                "collapse every vector into one bucket; pass the real dim"
+            )
+    corpus = corpus.filter(F.col(vec_col).isNotNull() & (norm(F.col(vec_col)) > 0))
+    queries = queries.filter(F.col(vec_col).isNotNull() & (norm(F.col(vec_col)) > 0))
     width = num_bits // bands
 
     def banded(df: DataFrame, idc: str, vecc: str, normc: str) -> DataFrame:
@@ -325,6 +360,23 @@ def _nearest_centroids(
     )
 
 
+def _require_unique_ids(df: DataFrame, id_col: str, ctx: str) -> None:
+    """IVF keys the index on the id column; duplicate ids collapse into one
+    window partition in ``_nearest_centroids`` and all but ``probe`` rows
+    silently vanish from the assignments (and from every top-k result,
+    while the exact path would score them). One aggregate, fit-time only —
+    never on the per-query path."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct(F.col(id_col)).alias("d")
+    ).first()
+    if agg["n"] != agg["d"]:
+        raise ValueError(
+            f"{ctx}: id column {id_col!r} has {agg['n'] - agg['d']} "
+            "duplicate row(s) — an id-keyed index would silently drop them; "
+            "deduplicate the corpus first"
+        )
+
+
 def ivf_fit_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -400,6 +452,7 @@ def ensure_ivf_index(
     regenerated source data refreshes the index instead of serving stale
     cells.
     """
+    import hashlib
     import os
     import shutil
     from urllib.parse import urlparse
@@ -407,10 +460,16 @@ def ensure_ivf_index(
     from etl_ecommerce_data_spark.sources.bucketing import source_fingerprint
 
     tag = source_fingerprint(f"{source_key}")
-    conf = f"{n_centroids}_{lloyd_iters}"
+    # the column choice is part of the model identity: an index fitted on
+    # one vector/id column must never be served for another (the cache key
+    # omitting them meant a vec_col="embedding_v2" call silently reused the
+    # centroids fitted on "embedding")
+    cols = hashlib.md5(f"{id_col}|{vec_col}".encode()).hexdigest()[:6]
+    conf = f"{n_centroids}_{lloyd_iters}_{cols}"
     cent_table = f"ivf_cent_{conf}_{tag}"
     asg_table = f"ivf_asg_{conf}_{tag}"
     if not (spark.catalog.tableExists(cent_table) and spark.catalog.tableExists(asg_table)):
+        _require_unique_ids(corpus, id_col, "ensure_ivf_index")
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
         if wh.scheme in ("", "file"):
             for t in (cent_table, asg_table):
@@ -489,7 +548,14 @@ def ivf_topk(
     corpus (partitioned by centroid_id → a probe reads only its cells); here
     it is inlined so the operator is self-contained.
     """
-    cents = ivf_fit_centroids(corpus, n_centroids, lloyd_iters, id_col, vec_col)
+    _require_unique_ids(corpus, id_col, "ivf_topk")
+    # the fit is consumed by BOTH _nearest_centroids calls below — without
+    # materialization the whole Lloyd lineage (crossJoin + window +
+    # posexplode mean per iteration) replays once per consumer; the frame
+    # is n_centroids rows, so the checkpoint is ~free
+    cents = ivf_fit_centroids(
+        corpus, n_centroids, lloyd_iters, id_col, vec_col
+    ).localCheckpoint(eager=False)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), to_double_array(F.col(vec_col)).alias("__cvec")
     )
@@ -698,10 +764,23 @@ def embedding_near_dup_pairs(
         ab = df.filter(
             F.col(vec_col).isNotNull() & (norm(F.col(vec_col)) > 0)
         ).select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
-        width = num_bits // bands
         if num_bits > 64:
             raise ValueError(
                 f"banding bits must fit one packed word, got num_bits={num_bits}"
+            )
+        if bands <= 0 or num_bits % bands != 0:
+            raise ValueError(
+                f"num_bits ({num_bits}) must be a positive multiple of "
+                f"bands ({bands}): a zero-width band puts every row in one "
+                "mega-bucket and a remainder silently drops trailing bits"
+            )
+        width = num_bits // bands
+        # the bucket id folds the vector width in as size * 2^width — keep
+        # that product inside a signed long for any realistic dimension
+        if width > 48:
+            raise ValueError(
+                f"band width {width} (= num_bits // bands) exceeds 48 bits; "
+                "use more bands — the width-folded bucket id would overflow"
             )
         if verify == "bucket":
             id_dt = df.schema[id_col].dataType.simpleString()
@@ -910,7 +989,15 @@ def gram_upper_quantized(
     :func:`gram_upper_arrow` (fixed-size per-partition partials). This twin
     exists to hash-pin that path's numerics, mirroring the exact-baseline /
     approximate-primary pattern used across the dedup family.
+
+    Null embeddings are excluded — from the cells AND from ``n_vectors``
+    (counting rows the Gram never summed would understate any downstream
+    ``gram_q / (scale · n_vectors)`` normalization). Precondition the
+    production twin does not share: a UNIFORM width (this baseline groups
+    cells by (i, j) alone; ``gram_upper_arrow`` keys its partials on the
+    per-batch width and handles mixed-width tables).
     """
+    emb = emb.filter(F.col(vec_col).isNotNull())
     v = F.col(vec_col)
     cells = F.flatten(
         F.transform(

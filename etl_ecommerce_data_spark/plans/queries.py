@@ -1859,10 +1859,11 @@ WITH c AS (
   FROM embeddings e,
        unnest(range(0, len(e.embedding))) AS i(i),
        unnest(range(0, len(e.embedding))) AS j(j)
-  WHERE j.j >= i.i
+  WHERE j.j >= i.i AND e.embedding IS NOT NULL
 )
 SELECT i, j, CAST(SUM(pq) AS BIGINT) AS gram_q,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        WHERE embedding IS NOT NULL) AS n_vectors
 FROM c
 GROUP BY i, j
 """,

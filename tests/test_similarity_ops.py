@@ -323,15 +323,15 @@ def test_gram_arrow_ignores_null_embeddings(spark):
 
 
 def test_gram_quantized_skips_null_vectors(spark):
-    # explode-of-null drops the row: a null embedding contributes no cells,
-    # mirroring the Arrow path's explicit filter.
+    # null embeddings are excluded from the cells AND from n_vectors: the
+    # Gram summed only the non-null rows, so counting nulls would
+    # understate any gram_q / (scale * n_vectors) normalization downstream
+    # (contract revised in round 11; the Arrow path filters identically).
     rows = [(0, [1.0, 0.0]), (1, None)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {(r["i"], r["j"]): (r["gram_q"], r["n_vectors"])
            for r in SIM.gram_upper_quantized(df).collect()}
-    # n_vectors counts ALL rows (incl. null) by contract; cells come from
-    # the one non-null vector only.
-    assert got == {(0, 0): (10**9, 2), (0, 1): (0, 2), (1, 1): (0, 2)}
+    assert got == {(0, 0): (10**9, 1), (0, 1): (0, 1), (1, 1): (0, 1)}
 
 
 def test_mixed_width_embeddings_band_disjointly(spark):
@@ -395,3 +395,63 @@ def test_gram_arrow_mixed_widths_key_separately_and_pca_rejects(spark):
             QUERIES["embedding_pca_variance"].builder(spark, tmp).collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_lsh_topk_parameter_and_dim_guards(spark, emb):
+    """A declared dim that mismatches the real embedding width null-pads the
+    signature fold and collapses every vector into one bucket per band — the
+    'LSH' silently becomes an all-pairs join. Fail loudly instead; same for
+    a band count that doesn't divide num_bits."""
+    q = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="-wide"):
+        SIM.lsh_topk(emb, q, dim=128)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        SIM.lsh_topk(emb, q, dim=64, num_bits=16, bands=5)
+
+
+def test_near_dup_band_width_guards(spark, emb):
+    """Zero-width bands put every row in one mega-bucket; a 64-bit band
+    width overflows the width-folded bucket id — both raise with curated
+    messages instead of degenerating or dying in py4j."""
+    with pytest.raises(ValueError, match="multiple of"):
+        SIM.embedding_near_dup_pairs(emb, exact=False, num_bits=16, bands=32)
+    with pytest.raises(ValueError, match="exceeds 48"):
+        SIM.embedding_near_dup_pairs(emb, exact=False, num_bits=64, bands=1)
+
+
+def test_srp_kernel_handles_mixed_widths_within_one_batch(spark):
+    """A partially regenerated table can interleave widths inside one Arrow
+    batch: the kernel groups rows by width before the stack (no raw numpy
+    shape crash) and the width-folded bucket ids keep the widths in
+    disjoint buckets — pairs only ever form within one width."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):  # width 8: three near-identical families
+        base = [rng.uniform(0.5, 1.0)] * 8
+        rows.append((i, [v + rng.uniform(-0.01, 0.01) for v in base]))
+    for i in range(30, 60):  # width 16, interleaved ids
+        base = [rng.uniform(0.5, 1.0)] * 16
+        rows.append((i, [v + rng.uniform(-0.01, 0.01) for v in base]))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    pairs = SIM.embedding_near_dup_pairs(
+        df, threshold=0.9, exact=False, num_bits=16, bands=4
+    ).collect()
+    assert pairs  # near-identical families must surface
+    for r in pairs:  # never across widths
+        assert (r["vec_a"] < 30) == (r["vec_b"] < 30)
+
+
+def test_ivf_rejects_duplicate_ids(spark):
+    """An id-keyed index silently drops duplicate-id rows (the probe window
+    partitions by id) — the exact path would score them, so the two paths
+    would disagree beyond approximation. Raise at fit time."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        SIM.ivf_topk(df, df.filter(F.col("vec_id") == 2), k=1, n_centroids=2)
+
