@@ -105,13 +105,17 @@ def detected_lang(text: Column) -> Column:
 def normalize_for_dedup(text: Column) -> Column:
     """Canonical text form for near-dup robustness: lowercase, digit runs
     masked to a placeholder (so '2023 report' ≡ '2024 report'), whitespace
-    runs squeezed, ends trimmed. Patterns are intersection-of-dialects regex
-    (no classes/backrefs), identical under Java regex and RE2 — the oracle
-    runs the same expressions in DuckDB."""
+    runs squeezed, ends trimmed. ALL whitespace — tab/CR/LF included, via
+    an explicit ASCII class (a bare ``' +'`` squeeze plus ``trim`` touch
+    only 0x20, so tab-vs-space near-duplicates — the exact dirty-whitespace
+    variants this function exists for — would canonicalize differently).
+    Patterns are intersection-of-dialects regex (explicit ASCII classes,
+    no shorthand/backrefs), identical under Java regex and RE2 — the
+    oracle runs the same expressions in DuckDB."""
     t = F.lower(text)
     t = F.regexp_replace(t, "[0-9]+", "<num>")
-    t = F.regexp_replace(t, " +", " ")
-    return F.trim(t)
+    t = F.regexp_replace(t, "[ \t\r\n]+", " ")
+    return F.regexp_replace(t, "^ | $", "")
 
 
 def hash_split(text: Column, train_pct_256: int = 204) -> Column:
@@ -122,6 +126,16 @@ def hash_split(text: Column, train_pct_256: int = 204) -> Column:
     re-partitioning, re-ingestion, and re-ordering — a row_number split does
     not — and duplicate texts always land on the same side (no train/test
     leakage through near-identical rows)."""
+    if not 0 <= train_pct_256 <= 256:
+        # 257+ would format to a 3-hex-char threshold compared against a
+        # 2-char substring — lexicographic garbage that silently misassigns
+        # ~39% of rows rather than meaning "more than everything"
+        raise ValueError(
+            f"train_pct_256={train_pct_256} out of range [0, 256] "
+            "(256 = always train, 0 = always test)"
+        )
+    if train_pct_256 == 256:  # 0x100 doesn't fit the 2-char compare
+        return F.lit("train")
     threshold = format(train_pct_256, "02x")
     return F.when(
         F.substring(F.md5(text), 1, 2) < F.lit(threshold), F.lit("train")
@@ -205,7 +219,15 @@ PII_ORDER = ("email", "ipv4", "phone")
 
 def pii_counts(text: Column) -> dict[str, Column]:
     """Per-category PII match counts on the ORIGINAL text (counted before any
-    replacement so categories are independent of redaction order)."""
+    replacement so categories are independent of redaction order).
+
+    Consequence worth knowing when reconciling counts against placeholders:
+    where patterns OVERLAP on the raw text ('555-1234@example.com' matches
+    both phone and email), every category counts its own match here, but
+    :func:`pii_redact`'s fixed-order chain lets the earlier pass consume
+    the span — so ``n_phones`` can exceed the ``<PHONE>`` placeholders in
+    the redacted output. The counts answer "what PII appears in this text",
+    not "how many placeholders did redaction emit"."""
     return {k: F.regexp_count(text, F.lit(PII_PATTERNS[k][0])) for k in PII_ORDER}
 
 

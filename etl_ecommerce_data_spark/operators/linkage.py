@@ -53,21 +53,41 @@ def blocked_levenshtein_pairs(
     Blocks larger than ``max_block_size`` are dropped entirely (skew guard);
     use :func:`block_stats` to see how many.
     """
+    if n_block_tokens <= 0:
+        raise ValueError(
+            f"n_block_tokens={n_block_tokens}: a non-positive prefix puts "
+            "every row in one global '' block — the all-pairs shape "
+            "blocking exists to prevent"
+        )
+    if max_block_size < 2:
+        raise ValueError(
+            f"max_block_size={max_block_size}: no block can pair with "
+            "fewer than 2 rows — the output would be silently empty"
+        )
     keyed = df.select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_text"),
         block_key(F.col(text_col), n_block_tokens).alias("_block"),
     )
-    # Group-and-pair: collect each block once (sorted by id so i<j implies
-    # id_l < id_r), generate the within-block pairs as a JVM higher-order
-    # expression, explode. ONE corpus scan + ONE shuffle on the block key —
-    # vs the naive sizes-join + self-join shape, which scans the corpus 4×
-    # and shuffles 5×. The size cap is also what bounds a collected block's
-    # memory (max_block_size rows of (id, text) per group).
-    blocks = (
+    # Skew guard BEFORE the collect: the size cap must bound the collected
+    # array's memory, so oversized blocks are dropped by a count pre-pass
+    # (map-side partial agg, narrow shuffle) + semi-join — a cap applied
+    # after collect_list would first materialize the mega-block as one
+    # in-memory array in a single aggregation buffer, exactly the OOM the
+    # cap exists to prevent. Costs one extra text-column scan; the join
+    # output is already partitioned on _block, so the collect groupBy
+    # reuses that partitioning (no additional shuffle).
+    ok_blocks = (
         keyed.groupBy("_block")
-        .agg(F.sort_array(F.collect_list(F.struct("_id", "_text"))).alias("_arr"))
-        .filter(F.size("_arr").between(2, max_block_size))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n").between(2, max_block_size))
+        .select("_block")
+    )
+    # Group-and-pair: collect each (under-cap) block once (sorted so pair
+    # indices i<j give a deterministic orientation), generate the
+    # within-block pairs as a JVM higher-order expression, explode.
+    blocks = keyed.join(ok_blocks, "_block").groupBy("_block").agg(
+        F.sort_array(F.collect_list(F.struct("_id", "_text"))).alias("_arr")
     )
     pairs_expr = (
         "flatten(transform(_arr, (x, i) -> "
@@ -86,6 +106,11 @@ def blocked_levenshtein_pairs(
     return (
         blocks.select(F.explode(F.expr(pairs_expr)).alias("p"))
         .select("p.*")
+        # sorted-struct index order gives i<j, which only implies
+        # id_l < id_r for DISTINCT ids — duplicate ids within a block
+        # would otherwise emit id_l == id_r self-pairs that violate the
+        # documented contract
+        .filter(F.col("id_l") < F.col("id_r"))
         .withColumn(
             "distance",
             F.levenshtein("text_l", "text_r", max_distance).cast("long"),

@@ -1634,15 +1634,18 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_normalize_dedup",
-    "Canonicalization before dedup: lowercase, digit-run masking, whitespace "
-    "squeeze — plus the exact-dedup key (md5 of the canonical form) and a "
-    "changed flag. Dialect-portable regex only, so Spark (Java regex) and "
-    "DuckDB (RE2) agree byte-for-byte.",
+    "Canonicalization before dedup: lowercase, digit-run masking, "
+    "all-whitespace squeeze (tab/CR/LF included), end-trim — plus the "
+    "exact-dedup key (md5 of the canonical form) and a changed flag. "
+    "Dialect-portable regex only, so Spark (Java regex) and DuckDB (RE2) "
+    "agree byte-for-byte.",
     oracle="""
 WITH n AS (
   SELECT doc_id, text,
-         trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
-                             ' +', ' ', 'g')) AS norm_text
+         regexp_replace(
+           regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+                          '[ \t\r\n]+', ' ', 'g'),
+           '^ | $', '', 'g') AS norm_text
   FROM documents
 )
 SELECT doc_id, norm_text, md5(norm_text) AS norm_hash,

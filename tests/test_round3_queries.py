@@ -318,3 +318,55 @@ def test_profile_orders_laws(spark):
     assert pdf.loc["o_orderkey"].n_distinct == n  # primary key
     assert pdf.loc["o_orderkey"].n_nulls == 0
     assert (pdf.n_distinct >= 1).all()
+
+
+def test_linkage_guards_and_duplicate_id_orientation(spark):
+    """Degenerate blocking params raise (a non-positive prefix is the global
+    all-pairs block; a cap below 2 silently empties the output), and
+    duplicate ids within a block never emit id_l == id_r self-pairs — the
+    sorted-struct pair indices only imply id order for distinct ids."""
+    import pytest
+
+    from etl_ecommerce_data_spark.operators.linkage import blocked_levenshtein_pairs
+
+    df = spark.createDataFrame(
+        [(1, "x y aaaa"), (1, "x y aaab"), (2, "x y aaac")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="non-positive"):
+        blocked_levenshtein_pairs(df, "doc_id", "text", n_block_tokens=0)
+    with pytest.raises(ValueError, match="fewer than 2"):
+        blocked_levenshtein_pairs(df, "doc_id", "text", max_block_size=1)
+    pairs = blocked_levenshtein_pairs(
+        df, "doc_id", "text", n_block_tokens=2, max_distance=5
+    ).collect()
+    assert pairs  # (1, 2) pairs survive
+    assert all(r["id_l"] < r["id_r"] for r in pairs)
+
+
+def test_hash_split_range_guard_and_all_train(spark):
+    """train_pct_256 beyond 256 built a 3-hex threshold compared against 2
+    hex chars — silent misassignment; 256 now means literally always-train."""
+    import pytest
+
+    from etl_ecommerce_data_spark.functions.text import hash_split
+
+    df = spark.createDataFrame([(f"doc {i}",) for i in range(64)], "text string")
+    with pytest.raises(ValueError, match="out of range"):
+        hash_split(F.col("text"), train_pct_256=257)
+    got = df.select(hash_split(F.col("text"), train_pct_256=256).alias("s"))
+    assert {r["s"] for r in got.collect()} == {"train"}
+
+
+def test_normalize_for_dedup_handles_tabs_and_newlines(spark):
+    """Tab-vs-space and trailing-newline variants must canonicalize to the
+    SAME string — the dirty-whitespace near-duplicates the function exists
+    for (the old ' +' squeeze + trim only touched 0x20)."""
+    from etl_ecommerce_data_spark.functions.text import normalize_for_dedup
+
+    df = spark.createDataFrame(
+        [("report\t2023",), ("report 2024\n",), ("  report\r\n42 ",)],
+        "text string",
+    )
+    got = {r["n"] for r in df.select(normalize_for_dedup(F.col("text")).alias("n")).collect()}
+    assert got == {"report <num>"}
