@@ -51,7 +51,20 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def attach_media_columns(df: DataFrame, id_col: str, payload_col: str, media_type: str, source_col: str) -> DataFrame:
-    """Wrap an existing binary column into the engine's media contract."""
+    """Wrap an existing binary column into the engine's media contract.
+
+    ``id_col`` must already be integral: MEDIA_SCHEMA declares media_id
+    non-nullable, and a silent ``cast('long')`` on e.g. a hex string key
+    would null every id with no error — downstream joins on media_id would
+    drop all media. Callers with string keys derive a numeric surrogate
+    explicitly (``xxhash64(id)``) so the lossy step is visible."""
+    dt = df.schema[id_col].dataType.simpleString()
+    if dt not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"attach_media_columns: id column {id_col!r} is {dt}, not "
+            "integral — cast('long') would silently null non-numeric ids; "
+            "derive a numeric surrogate (e.g. xxhash64) explicitly"
+        )
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.col(payload_col).alias("payload"),
@@ -144,7 +157,16 @@ def resize_grayscale(
         for pdf in batches:
             out = []
             for p, w, h in zip(pdf["payload"], pdf[width_col], pdf[height_col]):
-                if p is None or w is None or h is None or len(p) != int(w) * int(h):
+                # pd.isna, not `is None`: Arrow hands a NULLABLE int column
+                # to pandas as float64, so a null width arrives as NaN —
+                # `w is None` never fires and int(NaN) would kill the task,
+                # exactly the failure the null-payload contract forbids
+                if (
+                    p is None
+                    or pd.isna(w)
+                    or pd.isna(h)
+                    or len(p) != int(w) * int(h)
+                ):
                     out.append(None)
                     continue
                 arr = np.frombuffer(p, dtype=np.uint8).reshape(int(h), int(w))

@@ -89,15 +89,15 @@ def bronze_ingest(
             # printed-and-continued (to_bronze.py:52-53) — we skip explicitly.
             continue
         if quarantine:
-            split = read_csv_with_quarantine(spark, path, OLIST_SCHEMAS[table])
-            write_parquet_table(
-                split.bad, os.path.join(lake_dir, "bronze", "_quarantine", table)
-            )
-            write_parquet_table(split.good, os.path.join(lake_dir, "bronze", table))
-            # both outputs are written: release the split's backing cache so
-            # a multi-table ingest loop doesn't pin every raw CSV in executor
-            # storage for the session lifetime
-            split.release()
+            # context-manager form: the split's backing cache is released
+            # even when a write throws — a bare release() after the writes
+            # would leak the cached CSV parse for the session on the error
+            # path of a multi-table ingest loop
+            with read_csv_with_quarantine(spark, path, OLIST_SCHEMAS[table]) as split:
+                write_parquet_table(
+                    split.bad, os.path.join(lake_dir, "bronze", "_quarantine", table)
+                )
+                write_parquet_table(split.good, os.path.join(lake_dir, "bronze", table))
         else:
             df = read_csv_table(spark, path, OLIST_SCHEMAS[table])
             write_parquet_table(df, os.path.join(lake_dir, "bronze", table))
@@ -336,9 +336,12 @@ def gold_build(spark: SparkSession, lake_dir: str) -> list[str]:
             # Validation metrics ride the write job (Observation API): the
             # gold zone is checked without re-reading it — validate_gold
             # remains available for re-validating an existing lake.
+            # read_back: the unique-key follow-up scans the just-written
+            # mart instead of re-executing the whole gold build plan
             validate_on_write(
                 df, exp, lambda d, p=path: write_parquet_table(d, p),
                 table=f"gold.{name}",
+                read_back=lambda p=path: spark.read.parquet(p),
             )
         else:
             write_parquet_table(df, path)

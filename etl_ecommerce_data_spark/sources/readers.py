@@ -106,6 +106,16 @@ def read_csv_with_quarantine(
     with both sides written out — the cache is batch-sized, not
     corpus-sized, because ingest is incremental.
     """
+    reserved = {"mode", "columnNameOfCorruptRecord"} & set(options)
+    if reserved:
+        # these two ARE the quarantine mechanism — forwarding an override
+        # would either crash with an opaque duplicate-kwarg TypeError or
+        # silently break the good/bad split contract
+        raise ValueError(
+            f"read_csv_with_quarantine sets {sorted(reserved)} itself "
+            "(PERMISSIVE + _corrupt_record are the quarantine mechanism); "
+            "use read_csv_table for custom malformed-row policies"
+        )
     aug = T.StructType(
         list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
     )
@@ -198,11 +208,21 @@ def read_text_table(
 
 def avro_available(spark: SparkSession) -> bool:
     """The Avro connector (spark-avro) is an external module since Spark 2.4
-    and is not bundled in every distribution (absent in this sandbox)."""
+    and is not bundled in every distribution (absent in this sandbox).
+
+    The probe FAILS CLOSED: availability is asserted only on the positive
+    signal that the data source resolved and then hit the deliberately
+    missing probe path (PATH_NOT_FOUND). Classifying the other way round
+    ("message doesn't say 'Failed to find data source' → available") made
+    any wording drift — Spark error-class rework, locale, a broken
+    classpath's ClassNotFoundException — report a missing module as
+    present, sending callers past the NotImplementedError gate into raw
+    lookup failures."""
     try:
         spark.read.format("avro").load("/nonexistent-avro-probe")
-    except Exception as e:  # noqa: BLE001 - classify by message
-        return "Failed to find data source" not in str(e)
+    except Exception as e:  # noqa: BLE001 - classify by signal
+        msg = str(e)
+        return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
     return True  # pragma: no cover
 
 

@@ -48,17 +48,36 @@ def _schema_violation(df: DataFrame, exp: Expectations, table: str) -> list[str]
 
 def _metric_aggs(exp: Expectations) -> list:
     """The expectation metrics as plain aggregate expressions (shared by the
-    standalone agg job and the write-observed variant). ``unique_key`` is NOT
-    here: count_distinct is not a legal Observation metric, so it stays a
-    dedicated aggregation where requested."""
+    standalone agg job and the write-observed variant). Every ``sum`` is
+    coalesced to 0: Spark's sum over ZERO rows (or an all-NULL input) is
+    NULL, and an un-coalesced metric would crash the comparison with a
+    TypeError instead of reporting the actual violation (e.g. an empty
+    table failing min_rows). ``unique_key``'s count_distinct is NOT here
+    (not a legal Observation metric — it stays a dedicated aggregation
+    where requested), but its null-key counter IS: a plain sum, so it
+    rides the write observation for free.
+
+    ``positive`` counts strictly ``<= 0`` values and IGNORES NULLs (the
+    comparison is NULL for them): "positive" means "positive when
+    present" — list the column in ``not_null`` too to forbid absence."""
+
+    def _sum(col):
+        return F.coalesce(F.sum(col.cast("long")), F.lit(0))
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in exp.not_null:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        aggs.append(_sum(F.col(c).isNull()).alias(f"__null_{c}"))
     for c in exp.max_null_rate or {}:
         if c not in exp.not_null:
-            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+            aggs.append(_sum(F.col(c).isNull()).alias(f"__null_{c}"))
     for c in exp.positive:
-        aggs.append(F.sum((F.col(c) <= 0).cast("long")).alias(f"__nonpos_{c}"))
+        aggs.append(_sum(F.col(c) <= 0).alias(f"__nonpos_{c}"))
+    if exp.unique_key:
+        any_null = None
+        for k in exp.unique_key:
+            cond = F.col(k).isNull()
+            any_null = cond if any_null is None else (any_null | cond)
+        aggs.append(_sum(any_null).alias("__nullkey"))
     return aggs
 
 
@@ -80,6 +99,30 @@ def _metric_violations(row: dict, exp: Expectations, table: str) -> list[str]:
     return violations
 
 
+def _unique_key_violations(
+    row: dict, distinct: int, exp: Expectations, table: str
+) -> list[str]:
+    """Diagnose the unique-key check in actionable terms: count_distinct
+    EXCLUDES tuples with a NULL component, so comparing it against the raw
+    row count would report null-keyed rows as 'duplicates' and send the
+    operator chasing the wrong defect. NULL keys and genuine duplicates
+    are reported as separate violations."""
+    violations: list[str] = []
+    nullkey = row["__nullkey"]
+    if nullkey > 0:
+        violations.append(
+            f"{table}: key {exp.unique_key} has {nullkey} row(s) with NULL "
+            "key component(s)"
+        )
+    non_null = row["__n"] - nullkey
+    if distinct != non_null:
+        violations.append(
+            f"{table}: key {exp.unique_key} not unique: {distinct} distinct "
+            f"of {non_null} non-null-keyed rows"
+        )
+    return violations
+
+
 def validate(df: DataFrame, exp: Expectations, table: str = "<table>") -> None:
     """Evaluate all expectations in a single aggregation job; raise on any
     violation. Schema check is plan-only (no job)."""
@@ -91,17 +134,18 @@ def validate(df: DataFrame, exp: Expectations, table: str = "<table>") -> None:
 
     row = df.agg(*aggs).collect()[0].asDict()
     violations += _metric_violations(row, exp, table)
-    if exp.unique_key and row["__distinct_key"] != row["__n"]:
-        violations.append(
-            f"{table}: key {exp.unique_key} not unique: "
-            f"{row['__distinct_key']} distinct of {row['__n']} rows"
+    if exp.unique_key:
+        violations += _unique_key_violations(
+            row, row["__distinct_key"], exp, table
         )
 
     if violations:
         raise ValidationError(violations)
 
 
-def validate_on_write(df, exp: Expectations, write_fn, table: str = "<table>") -> None:
+def validate_on_write(
+    df, exp: Expectations, write_fn, table: str = "<table>", read_back=None
+) -> None:
     """Validate WHILE writing: the expectation metrics ride the write job as
     Observation metrics, so at 100 TB validation costs zero extra scans —
     ``validate`` after a write re-reads the table (one extra full pass per
@@ -109,6 +153,15 @@ def validate_on_write(df, exp: Expectations, write_fn, table: str = "<table>") -
     action (the write). ``unique_key`` is the one check the Observation API
     cannot express (count_distinct is not a valid observed metric); it runs
     as one follow-up aggregation job only when declared.
+
+    ``read_back`` (zero-arg callable returning a DataFrame over the
+    JUST-WRITTEN output) is where that follow-up should run: without it the
+    distinct count re-executes ``df``'s ENTIRE upstream plan — a second
+    full gold build at scale, and a plan whose non-determinism (dedup
+    ties, source files changing between the two jobs) can disagree with
+    the write the observation measured, yielding a spurious — or masked —
+    uniqueness failure. Callers that know the output path should always
+    pass it; the ``df`` fallback remains for opaque sinks.
 
     Raises ``ValidationError`` AFTER the write completes — callers treating
     a zone as atomic should write to a staging path and promote on success
@@ -122,14 +175,11 @@ def validate_on_write(df, exp: Expectations, write_fn, table: str = "<table>") -
     row = obs.get
     violations += _metric_violations(row, exp, table)
     if exp.unique_key:
-        d = df.agg(
+        side = read_back() if read_back is not None else df
+        d = side.agg(
             F.count_distinct(*[F.col(k) for k in exp.unique_key]).alias("d")
         ).collect()[0]["d"]
-        if d != row["__n"]:
-            violations.append(
-                f"{table}: key {exp.unique_key} not unique: "
-                f"{d} distinct of {row['__n']} rows"
-            )
+        violations += _unique_key_violations(row, d, exp, table)
 
     if violations:
         raise ValidationError(violations)

@@ -635,3 +635,42 @@ def test_compact_table_preserves_hive_partition_layout(spark, tmp_path):
     assert dirs == {"d=2024-01-01", "d=2024-01-02"}
     got = {(str(r["d"]), r["k"]) for r in spark.read.parquet(out).collect()}
     assert got == {("2024-01-0%d" % (i % 2 + 1), i) for i in range(20)}
+
+
+def test_validate_empty_table_reports_violation_not_typeerror(spark):
+    """Spark's sum over zero rows is NULL; un-coalesced metrics crashed the
+    comparison with a TypeError instead of reporting the actual violation."""
+    empty = spark.createDataFrame([], "a long, b long")
+    exp = Expectations(min_rows=1, not_null=("a",), positive=("b",), unique_key=("a",))
+    with pytest.raises(ValidationError) as ei:
+        validate(empty, exp, table="t")
+    assert "min_rows" in str(ei.value)
+
+
+def test_validate_unique_key_diagnoses_null_keys_separately(spark):
+    """count_distinct excludes NULL key tuples — comparing it against the
+    raw row count reported null-keyed rows as 'duplicates', sending the
+    operator chasing the wrong defect."""
+    df = spark.createDataFrame([(1,), (None,), (None,)], "k long")
+    with pytest.raises(ValidationError) as ei:
+        validate(df, Expectations(unique_key=("k",)), table="t")
+    msg = str(ei.value)
+    assert "NULL key" in msg and "not unique" not in msg
+    dup = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    with pytest.raises(ValidationError, match="not unique"):
+        validate(dup, Expectations(unique_key=("k",)), table="t")
+
+
+def test_quarantine_reader_rejects_reserved_options(spark, tmp_path):
+    """mode/columnNameOfCorruptRecord ARE the quarantine mechanism —
+    forwarding an override crashed with an opaque duplicate-kwarg
+    TypeError before."""
+    import pyspark.sql.types as T
+
+    from etl_ecommerce_data_spark.sources.readers import read_csv_with_quarantine
+
+    p = tmp_path / "x.csv"
+    p.write_text("a\n1\n")
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    with pytest.raises(ValueError, match="quarantine mechanism"):
+        read_csv_with_quarantine(spark, str(p), schema, mode="FAILFAST")

@@ -850,3 +850,52 @@ def test_upsert_manifest_loader_skips_torn_latest(tmp_path):
     bid, nb, loaded = _load_latest_upsert_manifest(root)
     assert (bid, nb) == (0, 8)
     assert loaded == ptr
+
+
+def test_resize_grayscale_null_dimensions_yield_null_payload(spark):
+    """Arrow hands a nullable int column to pandas as float64 NaN — the old
+    `is None` check never fired and int(NaN) killed the task, the exact
+    failure the corrupt-input contract forbids."""
+    from etl_ecommerce_data_spark.multimodal import resize_grayscale
+
+    rows = [(1, bytes(range(16)), 4, 4), (2, bytes(range(16)), None, 4)]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, width int, height int"
+    )
+    out = {r["media_id"]: r["payload"] for r in
+           resize_grayscale(media, "width", "height", 2, 2).collect()}
+    assert out[1] is not None and out[2] is None
+
+
+def test_attach_media_columns_rejects_non_integral_ids(spark):
+    """cast('long') on a string key silently nulls every media_id (declared
+    non-nullable) — the misuse must raise at plan time."""
+    from etl_ecommerce_data_spark.multimodal import attach_media_columns
+
+    df = spark.createDataFrame(
+        [("a1b2", b"xx", "s")], "k string, payload binary, source string"
+    )
+    with pytest.raises(ValueError, match="not\\s+integral"):
+        attach_media_columns(df, "k", "payload", "image/raw", "source")
+
+
+def test_fake_decoder_module_kernel_matches_shipped_copy(spark):
+    """extract_features ships its default kernel NESTED (cloudpickle
+    by-value, workers need no importable package); _fake_decode_features is
+    the module-level reference implementation — this pin keeps the two
+    hand-synced copies from drifting."""
+    from etl_ecommerce_data_spark.multimodal import (
+        _fake_decode_features,
+        attach_media_columns,
+        extract_features,
+    )
+
+    payloads = [b"hello world", bytes(range(200)), b""]
+    df = spark.createDataFrame(
+        [(i, p, "s") for i, p in enumerate(payloads)],
+        "k long, payload binary, source string",
+    )
+    media = attach_media_columns(df, "k", "payload", "application/octet-stream", "source")
+    got = {r["media_id"]: r["feature"] for r in extract_features(media, dim=8).collect()}
+    for i, p in enumerate(payloads):
+        assert got[i] == _fake_decode_features(p, dim=8)
