@@ -43,9 +43,3 @@ def cosine_from_parts(d: Column, na: Column, nb: Column) -> Column:
     PAIR (a 3×-fold → 1×-fold reduction on pair-heavy paths)."""
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(None))
 
-
-def norm_bucket(a: Column, width: float = 0.25) -> Column:
-    """Coarse L2-norm bucket — a cheap blocking key for ANN-style pruning:
-    vectors whose norms differ wildly can't be near in cosine after
-    normalization-sensitive filters; used by the IVF-ish similarity path."""
-    return F.floor(norm(a) / width).cast("int")

@@ -52,17 +52,37 @@ def dedup_by_key(
 
     The reference's ``dropDuplicates(["customer_id"])`` (to_silver.py:60) keeps
     whichever row a partition happens to deliver first. Here: if ``order_by``
-    is given, survivors are chosen by ``row_number()`` over (keys, order_by) —
-    reproducible on any cluster at any parallelism. With no ``order_by`` we
-    fall back to Spark's native ``dropDuplicates`` (cheaper: no sort).
+    is given, survivors are chosen by ``row_number()`` over (keys, order_by,
+    full-row tiebreak) — reproducible on any cluster at any parallelism,
+    INCLUDING rows that tie on every order_by column (without the final
+    full-row total order, such ties reintroduced the partition-order
+    survivor this function exists to remove; same tiebreak device as
+    ``sources/incremental.merge_dataframes``). With no ``order_by`` we fall
+    back to Spark's native ``dropDuplicates`` (cheaper: no sort) — only
+    valid for ``keep='first'``, since without an ordering "last" is
+    meaningless and would silently degrade to an arbitrary survivor.
     """
+    if keep not in ("first", "last"):
+        raise ValueError("keep must be 'first' or 'last'")
     if not order_by:
+        if keep == "last":
+            raise ValueError(
+                "keep='last' requires order_by: with no ordering the "
+                "dropDuplicates fallback keeps an arbitrary row, not a last"
+            )
         return df.dropDuplicates(list(keys))
+    if "__rn" in df.columns:
+        raise ValueError(
+            "dedup_by_key reserves column name '__rn'; rename it in the "
+            "input (it would be silently overwritten and dropped)"
+        )
     cols = [F.col(c) for c in order_by]
+    tiebreak = F.to_json(F.struct(*df.columns))
     if keep == "last":
         cols = [c.desc() for c in cols]
-    elif keep != "first":
-        raise ValueError("keep must be 'first' or 'last'")
+        cols.append(tiebreak.desc())
+    else:
+        cols.append(tiebreak.asc())
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*cols)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -74,9 +94,7 @@ def dedup_by_key(
 def fill_nulls(df: DataFrame, fills: dict[str, object]) -> DataFrame:
     """Per-column null fill (to_silver.py:54,85,102). Same typing rule as
     ``df.na.fill``: a value is applied only to columns of a compatible type."""
-    for col, value in fills.items():
-        df = df.na.fill({col: value})
-    return df
+    return df.na.fill(dict(fills)) if fills else df
 
 
 def drop_null_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:

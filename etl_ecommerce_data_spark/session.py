@@ -29,8 +29,9 @@ def get_spark(
 
     On a real cluster ``master`` comes from spark-submit; locally we default to
     ``local[N]`` where N is ``SPARK_GRAFT_CPUS`` or all cores. Shuffle
-    partitions default to ~2×cores locally; on a cluster set it near
-    total-executor-cores (AQE coalesces down from there).
+    partitions default to max(cores, 8) locally — one wave, bench-tuned;
+    on a cluster set it near total-executor-cores (AQE coalesces down
+    from there).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:

@@ -77,6 +77,13 @@ def source_fingerprint(source_key: str) -> str:
                 h.update(
                     f"{os.path.relpath(p, source_key)}|{st.st_size}|{st.st_mtime_ns}".encode()
                 )
+    elif os.path.isfile(source_key):
+        # a single-FILE source (e.g. a one-file parquet written by an
+        # external generator) must fold its bytes metadata too — a
+        # plain-string hash would serve stale derived tables after an
+        # in-place regeneration, the exact staleness this key prevents
+        st = os.stat(source_key)
+        h.update(f"{st.st_size}|{st.st_mtime_ns}".encode())
     return h.hexdigest()[:8]
 
 
@@ -99,15 +106,29 @@ def ensure_bucketed_copy(
     at 100 TB the bucketed copy is the stored table, written by ingestion.
     """
     tag = source_fingerprint(source_key)
-    table = f"bkt_{name}_{bucket_col}_{num_buckets}_{tag}"
+    # sort_col is part of the copy's physical identity: omitting it from
+    # the name let a later call with a different in-bucket sort silently
+    # reuse a copy sorted on the wrong column (same cache-identity class
+    # as the IVF index's column-keyed table names)
+    srt = f"_s{sort_col}" if sort_col else ""
+    prefix = f"bkt_{name}_{bucket_col}_{num_buckets}{srt}_"
+    table = f"{prefix}{tag}"
     if not spark.catalog.tableExists(table):
-        # With the default in-memory catalog a previous session's table FILES
-        # can outlive its catalog entry; saveAsTable then refuses the managed
-        # location. Clear the orphaned location so the copy is idempotent
-        # across sessions (local-path warehouses only — on a cluster the
-        # bucketed table lives in a persistent metastore instead).
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
         if wh.scheme in ("", "file"):
+            # With the default in-memory catalog a previous session's table
+            # FILES can outlive its catalog entry; saveAsTable then refuses
+            # the managed location. Clear the orphaned location so the copy
+            # is idempotent across sessions — and prune SUPERSEDED-tag
+            # copies of the same logical table while here (every source
+            # regeneration mints a new tag; without the prune the local
+            # warehouse grows one full table copy per regeneration).
+            # Local-path warehouses only — a cluster uses a persistent
+            # metastore + table versioning instead.
             shutil.rmtree(os.path.join(wh.path, table.lower()), ignore_errors=True)
+            if os.path.isdir(wh.path):
+                for d in os.listdir(wh.path):
+                    if d.startswith(prefix.lower()) and d != table.lower():
+                        shutil.rmtree(os.path.join(wh.path, d), ignore_errors=True)
         write_bucketed_table(df, table, bucket_col, num_buckets, sort_col=sort_col)
     return spark.table(table)

@@ -176,8 +176,13 @@ def events_ts_kind(spark: SparkSession, events_path: str) -> "str | T.DataType":
             key = (events_path, st.st_mtime, st.st_size)
     except OSError:
         key = None
+    # the conf assertion runs UNCONDITIONALLY: the kind cache is
+    # process-global but the nanosAsLong conf is per-session, so a cache
+    # hit from a DIFFERENT session (spark.newSession(), the driver's bare
+    # session) must still set this session's conf or its read of a nanos
+    # file throws PARQUET_TYPE_ILLEGAL at scan time
+    ensure_nanos_as_long(spark)
     if key is None or key not in _EVENTS_TS_KIND:
-        ensure_nanos_as_long(spark)
         dt = spark.read.parquet(events_path).schema["ts"].dataType
         kind = "nanos" if isinstance(dt, T.LongType) else dt
         if key is None:

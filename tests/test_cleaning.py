@@ -108,3 +108,32 @@ def test_translate_with_fallback(spark):
     got = {r["product_id"]: r["product_category_name_english"] for r in out.collect()}
     # translated / untranslated-fallback / null→fill
     assert got == {"p1": "furniture", "p2": "esporte", "p3": "unknown"}
+
+
+def test_dedup_by_key_guards_and_tie_determinism(spark):
+    """keep='last' with no ordering is meaningless (the dropDuplicates
+    fallback keeps an arbitrary row) and invalid keep values must raise
+    even on that path; rows tying on every order_by column get a
+    deterministic full-row-tiebreak survivor, not a partition-order one."""
+    import pytest
+
+    from etl_ecommerce_data_spark.operators.cleaning import dedup_by_key
+
+    df = spark.createDataFrame(
+        [(1, "2024", "x"), (1, "2024", "y"), (2, "2023", "z")],
+        "k long, ver string, payload string",
+    )
+    with pytest.raises(ValueError, match="requires order_by"):
+        dedup_by_key(df, ["k"], keep="last")
+    with pytest.raises(ValueError, match="first.*last"):
+        dedup_by_key(df, ["k"], keep="banana")
+    with pytest.raises(ValueError, match="reserves"):
+        dedup_by_key(df.withColumnRenamed("payload", "__rn"), ["k"], order_by=["ver"])
+    picks = {
+        tuple(sorted((r["k"], r["payload"]) for r in
+                     dedup_by_key(df.repartition(8), ["k"], order_by=["ver"]).collect()))
+        for _ in range(3)
+    }
+    assert len(picks) == 1  # tie survivor stable across runs
+    ((ka, pa), (kb, pb)) = next(iter(picks))
+    assert {ka, kb} == {1, 2} and pa in ("x", "y")
