@@ -7,6 +7,7 @@ import datetime
 import decimal
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 SYNTHETIC_TABLES = [
@@ -27,8 +28,6 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _cell(v) -> str:
-    import numpy as np
-
     if v is None or (isinstance(v, float) and v != v):
         return "NULL"
     if isinstance(v, (float, np.floating)):
@@ -53,5 +52,12 @@ def assert_frames_match(spark_df, oracle_df, name: str = "query") -> None:
     s, o = normalize(spark_df), normalize(oracle_df)
     assert len(s) == len(o), f"{name}: rowcount spark={len(s)} oracle={len(o)}"
     if s != o:
-        diffs = [(i, a, b) for i, (a, b) in enumerate(zip(s, o)) if a != b][:3]
-        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+        # set-difference, not positional zip: two independently-sorted lists
+        # misalign from the first divergent row onward, so a zip shows up
+        # to three unrelated pairs instead of the one actual regression
+        only_s = [r for r in s if r not in set(o)][:3]
+        only_o = [r for r in o if r not in set(s)][:3]
+        raise AssertionError(
+            f"{name}: value mismatch; spark-only rows: {only_s}; "
+            f"oracle-only rows: {only_o}"
+        )

@@ -1,9 +1,11 @@
 """Local mimic of the driver's correctness gate.
 
 Runs every registry query on Spark and its DuckDB oracle at the given sf dir,
-compares row counts and order-insensitive value hashes (columns sorted by
-name, rows sorted by all columns, values stringified). Exit code 1 on any
-mismatch.
+compares row counts and order-insensitive canonical forms (columns sorted by
+name, rows sorted by all columns, values stringified — the SHARED
+canonicalization in etl_ecommerce_data_spark/testing.py, so this gate and
+the pytest oracle-parity harness can never disagree about equality). Exit
+code 1 on any mismatch.
 
 Usage: python tools/verify_local.py [--bare] [--first N] [sf_dir] [query ...]
 
@@ -12,51 +14,39 @@ Usage: python tools/verify_local.py [--bare] [--first N] [sf_dir] [query ...]
            passes under the engine session would slip through without this
 --first N  restrict to the first N REGISTERED queries (the driver records
            rows for the first ~50) — `--bare --first 50` at sf0.01 is a
-           full end-to-end rehearsal of CORRECTNESS_r{N}
+           full end-to-end rehearsal of CORRECTNESS_r{N}. Mutually
+           exclusive with explicit query names (silently dropping the
+           names would misreport what was verified).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-import duckdb
-
-sys.path.insert(0, "/root/repo")
+# derive the repo root from this file (a hardcoded absolute path would
+# import a stale copy of the package when the repo is cloned elsewhere —
+# verifying the wrong code while appearing green)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from etl_ecommerce_data_spark.plans.queries import QUERIES  # noqa: E402
 from etl_ecommerce_data_spark.session import get_spark  # noqa: E402
+from etl_ecommerce_data_spark.testing import (  # noqa: E402
+    duckdb_connection,
+    normalize,
+)
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
-
-def normalize(df) -> str:
-    import pandas as pd
-
-    pdf = df if isinstance(df, pd.DataFrame) else df.toPandas()
-    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-
-    def cell(v):
-        import datetime
-        import decimal
-
-        import numpy as np
-
-        if v is None or (isinstance(v, float) and v != v):
-            return "NULL"
-        if isinstance(v, (float, np.floating)):
-            return repr(float(v))
-        if isinstance(v, decimal.Decimal):
-            return str(v)
-        if isinstance(v, (datetime.datetime, datetime.date)):
-            return v.isoformat()
-        return str(v)
-
-    rows = sorted(tuple(cell(v) for v in row) for row in pdf.itertuples(index=False, name=None))
-    return "\n".join("|".join(r) for r in rows)
+def _diff_rows(s: list[tuple], o: list[tuple], limit: int = 3) -> list[str]:
+    """Set-difference diff: rows present on only one side. A positional zip
+    over two independently-sorted lists misaligns on the first divergence
+    and prints unrelated pairs, sending the debugger to the wrong rows."""
+    only_s = [r for r in s if r not in set(o)][:limit]
+    only_o = [r for r in o if r not in set(s)][:limit]
+    out = [f"    spark only : {r}" for r in only_s]
+    out += [f"    oracle only: {r}" for r in only_o]
+    return out
 
 
 def main() -> int:
@@ -67,10 +57,28 @@ def main() -> int:
     first = None
     if "--first" in args:
         i = args.index("--first")
-        first = int(args[i + 1])
+        try:
+            first = int(args[i + 1])
+        except (IndexError, ValueError):
+            print("error: --first needs an integer value", file=sys.stderr)
+            return 2
         del args[i:i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
-    picked = args[1:] or list(QUERIES)
+    named = args[1:]
+    unknown = sorted(set(named) - set(QUERIES))
+    if unknown:
+        # fail BEFORE the Spark session spins up — a typo'd name crashing
+        # with KeyError after startup wastes the whole launch
+        print(f"error: unknown query name(s): {unknown}", file=sys.stderr)
+        return 2
+    if first is not None and named:
+        print(
+            "error: --first and explicit query names are mutually exclusive "
+            "(the slice would silently drop names)",
+            file=sys.stderr,
+        )
+        return 2
+    picked = named or list(QUERIES)
     if first is not None:
         picked = picked[:first]
     if bare:
@@ -83,11 +91,7 @@ def main() -> int:
         )
     else:
         spark = get_spark("verify_local")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duckdb_connection(sf_dir)
     failures = []
     for name in picked:
         qd = QUERIES[name]
@@ -107,20 +111,17 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
-        ns, no = normalize(sdf), normalize(odf)
         if len(sdf) != len(odf):
+            # before any normalization: the stringify+sort pass is wasted
+            # work when cardinality already differs
             print(f"FAIL  {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
             failures.append(name)
-        elif ns != no:
+            continue
+        ns, no = normalize(sdf), normalize(odf)
+        if ns != no:
             print(f"FAIL  {name}: value mismatch (rows={len(sdf)})")
-            sl, ol = ns.splitlines(), no.splitlines()
-            shown = 0
-            for i, (a, b) in enumerate(zip(sl, ol)):
-                if a != b:
-                    print(f"  row {i}:\n    spark : {a}\n    oracle: {b}")
-                    shown += 1
-                    if shown >= 3:
-                        break
+            for line in _diff_rows(ns, no):
+                print(line)
             failures.append(name)
         else:
             print(f"ok    {name}: rows={len(sdf)} hash-match [{time.time()-t0:.1f}s]")
