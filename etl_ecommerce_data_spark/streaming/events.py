@@ -38,13 +38,19 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one micro-batch
     locally; in production this is the Kafka source with the same schema)."""
-    kind = events_ts_kind(spark, _os.path.join(sf_dir, "events.parquet"))
-    stream = (
-        spark.readStream.schema(events_read_schema(kind))
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet")  # only the events file
-        .parquet(sf_dir)
+    path = _os.path.join(sf_dir, "events.parquet")
+    kind = events_ts_kind(spark, path)
+    reader = spark.readStream.schema(events_read_schema(kind)).option(
+        "maxFilesPerTrigger", "1"
     )
+    if _os.path.isdir(path):
+        # directory-shaped events table (multi-file writers): stream the
+        # directory itself — the single-file glob below matches only leaf
+        # files literally named events.parquet, so it would list ZERO files
+        # here and every runner would return an honest-looking empty frame
+        stream = reader.option("recursiveFileLookup", "true").parquet(path)
+    else:
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     return events_normalize_ts(stream, kind)
 
 
@@ -56,13 +62,26 @@ def windowed_event_aggregation(
     The watermark bounds state: windows older than (max event time − delay)
     are finalized and evicted. Aggregates follow the engine's exactness rules
     so streaming output equals the batch twin bit-for-bit.
+
+    The grouping key is the WINDOW STRUCT, with ``start`` projected after
+    the aggregation: grouping by ``window(...).start`` directly would strip
+    the event-time watermark metadata off the key (an Alias over a struct
+    field does not inherit it), leaving the state store nothing to evict
+    by — unbounded state in update mode, the exact hazard the watermark
+    exists to bound.
     """
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).start.alias("window_start"), "event_type")
+        .groupBy(F.window("ts", window).alias("__w"), "event_type")
         .agg(
             F.count("event_id").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
         )
     )
 
@@ -86,8 +105,13 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            n += len(pdf)
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            n += len(pdf)  # COUNT(*) semantics, matching the oracle
+            # fillna: SUM skips NULL values (0 contribution) — and a NaN
+            # (Arrow's null) reaching astype('int64') would otherwise kill
+            # the whole query with a non-finite-conversion error
+            cents += int(
+                pdf["value"].fillna(0.0).mul(100).round().astype("int64").sum()
+            )
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
@@ -124,7 +148,15 @@ def _run_to_memory(stream_df: DataFrame, spark: SparkSession, mode: str) -> Data
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    # decouple the result from the sink table and DROP it: the memory sink
+    # retains every collected row in the session catalog forever, so a
+    # long-lived driver re-running these verifiers would accumulate one
+    # full result copy per invocation (the rows are already driver-sized
+    # here by design, so the one extra copy is free)
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def _foreach_batch_writer(data: str, mode: str):
@@ -144,6 +176,19 @@ def _foreach_batch_writer(data: str, mode: str):
         bdf.write.mode("overwrite").parquet(_os.path.join(data, f"b{batch_id}"))
 
     return write_update
+
+
+def _pin_mtime_order(dirs, base: float) -> None:
+    """Pin micro-batch order explicitly: the file source sequences batches
+    by file modification time, and copy-then-write usually orders
+    correctly, but filesystem timestamp resolution is not a contract.
+    ``dirs[i]``'s files all get mtime ``base + 2i`` (one shared helper —
+    three hand-rolled copies of this loop had to be kept in sync)."""
+    for i, d in enumerate(dirs):
+        t = base + 2.0 * i
+        for r, _sub, files in _os.walk(d):
+            for f in files:
+                _os.utime(_os.path.join(r, f), (t, t))
 
 
 def _has_part_files(data_dir: str) -> bool:
@@ -439,7 +484,9 @@ def run_session_windows_to_memory(
     import tempfile
 
     src = os.path.join(sf_dir, "events.parquet")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # pid in the tag: same concurrent-process isolation note as
+    # run_foreach_batch_upsert's scratch root
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
     stage = os.path.join(tempfile.gettempdir(), f"session_stream_stage_{tag}")
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)
@@ -471,10 +518,7 @@ def run_session_windows_to_memory(
     # as late. Copy + write usually order correctly, but pin it explicitly
     # instead of trusting filesystem timestamp resolution.
     events_mtime = os.stat(os.path.join(stage, "batch0_events.parquet")).st_mtime
-    pin = events_mtime + 2.0
-    for root, _dirs, files in os.walk(adv_dir):
-        for f in files:
-            os.utime(os.path.join(root, f), (pin, pin))
+    _pin_mtime_order([adv_dir], events_mtime + 2.0)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -547,7 +591,9 @@ def user_type_counts_tws(events: DataFrame) -> DataFrame:
             self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
         ) -> Iterator[pd.DataFrame]:
             for pdf in rows:
-                for et, cnt in pdf.groupby("event_type").size().items():
+                # dropna=False: the batch GROUP BY twin keeps the NULL
+                # event_type group; pandas' default would silently drop it
+                for et, cnt in pdf.groupby("event_type", dropna=False).size().items():
                     cur = self._counts.getValue((et,))
                     self._counts.updateValue(
                         (et,), ((cur[0] if cur else 0) + int(cnt),)
@@ -932,7 +978,11 @@ def run_foreach_batch_upsert(
 
     explicit_root = root is not None
     if root is None:
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        # pid in the scratch tag: two concurrent PROCESSES on the same
+        # sf_dir (parallel pytest workers, bench + sweep) must not rmtree
+        # each other's staged batches mid-stream; successive calls within
+        # one process still reclaim their predecessor's scratch
+        tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
         root = os.path.join(tempfile.gettempdir(), f"upsert_stream_{tag}")
         shutil.rmtree(root, ignore_errors=True)
     stage = os.path.join(root, "stage")
@@ -942,7 +992,18 @@ def run_foreach_batch_upsert(
     schema = events_read_schema(kind)
     bucket_dirs: dict[int, str] = {}
     resumed = _load_latest_upsert_manifest(root)
-    if resumed is not None and os.path.isdir(ckpt):
+    if resumed is not None and not os.path.isdir(ckpt):
+        # manifests mean committed state (the manifest contract), so this
+        # is a durable table whose checkpoint was deleted — it can neither
+        # resume (no offsets to replay from) nor be treated as the
+        # crashed-before-first-commit junk the fresh branch may wipe;
+        # destroying committed data silently is never this function's call
+        raise ValueError(
+            f"root {root!r} holds a committed upsert table (manifests "
+            "present) but its checkpoint is gone — cannot resume; delete "
+            "the root explicitly to rebuild from scratch"
+        )
+    if resumed is not None:
         # a resumed table answers for ONE source: silently replaying an
         # old checkpoint against a different requested sf_dir would return
         # the old table as if it were the new input's
@@ -1000,12 +1061,7 @@ def run_foreach_batch_upsert(
         par = max(2, spark.sparkContext.defaultParallelism)
         raw.filter(F.pmod("event_id", F.lit(2)) == 0).repartition(par).write.parquet(b0)
         raw.filter(F.pmod("event_id", F.lit(2)) == 1).repartition(par).write.parquet(b1)
-        # pin micro-batch order explicitly (file source sequences by mtime)
-        base = os.stat(b0).st_mtime
-        for i, d in enumerate((b0, b1)):
-            for r, _dirs, files in os.walk(d):
-                for f in files:
-                    os.utime(os.path.join(r, f), (base + 2.0 * i, base + 2.0 * i))
+        _pin_mtime_order((b0, b1), os.stat(b0).st_mtime)
     # one micro-batch per stage dir: batch 0 takes the n0 oldest files (all
     # of b0 — its mtime strictly precedes b1's); b1 follows in ≥1 batches.
     # Correctness never depends on the grouping — the merge is
@@ -1167,13 +1223,15 @@ def run_incremental_dedup_ingest(
     raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     b0 = os.path.join(stage, "batch0.parquet")
     b1 = os.path.join(stage, "batch1.parquet")
+    # coalesce(1) is REQUIRED here, not an unported optimization from the
+    # upsert runner's parallel staging: this stream runs maxFilesPerTrigger=1
+    # (one batch per file), and the oracle pins the batch-0-wins-then-min
+    # survivor per PARITY GROUP — multi-file staging would split each parity
+    # into several batches with file-order-dependent survivors, making the
+    # final state nondeterministic vs the oracle.
     raw.filter(F.pmod("doc_id", F.lit(2)) == 0).coalesce(1).write.parquet(b0)
     raw.filter(F.pmod("doc_id", F.lit(2)) == 1).coalesce(1).write.parquet(b1)
-    base = os.stat(b0).st_mtime
-    for i, d in enumerate((b0, b1)):
-        for r, _dirs, files in os.walk(d):
-            for f in files:
-                os.utime(os.path.join(r, f), (base + 2.0 * i, base + 2.0 * i))
+    _pin_mtime_order((b0, b1), os.stat(b0).st_mtime)
 
     current: list[str | None] = [None]
 
@@ -1221,7 +1279,14 @@ def run_incremental_dedup_ingest(
     # default mode: pin the result off the scratch dir (eager local
     # checkpoint into block storage) and reclaim the dir NOW — a
     # long-lived caller that never heard of handles accumulates nothing;
-    # ContextCleaner frees the checkpoint blocks when the frame is dropped
+    # ContextCleaner frees the checkpoint blocks when the frame is dropped.
+    # Durability scope, stated plainly: localCheckpoint truncates lineage
+    # AND the source snapshot is deleted below, so an executor lost while
+    # holding the only copy of a block makes the returned frame
+    # unrecoverable — acceptable for a local-mode verification result (one
+    # executor == this process); a cluster caller that must survive
+    # executor loss uses as_handle=True, where the parquet snapshot stays
+    # on disk until release().
     df = df.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     _INGEST_ROOTS.discard(root)

@@ -370,3 +370,28 @@ def test_normalize_for_dedup_handles_tabs_and_newlines(spark):
     )
     got = {r["n"] for r in df.select(normalize_for_dedup(F.col("text")).alias("n")).collect()}
     assert got == {"report <num>"}
+
+
+def test_run_sql_caches_views_and_tracks_sf_dir(spark, tmp_path):
+    """Repeat run_sql calls on one dataset skip re-registration; alternating
+    datasets must still serve the RIGHT data (a (session, sf_dir)-keyed
+    cache would serve stale views on the third call); a fixture subset
+    missing unrelated tables must not break a query that never reads them."""
+    import shutil
+
+    from etl_ecommerce_data_spark.plans.sql_api import run_sql
+    from tests.conftest import SF_SMOKE
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    for d, n in ((a, 1), (b, 2)):
+        d.mkdir()
+        # lineitem only — every other engine table absent
+        spark.range(n).selectExpr("id AS l_orderkey").write.parquet(
+            str(d / "lineitem.parquet")
+        )
+    assert run_sql(spark, str(a), "SELECT COUNT(*) c FROM lineitem").first()["c"] == 1
+    assert run_sql(spark, str(b), "SELECT COUNT(*) c FROM lineitem").first()["c"] == 2
+    assert run_sql(spark, str(a), "SELECT COUNT(*) c FROM lineitem").first()["c"] == 1
+    # restore the full views for any later test sharing this session
+    run_sql(spark, SF_SMOKE, "SELECT 1")

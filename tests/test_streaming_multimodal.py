@@ -899,3 +899,69 @@ def test_fake_decoder_module_kernel_matches_shipped_copy(spark):
     got = {r["media_id"]: r["feature"] for r in extract_features(media, dim=8).collect()}
     for i, p in enumerate(payloads):
         assert got[i] == _fake_decode_features(p, dim=8)
+
+
+def test_bucketed_upsert_refuses_committed_table_without_checkpoint(spark, tmp_path):
+    """Manifests mean committed state; a root holding them with its ckpt
+    deleted can neither resume nor be treated as pre-commit junk — wiping
+    it silently would destroy a durable table."""
+    import os
+    import shutil
+
+    from etl_ecommerce_data_spark.streaming.events import run_foreach_batch_upsert
+
+    root = str(tmp_path / "tbl")
+    run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=8, root=root)
+    shutil.rmtree(os.path.join(root, "ckpt"))
+    with pytest.raises(ValueError, match="checkpoint is gone"):
+        run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=8, root=root)
+    assert os.path.isdir(os.path.join(root, "manifests"))  # table untouched
+
+
+def test_events_stream_reads_directory_shaped_table(spark, tmp_path):
+    """A directory-shaped events table (multi-file writers) must stream its
+    part files — the single-file glob matched zero files there and every
+    runner returned an honest-looking EMPTY frame."""
+    import os
+    import shutil
+
+    from etl_ecommerce_data_spark.streaming.events import run_dedup_events_to_memory
+
+    sf = tmp_path / "sf"
+    evdir = sf / "events.parquet"
+    evdir.mkdir(parents=True)
+    shutil.copyfile(
+        os.path.join(SF_SMOKE, "events.parquet"), str(evdir / "part-00000.parquet")
+    )
+    out = run_dedup_events_to_memory(spark, str(sf))
+    assert out.count() > 0
+
+
+def test_user_running_stats_tolerates_null_values(spark, tmp_path):
+    """A NULL value row reaches the pandas state UDF as NaN; the old
+    astype('int64') killed the query — it must count the row (COUNT(*)
+    oracle) and contribute 0 to the sum (SUM skips NULLs)."""
+    import uuid
+
+    from etl_ecommerce_data_spark.streaming.events import user_running_stats
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 2.0), (1, None), (2, 3.5)], "user_id long, value double"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, value double").parquet(src)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_running_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.table(name).collect()}
+    assert got == {1: (2, 2.0), 2: (1, 3.5)}
