@@ -904,10 +904,13 @@ FROM g
 )
 def q_priority_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # g feeds the global total AND the final projection: materialize the
+    # 5-row aggregate once so the orders scan + shuffle doesn't run per
+    # consumer (same multi-consumer idiom as rfm_segments)
     g = orders.groupBy("o_orderpriority").agg(
         F.count("o_orderkey").alias("n_orders"),
         F.sum(dec("o_totalprice")).alias("rev_d"),
-    )
+    ).localCheckpoint(eager=False)
     total = g.agg(F.sum("rev_d").alias("total_d"))
     return g.crossJoin(F.broadcast(total)).select(
         "o_orderpriority",
@@ -1275,8 +1278,13 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     cap, n_perms, n_bands = dflt["bucket_cap"], dflt["num_perms"], dflt["bands"]
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    exact = DD.ngram_jaccard_pairs(docs, threshold=0.6, block_col=None).select(
-        "doc_a", "doc_b"
+    # both ground-truth frames feed the found join AND the anti join:
+    # materialize once, or the O(n²) exact cross product (and the full
+    # banded pipeline) replays per consumer — ~2× wall on this query
+    exact = (
+        DD.ngram_jaccard_pairs(docs, threshold=0.6, block_col=None)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
     )
     lsh = (
         DD.minhash_lsh_pairs(docs, threshold=0.6)
@@ -2135,12 +2143,17 @@ FROM c GROUP BY user_id
 def q_user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    # sort STRUCTS by event_type (unique per user group), then render: a
+    # sort over the rendered 'type:count' strings would diverge from the
+    # oracle's ORDER BY event_type for type names where a character below
+    # ':' follows a shared prefix ('a-b:1' < 'a:5' as strings)
     return c.groupBy("user_id").agg(
         F.array_join(
-            F.array_sort(
-                F.collect_list(
-                    F.concat(F.col("event_type"), F.lit(":"), F.col("n").cast("string"))
-                )
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_type", "n"))),
+                lambda s: F.concat(
+                    s["event_type"], F.lit(":"), s["n"].cast("string")
+                ),
             ),
             ",",
         ).alias("profile"),
@@ -2460,8 +2473,7 @@ WHERE rnk <= 5
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = SIM.cosine_topk(emb, queries, k=5)
-    return out.withColumnRenamed("rank", "rank")
+    return SIM.cosine_topk(emb, queries, k=5)
 
 
 @register(
@@ -2545,7 +2557,17 @@ def q_embedding_near_dup_baseline(spark: SparkSession, sf_dir: str) -> DataFrame
 def _found_vs_exact(exact: DataFrame, approx: DataFrame, keys: list[str]) -> DataFrame:
     """(n_exact, n_found, n_fp) one-row frame: how much of the exact result
     the approximate path found, and how many rows it emitted that the exact
-    result does not contain."""
+    result does not contain.
+
+    Both inputs are consumed TWICE (found left-join + false-positive
+    anti-join) and both are typically the expensive side of a recall query
+    (the exact frame is an O(n²) all-pairs baseline; the approx frame a
+    full banded pipeline) — and a BroadcastNestedLoopJoin result is not an
+    exchange, so ReusedExchange cannot dedupe the replays. Materialize
+    each once (same idiom as the lsh frame in q_dedup_minhash_recall);
+    measured ~2× wall on the four recall-floor queries."""
+    exact = exact.localCheckpoint(eager=False)
+    approx = approx.localCheckpoint(eager=False)
     found = exact.join(
         approx.withColumn("__f", F.lit(1)), keys, "left"
     ).agg(
@@ -4756,7 +4778,12 @@ WHERE text IS NOT NULL
 )
 def q_language_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    bucket = F.substring(F.md5(F.concat_ws(":", F.col("lang"), F.col("text"))), 1, 2)
+    # F.concat, not concat_ws: the oracle's `lang || ':' || text` is
+    # NULL-propagating, while concat_ws silently DROPS a null lang — a
+    # null-lang doc would hash a different string on the two engines
+    bucket = F.substring(
+        F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("text"))), 1, 2
+    )
     thr = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("c0"))
     return docs.filter(bucket < thr).select("doc_id", "lang")
 
@@ -4776,6 +4803,7 @@ WITH e AS (
          CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
          CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
 ),
 pos AS (
   SELECT vec_id, dims, vmin, vmax, embedding,
@@ -4797,7 +4825,13 @@ GROUP BY vec_id, dims, vmin, vmax
     tags=("extension", "similarity", "training", "quantization"),
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # null/empty vectors have no quantization range — excluded on BOTH
+    # sides (the oracle's generate_series would silently drop them while
+    # the builder previously emitted a null-summary row: a latent row-set
+    # divergence on dirty data)
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
     vmin = F.array_min("embedding").cast("double")
     vmax = F.array_max("embedding").cast("double")
     base = e.select(
@@ -4945,8 +4979,9 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") == F.min(F.when(F.col("f3"), F.col("doc_id"))).over(w)
     )
     dq = base.withColumn("f4", f4)
+    # F.concat for oracle parity on null lang (see language_rebalance_sample)
     rebalance_keep = F.substring(
-        F.md5(F.concat_ws(":", F.col("lang"), t)), 1, 2
+        F.md5(F.concat(F.col("lang"), F.lit(":"), t)), 1, 2
     ) < F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("c0"))
     train = F.substring(F.md5(t), 1, 2) < F.lit("cc")
     flags = dq.withColumn("f5", F.col("f4") & rebalance_keep).withColumn(
@@ -5038,8 +5073,10 @@ def q_event_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth = 4
 
     def cell(seed: int, value: F.Column) -> F.Column:
+        # F.concat for oracle parity: `seed || ':' || value` NULL-propagates
+        # on a null value where concat_ws would silently drop it
         two_hex = F.substring(
-            F.md5(F.concat_ws(":", F.lit(str(seed)), value)), 1, 2
+            F.md5(F.concat(F.lit(f"{seed}:"), value)), 1, 2
         )
         return F.conv(two_hex, 16, 10).cast("long")
 
@@ -5204,7 +5241,13 @@ def q_dedup_cross_corpus_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter.cast("double") / (
         F.size("toks_a").cast("long") + F.size("toks_b").cast("long") - inter
     )
-    exact = pairs.filter(jac >= 0.6).select("new_id", "corpus_id")
+    # exact feeds the found join AND the anti join — materialize the capped
+    # cross product once (same idiom as the lsh frame below)
+    exact = (
+        pairs.filter(jac >= 0.6)
+        .select("new_id", "corpus_id")
+        .localCheckpoint(eager=False)
+    )
     lsh = (
         DD.minhash_lsh_pairs_cross(new_side, old_side, threshold=0.6)
         .select("new_id", "corpus_id")

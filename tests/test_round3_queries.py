@@ -395,3 +395,26 @@ def test_run_sql_caches_views_and_tracks_sf_dir(spark, tmp_path):
     assert run_sql(spark, str(a), "SELECT COUNT(*) c FROM lineitem").first()["c"] == 1
     # restore the full views for any later test sharing this session
     run_sql(spark, SF_SMOKE, "SELECT 1")
+
+
+def test_user_event_profile_sorts_by_type_not_rendered_string(spark, tmp_path):
+    """The profile must order by event_type (the oracle's ORDER BY), not by
+    the rendered 'type:count' strings — a type name with a character below
+    ':' after a shared prefix ('a-b' vs 'a') sorted differently as strings."""
+    import datetime
+
+    from etl_ecommerce_data_spark.plans.queries import QUERIES
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(i, ts, 1, "a", 1.0, None) for i in range(5)] + [
+        (10, ts, 1, "a-b", 1.0, None)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    row = QUERIES["user_event_profile"].builder(spark, str(sf)).first()
+    assert row["profile"] == "a:5,a-b:1"  # 'a-b:1,a:5' under string sort
