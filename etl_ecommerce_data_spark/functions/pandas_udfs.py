@@ -35,6 +35,12 @@ def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
             return None
         xv = np.asarray(x, dtype=np.float64)
         yv = np.asarray(y, dtype=np.float64)
+        # contract parity with the JVM twin on malformed rows: mismatched
+        # widths would raise out of np.dot (aborting the whole task where
+        # zip_with null-pads to NULL), and a null ELEMENT arrives as NaN
+        # (JVM arithmetic yields NULL) — both map to None here
+        if xv.shape != yv.shape or np.isnan(xv).any() or np.isnan(yv).any():
+            return None
         nx = float(np.sqrt(np.dot(xv, xv)))
         ny = float(np.sqrt(np.dot(yv, yv)))
         if nx == 0.0 or ny == 0.0:
@@ -55,6 +61,12 @@ def chunk_udtf(chunk_tokens: int = 32):
     policy; this is the template for table functions whose per-row expansion
     needs real Python (parsers, tokenizers)."""
     from pyspark.sql.functions import udtf
+
+    if chunk_tokens <= 0:
+        # a negative step makes range() empty — every document would
+        # silently emit ZERO chunks (and 0 raises a bare range() error
+        # inside executors with no hint at the bad parameter)
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
 
     @udtf(returnType="chunk_id: long, chunk_text: string", useArrow=True)
     class ChunkDoc:
@@ -104,10 +116,13 @@ def user_value_ewma(
             }
         )
 
-    out_schema = f"{key_col} long, ewma_value double, n_events long"
+    # the key's declared type comes from the INPUT schema — hardcoding
+    # `long` broke (or corrupted) any non-bigint key column at the Arrow
+    # conversion of the returned frame
+    key_dt = events.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_dt}, ewma_value double, n_events long"
     return (
         events.select(key_col, time_col, tiebreak_col, value_col)
         .groupBy(key_col)
         .applyInPandas(fn, out_schema)
-        .withColumn("n_events", F.col("n_events").cast("long"))
     )

@@ -60,12 +60,29 @@ def salted_join(
     sequence id into the salt to force the spread, at the cost of the
     repro-determinism above (row numbering follows the input partitioning).
     """
+    # The RIGHT side is replicated per salt bucket, so only joins preserved
+    # from the LEFT are sound: each left row meets exactly one copy of each
+    # matching right row (its own salt). Right/full-preserving joins would
+    # emit every unmatched right key salt_buckets times (null-extended
+    # duplicates) — silently wrong multisets, so they are rejected.
+    if how.replace("_", "").lower() not in (
+        "inner", "left", "leftouter", "leftsemi", "leftanti",
+    ):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only (got "
+            f"how={how!r}): the replicated right side would duplicate "
+            "unmatched right rows once per salt bucket"
+        )
     hashable = [
         f.name for f in left.schema.fields if not isinstance(f.dataType, T.MapType)
     ]
     salt_src = F.xxhash64(*[F.col(c) for c in hashable]) if hashable else F.lit(0)
     if spread_identical:
-        salt_src = salt_src + F.monotonically_increasing_id()
+        # mix, don't add: raw `+` on two longs overflows (and throws under
+        # Spark 4's default ANSI mode) once partition ids grow —
+        # monotonically_increasing_id packs partitionId<<33, so at real
+        # task counts the sum exceeds Long.MAX with high probability
+        salt_src = F.xxhash64(salt_src, F.monotonically_increasing_id())
     salted_left = left.withColumn(
         "__salt", F.pmod(salt_src, F.lit(salt_buckets)).cast("int")
     )
@@ -109,6 +126,16 @@ def range_join(
         raise ValueError(
             "range_join supports how='inner' only; for outer semantics join "
             f"the inner result back onto the preserved side (got how={how!r})"
+        )
+    if lower_seconds > upper_seconds:
+        # a reversed band would make the right-side bucket sequence
+        # DESCENDING over the whole interval at microsecond granularity —
+        # hundreds of millions of exploded elements per row — when the
+        # correct answer is trivially empty; swapped bounds are a caller
+        # bug worth a message, not an executor OOM
+        raise ValueError(
+            f"range_join band is reversed: lower_seconds ({lower_seconds}) "
+            f"> upper_seconds ({upper_seconds})"
         )
     keys = [on] if isinstance(on, str) else list(on)
     w_us = max(int((upper_seconds - lower_seconds) * 1_000_000), 1)
@@ -156,11 +183,17 @@ def asof_join(
     per-group ``merge_asof`` Pandas path ships data through Python.
 
     ``right_cols`` must not collide with left column names.
-    """
-    from pyspark.sql import types as T
 
+    NULL hygiene, matching SQL as-of semantics (``ON l.key = r.key AND
+    r.t <= l.t``): right rows with a NULL key or NULL time are dropped —
+    ``NULL = NULL`` never matches an equi-join, and a NULL time would sort
+    FIRST under the window's ascending order, carrying its payload onto
+    every left row as a phantom "earliest" match. Left rows always pass
+    through (NULL-key/time left rows simply match nothing).
+    """
     lcols = left.columns
     tiebreak = right_cols[0]
+    right = right.filter(F.col(key).isNotNull() & F.col(right_time).isNotNull())
     # The whole matched right row travels as ONE struct: a single
     # last(ignorenulls) then picks an entire row, so a NULL in one right
     # column can't be papered over with a stale value from an older row, and

@@ -229,3 +229,95 @@ def test_range_join_negative_band_and_bucket_boundary(spark):
     out = range_join(left, right, "lt", "rt", -600.0, 0.0)
     got = sorted((r["l_id"], r["r_id"]) for r in out.collect())
     assert got == [(1, 100), (1, 101), (1, 102), (2, 100), (2, 103)]
+
+
+def test_salted_join_rejects_right_preserving_joins(spark):
+    import pytest
+
+    """The replicated right side would emit every unmatched right key once
+    per salt bucket under right/full joins — silently wrong multisets."""
+    from etl_ecommerce_data_spark.operators.joins import salted_join
+
+    l = spark.createDataFrame([(1, "a")], "k long, v string")
+    r = spark.createDataFrame([(1, "x"), (2, "y")], "k long, w string")
+    for bad in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(l, r, "k", how=bad)
+    # left outer stays correct: the unmatched LEFT row appears exactly once
+    got = sorted(
+        (row["k"], row["w"]) for row in
+        salted_join(
+            spark.createDataFrame([(1, "a"), (3, "b")], "k long, v string"),
+            r, "k", how="left",
+        ).collect()
+    )
+    assert got == [(1, "x"), (3, None)]
+
+
+def test_range_join_rejects_reversed_band(spark):
+    import pytest
+
+    """Swapped bounds made the bucket sequence explode one element per
+    microsecond per right row — a clear error beats an executor OOM for a
+    trivially-empty result."""
+    from etl_ecommerce_data_spark.operators.joins import range_join
+
+    df = spark.createDataFrame([(1,)], "k long").selectExpr(
+        "k", "timestamp'2024-01-01' AS t"
+    )
+    with pytest.raises(ValueError, match="reversed"):
+        range_join(df, df.withColumnRenamed("t", "t2"), "t", "t2", 600.0, 0.0, on="k")
+
+
+def test_asof_join_ignores_null_key_and_null_time_right_rows(spark):
+    """SQL as-of semantics: NULL = NULL never matches, and a NULL right
+    time is not 'earliest' — it previously sorted first and carried its
+    payload onto every left row preceding any real right row."""
+    import datetime
+
+    from etl_ecommerce_data_spark.operators.joins import asof_join
+
+    def ts(h):
+        return datetime.datetime(2024, 1, 1, h)
+
+    left = spark.createDataFrame(
+        [(1, ts(5)), (None, ts(5))], "k long, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (None, ts(1), 77.0), (1, ts(9), 11.0)],
+        "k long, rt timestamp, v double",
+    )
+    out = {r["k"]: r["v"] for r in asof_join(left, right, "k", "lt", "rt", ["v"]).collect()}
+    # k=1: the only valid right rows are (NULL time -> dropped) and ts(9)
+    # which is AFTER lt -> no match; NULL-key left row matches nothing
+    assert out == {1: None, None: None}
+
+
+def test_cosine_pandas_nulls_on_malformed_vectors(spark):
+    """Mismatched widths aborted the task (np.dot shape error) and null
+    elements poisoned results with NaN — both are NULL under the JVM
+    twin's contract, so the reference UDF must match."""
+    from etl_ecommerce_data_spark.functions.pandas_udfs import cosine_pandas
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [1.0, 2.0, 3.0]), ([1.0, None], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r["c"] for r in df.select(cosine_pandas("a", "b").alias("c")).collect()]
+    assert got[0] is None and got[1] is None and abs(got[2] - 1.0) < 1e-12
+
+
+def test_chunk_udtf_rejects_non_positive_size_and_ewma_takes_string_keys(spark):
+    import pytest
+
+    from etl_ecommerce_data_spark.functions.pandas_udfs import chunk_udtf, user_value_ewma
+
+    with pytest.raises(ValueError, match="positive"):
+        chunk_udtf(0)
+    ev = spark.createDataFrame(
+        [("s1", 1, 1, 10.0), ("s1", 2, 2, 20.0), ("s2", 1, 3, 5.0)],
+        "session_id string, ts long, event_id long, value double",
+    )
+    out = {r["session_id"]: r["ewma_value"]
+           for r in user_value_ewma(ev, alpha=0.5, key_col="session_id").collect()}
+    assert abs(out["s1"] - 15.0) < 1e-12 and out["s2"] == 5.0
