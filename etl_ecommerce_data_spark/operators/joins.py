@@ -65,8 +65,10 @@ def salted_join(
     # matching right row (its own salt). Right/full-preserving joins would
     # emit every unmatched right key salt_buckets times (null-extended
     # duplicates) — silently wrong multisets, so they are rejected.
+    # 'semi'/'anti' are Spark's own aliases of left_semi/left_anti (both
+    # left-preserving), so they pass too (ADVICE r11)
     if how.replace("_", "").lower() not in (
-        "inner", "left", "leftouter", "leftsemi", "leftanti",
+        "inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti",
     ):
         raise ValueError(
             f"salted_join supports left-preserving joins only (got "

@@ -22,13 +22,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_ecommerce_data_spark.sources.registry import SYNTHETIC_SCHEMAS, load_table
 
-# last sf_dir registered per live session (keyed by object id): repeat
+# Last sf_dir registered, stored in the SESSION'S OWN runtime conf: repeat
 # run_sql calls on the same dataset skip the 11-table re-registration —
-# including the events ts-kind probe — instead of paying it per query. The
-# key MUST NOT be (id, sf_dir): that cache would serve STALE views when
-# calls alternate between datasets (dirA, dirB, dirA would leave dirB's
-# views live on the third call).
-_LAST_SFDIR: dict[int, str] = {}
+# including the events ts-kind probe — instead of paying it per query.
+# Runtime conf is per-SparkSession, exactly the scope of the temp views it
+# describes. A module-level dict keyed by id(spark) (the previous shape)
+# was wrong twice over: ids are reused after GC, so a fresh session
+# allocated at a dead session's address silently skipped registration and
+# every query failed TABLE_OR_VIEW_NOT_FOUND; and the dict grew one entry
+# per session forever. The marker value MUST be the single last sf_dir,
+# not a (session, sf_dir) set: a set-shaped cache would serve STALE views
+# when calls alternate between datasets (dirA, dirB, dirA would leave
+# dirB's views live on the third call).
+_REGISTERED_KEY = "spark.etl_ecommerce_data_spark.sql.registered_sf_dir"
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
@@ -36,18 +42,33 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     the table, so ``spark.sql`` queries read the same data as the DataFrame
     API. Tables whose parquet file is absent from ``sf_dir`` are skipped —
     eagerly loading all of them would make a pure-lineitem query fail on a
-    fixture subset that never references the missing table (a query that
-    DOES reference it fails loudly with TABLE_OR_VIEW_NOT_FOUND)."""
+    fixture subset that never references the missing table — and their
+    views are DROPPED: a leftover view from a previously-registered dataset
+    would otherwise serve the WRONG dataset's rows silently (a query that
+    references an absent table must fail loudly with
+    TABLE_OR_VIEW_NOT_FOUND, not answer from stale data)."""
     registered = []
     for name in SYNTHETIC_SCHEMAS:
         if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
             registered.append(name)
-    _LAST_SFDIR[id(spark)] = sf_dir
+        else:
+            spark.catalog.dropTempView(name)
+    spark.conf.set(_REGISTERED_KEY, sf_dir)
     return registered
 
 
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
-    if _LAST_SFDIR.get(id(spark)) != sf_dir:
+    if spark.conf.get(_REGISTERED_KEY, None) != sf_dir:
         register_views(spark, sf_dir)
-    return spark.sql(query)
+        return spark.sql(query)
+    try:
+        return spark.sql(query)
+    except Exception as exc:  # noqa: BLE001 — narrow re-raise below
+        # A table file that APPEARED in sf_dir after the first registration
+        # (register_views skips absent files) has no view yet on a cache
+        # hit. Re-register once and retry; anything else re-raises.
+        if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc):
+            raise
+        register_views(spark, sf_dir)
+        return spark.sql(query)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import shutil
 from urllib.parse import urlparse
 
@@ -128,7 +129,18 @@ def ensure_bucketed_copy(
             shutil.rmtree(os.path.join(wh.path, table.lower()), ignore_errors=True)
             if os.path.isdir(wh.path):
                 for d in os.listdir(wh.path):
-                    if d.startswith(prefix.lower()) and d != table.lower():
+                    # Exact-tag siblings only: the unsorted prefix
+                    # bkt_{name}_{col}_{n}_ is a strict string-prefix of
+                    # every sorted variant bkt_{name}_{col}_{n}_s{sort}_{tag},
+                    # so a bare startswith prune here would delete a LIVE
+                    # sorted copy's warehouse files while its catalog entry
+                    # survives. The remainder after the prefix must be a
+                    # bare 8-hex source tag — nothing else is superseded.
+                    if (
+                        d.startswith(prefix.lower())
+                        and d != table.lower()
+                        and re.fullmatch(r"[0-9a-f]{8}", d[len(prefix):])
+                    ):
                         shutil.rmtree(os.path.join(wh.path, d), ignore_errors=True)
         write_bucketed_table(df, table, bucket_col, num_buckets, sort_col=sort_col)
     return spark.table(table)

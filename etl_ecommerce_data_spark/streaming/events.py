@@ -35,6 +35,69 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 # sources/registry.py events_ts_kind/events_read_schema/events_normalize_ts.
 
 
+# Live pid-suffixed scratch roots (sessionize staging, scratch-mode upsert
+# tables). The pid suffix isolates concurrent processes sharing one sf_dir
+# (parallel pytest workers, bench + sweep) but by itself LEAKED one full
+# staged copy of events per process: a crashed or completed process's tree
+# lingered in the system tempdir forever (ADVICE r11). Two-sided fix: this
+# process's roots are reclaimed by ONE atexit hook, and stale same-hash
+# siblings whose owning pid is no longer alive are swept before staging.
+_SCRATCH_ROOTS: set[str] = set()
+_SCRATCH_ATEXIT_REGISTERED = False
+
+
+def _reclaim_scratch_roots() -> None:
+    import shutil
+
+    for root in list(_SCRATCH_ROOTS):
+        shutil.rmtree(root, ignore_errors=True)
+        _SCRATCH_ROOTS.discard(root)
+
+
+def _pid_alive(pid: int) -> bool:
+    """True unless the pid provably does not exist. EPERM (live process,
+    other user) counts as alive — never sweep a dir we can't attribute."""
+    try:
+        _os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OverflowError, ValueError):
+        return True
+    return True
+
+
+def _scratch_root(prefix: str, sf_dir: str) -> str:
+    """Per-(prefix, sf_dir, pid) scratch dir path: ``{prefix}_{hash}_{pid}``
+    under the system tempdir. Registers the path for atexit reclaim and
+    sweeps dead siblings (same prefix+hash, numeric-pid remainder, owner not
+    alive). Pid reuse can mark an unrelated live process's slot as alive —
+    that errs toward KEEPING a stale dir until the next sweep, never toward
+    deleting a live one. Does not create or wipe the dir — callers keep
+    their own rmtree/makedirs staging semantics."""
+    global _SCRATCH_ATEXIT_REGISTERED
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    base = f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_"
+    try:
+        siblings = _os.listdir(tmp)
+    except OSError:
+        siblings = []
+    for d in siblings:
+        rest = d[len(base):] if d.startswith(base) else ""
+        if rest.isdigit() and int(rest) != _os.getpid() and not _pid_alive(int(rest)):
+            shutil.rmtree(_os.path.join(tmp, d), ignore_errors=True)
+    root = _os.path.join(tmp, f"{base}{_os.getpid()}")
+    _SCRATCH_ROOTS.add(root)
+    if not _SCRATCH_ATEXIT_REGISTERED:
+        atexit.register(_reclaim_scratch_roots)
+        _SCRATCH_ATEXIT_REGISTERED = True
+    return root
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one micro-batch
     locally; in production this is the Kafka source with the same schema)."""
@@ -478,16 +541,14 @@ def run_session_windows_to_memory(
     flushing and evicting all of them; the advancer's own (still-open)
     session stays in state and is never emitted — so the appended output is
     exactly the batch sessionization of the real events."""
-    import hashlib
     import os
     import shutil
-    import tempfile
 
     src = os.path.join(sf_dir, "events.parquet")
-    # pid in the tag: same concurrent-process isolation note as
-    # run_foreach_batch_upsert's scratch root
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    stage = os.path.join(tempfile.gettempdir(), f"session_stream_stage_{tag}")
+    # pid-suffixed + atexit-reclaimed + dead-sibling-swept (see
+    # _scratch_root): concurrent processes stay isolated, crashed ones
+    # don't leak their staged events copy
+    stage = _scratch_root("session_stream_stage", sf_dir)
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)
     shutil.copyfile(src, os.path.join(stage, "batch0_events.parquet"))
@@ -971,19 +1032,16 @@ def run_foreach_batch_upsert(
     default ``root=None`` the table is scratch: a fixed temp path wiped at
     entry (the registry/oracle path, unchanged semantics).
     """
-    import hashlib
     import os
     import shutil
-    import tempfile
 
     explicit_root = root is not None
     if root is None:
-        # pid in the scratch tag: two concurrent PROCESSES on the same
-        # sf_dir (parallel pytest workers, bench + sweep) must not rmtree
-        # each other's staged batches mid-stream; successive calls within
-        # one process still reclaim their predecessor's scratch
-        tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-        root = os.path.join(tempfile.gettempdir(), f"upsert_stream_{tag}")
+        # pid-suffixed scratch (concurrent processes on one sf_dir must not
+        # rmtree each other's staged batches mid-stream), atexit-reclaimed
+        # and dead-sibling-swept via _scratch_root; successive calls within
+        # one process still reclaim their predecessor's scratch here
+        root = _scratch_root("upsert_stream", sf_dir)
         shutil.rmtree(root, ignore_errors=True)
     stage = os.path.join(root, "stage")
     ckpt = os.path.join(root, "ckpt")

@@ -54,9 +54,20 @@ def assert_frames_match(spark_df, oracle_df, name: str = "query") -> None:
     if s != o:
         # set-difference, not positional zip: two independently-sorted lists
         # misalign from the first divergent row onward, so a zip shows up
-        # to three unrelated pairs instead of the one actual regression
-        only_s = [r for r in s if r not in set(o)][:3]
-        only_o = [r for r in o if r not in set(s)][:3]
+        # to three unrelated pairs instead of the one actual regression.
+        # Sets are built ONCE (an in-comprehension set(o) is O(rows²)
+        # stringify work on sf0.1-sized frames), and when the frames differ
+        # only in duplicate-row MULTIPLICITY both set-differences are empty
+        # — fall back to a Counter diff so the message still shows rows.
+        o_set, s_set = set(o), set(s)
+        only_s = [r for r in s if r not in o_set][:3]
+        only_o = [r for r in o if r not in s_set][:3]
+        if not only_s and not only_o:
+            from collections import Counter
+
+            cs, co = Counter(s), Counter(o)
+            only_s = [(r, f"x{cs[r]} vs x{co[r]}") for r in cs if cs[r] > co[r]][:3]
+            only_o = [(r, f"x{co[r]} vs x{cs[r]}") for r in co if co[r] > cs[r]][:3]
         raise AssertionError(
             f"{name}: value mismatch; spark-only rows: {only_s}; "
             f"oracle-only rows: {only_o}"

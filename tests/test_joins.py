@@ -252,6 +252,13 @@ def test_salted_join_rejects_right_preserving_joins(spark):
         ).collect()
     )
     assert got == [(1, "x"), (3, None)]
+    # Spark's own left-preserving aliases 'semi' and 'anti' must pass the
+    # guard (they normalize to left_semi/left_anti, for which the salting
+    # is correct; ADVICE r11) — and produce the right multisets
+    l2 = spark.createDataFrame([(1, "a"), (3, "b")], "k long, v string")
+    semi = sorted(r2["k"] for r2 in salted_join(l2, r, "k", how="semi").collect())
+    anti = sorted(r2["k"] for r2 in salted_join(l2, r, "k", how="anti").collect())
+    assert semi == [1] and anti == [3]
 
 
 def test_range_join_rejects_reversed_band(spark):

@@ -29,6 +29,28 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.schema.fields) > 0
 
 
+def test_frame_diff_reports_multiplicity_only_mismatches():
+    """Frames differing only in duplicate-row MULTIPLICITY have empty
+    set-differences; the assertion message must still name the offending
+    rows (Counter fallback) instead of showing an empty diff (ADVICE r11).
+    Same contract for tools/verify_local.py's _diff_rows."""
+    import pandas as pd
+
+    a = pd.DataFrame({"k": [1, 1, 2]})
+    b = pd.DataFrame({"k": [1, 2, 2]})
+    with pytest.raises(AssertionError) as exc:
+        assert_frames_match(a, b, "dupes")
+    msg = str(exc.value)
+    assert "x2 vs x1" in msg and "('1',)" in msg and "('2',)" in msg
+
+    import tools.verify_local as vl
+
+    lines = vl._diff_rows([("1",), ("1",), ("2",)], [("1",), ("2",), ("2",)])
+    assert any("x2 vs x1" in ln for ln in lines)
+    assert any("spark only" in ln for ln in lines)
+    assert any("oracle only" in ln for ln in lines)
+
+
 def test_driver_contract():
     import __spark_entry__ as entry_mod
 

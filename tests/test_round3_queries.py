@@ -397,6 +397,54 @@ def test_run_sql_caches_views_and_tracks_sf_dir(spark, tmp_path):
     run_sql(spark, SF_SMOKE, "SELECT 1")
 
 
+def test_run_sql_marker_is_session_scoped_and_heals_missing_views(spark, tmp_path):
+    """The registered-sf_dir marker lives in the session's OWN runtime conf
+    (the scope of the temp views it describes): a different session must
+    never be treated as registered just because another session at the same
+    address was (the id(spark)-keyed dict failed this after GC id reuse,
+    ADVICE r11). And a table file that APPEARS in sf_dir after first
+    registration must be picked up on a cache hit, not fail forever."""
+    from etl_ecommerce_data_spark.plans.sql_api import run_sql
+    from tests.conftest import SF_SMOKE
+
+    d = tmp_path / "late"
+    d.mkdir()
+    spark.range(3).selectExpr("id AS l_orderkey").write.parquet(
+        str(d / "lineitem.parquet")
+    )
+    assert run_sql(spark, str(d), "SELECT COUNT(*) c FROM lineitem").first()["c"] == 3
+
+    # a sibling session: separate temp views, separate conf — run_sql must
+    # register ITS views rather than trusting any other session's marker
+    # (even if the conf value was cloned, the views were not; the missing-
+    # view retry re-registers instead of failing TABLE_OR_VIEW_NOT_FOUND)
+    sibling = spark.newSession()
+    try:
+        got = run_sql(sibling, str(d), "SELECT COUNT(*) c FROM lineitem").first()["c"]
+        assert got == 3
+    finally:
+        sibling.catalog.clearCache()
+
+    # while orders.parquet is ABSENT from d, an orders query must fail
+    # loudly — NOT answer from a previously-registered dataset's leftover
+    # view (register_views drops views for absent tables)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        run_sql(spark, str(d), "SELECT COUNT(*) c FROM orders").first()
+
+    # orders.parquet appears AFTER the marker was set for this sf_dir: the
+    # cache-hit path must re-register once and serve it
+    spark.range(2).selectExpr("id AS o_orderkey").write.parquet(
+        str(d / "orders.parquet")
+    )
+    assert run_sql(spark, str(d), "SELECT COUNT(*) c FROM orders").first()["c"] == 2
+    # a genuinely unknown table still fails loudly (no infinite retry)
+    with _pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        run_sql(spark, str(d), "SELECT * FROM definitely_absent_table")
+    run_sql(spark, SF_SMOKE, "SELECT 1")
+
+
 def test_user_event_profile_sorts_by_type_not_rendered_string(spark, tmp_path):
     """The profile must order by event_type (the oracle's ORDER BY), not by
     the rendered 'type:count' strings — a type name with a character below

@@ -249,6 +249,47 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert back.count() == 100
 
 
+def test_superseded_prune_spares_sorted_variants(spark, tmp_path):
+    """ensure_bucketed_copy's superseded-tag prune must delete ONLY exact-tag
+    siblings (stale 8-hex source tags of the same layout). The unsorted
+    prefix ``bkt_{name}_{col}_{n}_`` is a strict string-prefix of every
+    sorted variant's name ``bkt_{name}_{col}_{n}_s{sort}_{tag}``, so a bare
+    startswith prune silently deleted a LIVE sorted copy's warehouse files
+    while its catalog entry survived (ADVICE r11, medium)."""
+    import os
+    from urllib.parse import urlparse
+
+    from etl_ecommerce_data_spark.sources.bucketing import ensure_bucketed_copy
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "part.txt").write_text("v1")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    os.makedirs(wh, exist_ok=True)
+    # a live SORTED variant of the same logical table (different layout,
+    # shares the unsorted name as a strict string-prefix) and a genuinely
+    # superseded unsorted tag (bare 8-hex remainder)
+    sorted_dir = os.path.join(wh, "bkt_tbprune_k_8_sk_deadbeef")
+    stale_dir = os.path.join(wh, "bkt_tbprune_k_8_deadbeef")
+    os.makedirs(sorted_dir, exist_ok=True)
+    os.makedirs(stale_dir, exist_ok=True)
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    try:
+        out = ensure_bucketed_copy(spark, df, str(src), "tbprune", "k", 8)
+        assert out.count() == 100
+        assert os.path.isdir(sorted_dir), "live sorted variant was pruned"
+        assert not os.path.isdir(stale_dir), "superseded exact-tag sibling kept"
+    finally:
+        for t in [
+            r.tableName for r in spark.sql("SHOW TABLES").collect()
+            if r.tableName.startswith("bkt_tbprune_")
+        ]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        import shutil
+
+        shutil.rmtree(sorted_dir, ignore_errors=True)
+
+
 def test_python_datasource_partitions_and_determinism(spark):
     """The custom Python DataSource: partition count drives task parallelism,
     every id appears exactly once across partitions, and two reads with the

@@ -965,3 +965,47 @@ def test_user_running_stats_tolerates_null_values(spark, tmp_path):
     got = {r["user_id"]: (r["n_events"], r["total_value"])
            for r in spark.table(name).collect()}
     assert got == {1: (2, 2.0), 2: (1, 3.5)}
+
+
+def test_scratch_root_sweeps_dead_siblings_and_registers_atexit():
+    """Pid-suffixed scratch roots must not leak (ADVICE r11): a dead
+    process's same-hash sibling is swept before staging, a live process's
+    sibling and non-pid-shaped names survive, and this process's root is
+    registered for atexit reclaim."""
+    import os
+    import subprocess
+    import tempfile
+
+    from etl_ecommerce_data_spark.streaming import events as ev
+
+    sf_dir = "/root/testdata/sf0.001"
+    tmp = tempfile.gettempdir()
+    import hashlib
+
+    base = f"upsert_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_"
+    # a genuinely dead pid: a child that has already exited and been reaped
+    p = subprocess.Popen(["sleep", "0"])
+    p.wait()
+    dead = os.path.join(tmp, f"{base}{p.pid}")
+    alive = os.path.join(tmp, f"{base}1")  # pid 1 always alive
+    oddball = os.path.join(tmp, f"{base}notapid")
+    for d in (dead, alive, oddball):
+        os.makedirs(d, exist_ok=True)
+    try:
+        root = ev._scratch_root("upsert_stream", sf_dir)
+        assert root == os.path.join(tmp, f"{base}{os.getpid()}")
+        assert root in ev._SCRATCH_ROOTS
+        assert ev._SCRATCH_ATEXIT_REGISTERED
+        assert not os.path.isdir(dead), "dead sibling not swept"
+        assert os.path.isdir(alive), "live (pid 1) sibling was deleted"
+        assert os.path.isdir(oddball), "non-pid-shaped name was deleted"
+        # the atexit hook reclaims this process's registered roots
+        os.makedirs(root, exist_ok=True)
+        ev._reclaim_scratch_roots()
+        assert not os.path.isdir(root)
+        assert root not in ev._SCRATCH_ROOTS
+    finally:
+        import shutil
+
+        for d in (dead, alive, oddball):
+            shutil.rmtree(d, ignore_errors=True)
