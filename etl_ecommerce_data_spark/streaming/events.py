@@ -1031,6 +1031,14 @@ def run_foreach_batch_upsert(
     :func:`_bucketed_upsert_batch` applies it idempotently. With the
     default ``root=None`` the table is scratch: a fixed temp path wiped at
     entry (the registry/oracle path, unchanged semantics).
+
+    Concurrent writers are REJECTED fast: an explicit root is guarded by
+    an exclusive pid-owned writer lock (sibling file ``<root>.writer.lock``)
+    held for the whole run — a second stream pointed at the same root
+    raises instead of racing the first's checkpoint offsets and bucket
+    rewrites (on a real cluster the table format's commit protocol owns
+    this; the lock is the single-node mirror of that contract). A lock
+    whose owning pid is dead is stale and taken over.
     """
     import os
     import shutil
@@ -1043,6 +1051,66 @@ def run_foreach_batch_upsert(
         # one process still reclaim their predecessor's scratch here
         root = _scratch_root("upsert_stream", sf_dir)
         shutil.rmtree(root, ignore_errors=True)
+        return _run_upsert_at_root(spark, sf_dir, num_buckets, root, explicit_root)
+    lock = _acquire_writer_lock(root)
+    try:
+        return _run_upsert_at_root(spark, sf_dir, num_buckets, root, explicit_root)
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _acquire_writer_lock(root: str) -> str:
+    """Exclusive writer lock for a durable upsert root (``<root>.writer.lock``
+    with the owner pid inside). A SIBLING of the root, not a child, so the
+    fresh path's rmtree(root) cannot drop it mid-run. Fails fast with
+    ValueError when a live process already holds it; a lock whose owner pid
+    is provably dead (crashed writer) is stale and taken over. An unreadable
+    or mid-write owner counts as live — err toward rejecting, never toward
+    two live streams sharing one checkpoint."""
+    import os
+
+    lock = root.rstrip("/") + ".writer.lock"
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(lock) as fh:
+                    owner = int(fh.read().strip() or "0")
+            except (OSError, ValueError):
+                owner = 0
+            if owner and owner != os.getpid() and not _pid_alive(owner):
+                try:
+                    os.unlink(lock)  # stale: the owning writer crashed
+                except FileNotFoundError:
+                    pass
+                continue
+            raise ValueError(
+                f"upsert root {root!r} already has a live writer "
+                f"(pid {owner or 'unknown'}, lock {lock!r}) — concurrent "
+                "streams on one root would corrupt its checkpoint; wait "
+                "for it to finish or pass a different root"
+            )
+        try:
+            os.write(fd, str(os.getpid()).encode())
+        finally:
+            os.close(fd)
+        return lock
+
+
+def _run_upsert_at_root(
+    spark: SparkSession,
+    sf_dir: str,
+    num_buckets: int,
+    root: str,
+    explicit_root: bool,
+) -> DataFrame:
+    import os
+    import shutil
+
     stage = os.path.join(root, "stage")
     ckpt = os.path.join(root, "ckpt")
     table_meta = os.path.join(root, "table.json")
