@@ -6099,78 +6099,76 @@ def q_linkage_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of window membership (tests/test_oracle_parity.py + the per-round
 # full-registry sf0.1 sweep recorded in SCALE.md).
 _SWEEP_FIRST = [
-    # Round-11 ordering (VERDICT r10 ask #1), planned with
-    # tools/window_planner.py --round 11 --changed stream_upsert_user_latest
-    #   --include value_percentiles,dedup_clusters
+    # Round-12 ordering (VERDICT r11 ask #1), planned with
+    # tools/window_planner.py --round 12 --changed salted_segment_revenue,
+    #   daily_sales_bucketed,stream_upsert_user_latest,
+    #   stream_session_windows,sql_segment_priority_revenue,
+    #   revenue_grouping_sets
     # and applied VERBATIM:
-    # (a) stream_upsert_user_latest first — its runner changed this round
-    #     (restart-durable bucketed snapshot: per-batch pointer-map
-    #     manifests, snap-dir pruning, checkpointed resume; VERDICT r10
-    #     ask #2) and changed code re-verifies in-window, no exceptions;
-    # (b) --include value_percentiles: VERDICT r10 ask #3 — the exact
-    #     percentile query now CO_ROTATEs with its rows-only approx sketch
-    #     and the gk floor, so the trio enters together;
-    # (c) --include dedup_clusters: without it the tail boundary admitted
-    #     dedup_clusters_baseline as a lone 50th single while deferring
-    #     its production twin — forcing the pair keeps CO_ROTATE groups
-    #     whole; the displaced daily_users_hll+hll_error_floor pair
-    #     defers WHOLE to round 12 instead (planner-warned);
-    # (d) the ENTIRE round-8-stale set (the 34 planner-flagged queries,
-    #     with CO_ROTATE pulling the similarity/embedding/simhash twins);
-    # (e) residual slots on the oldest r9-green rows, alphabetical.
-    # Planner-warned spill (steady-state at 132 queries / 50 slots): 36
-    # queries keep their r9 evidence this round and become round 12's
-    # mandatory rotation (36 < 50 — they all fit).
-    "stream_upsert_user_latest",
-    "value_percentiles",
-    "value_percentiles_approx",
-    "gk_percentile_floor",
-    "dedup_clusters",
-    "dedup_clusters_baseline",
-    "dedup_simhash_docs",
-    "dedup_simhash_complete",
-    "doc_chunks",
-    "doc_chunks_udtf",
-    "doc_rarity_score",
-    "embedding_gram_baseline",
-    "embedding_near_dup",
-    "embedding_near_dup_baseline",
-    "embedding_near_dup_recall",
-    "embedding_star_cap_floor",
-    "embedding_pca_variance",
-    "event_type_drift",
-    "events_by_type_day",
-    "linkage_block_cap_floor",
-    "merge_upsert_orders",
-    "nation_revenue",
-    "order_status_delivery",
-    "order_value_ranking_suite",
-    "product_performance",
-    "range_join_view_purchase",
+    # (a) the six --changed queries first — their operators changed this
+    #     round (salted_join's semi/anti aliases; the bucketed-copy
+    #     superseded-tag prune; the upsert runner's writer lock + scratch
+    #     reclaim; the sessionize scratch root; sql_api's session-conf
+    #     view marker + absent-view drop) and changed code re-verifies
+    #     in-window, no exceptions (two of the six were r9-mandatory
+    #     anyway);
+    # (b) the ENTIRE round-9-stale set (the 36 planner-flagged queries
+    #     VERDICT r11 named as this round's mandatory rotation, with
+    #     CO_ROTATE pulling hll_error_floor alongside daily_users_hll);
+    # (c) residual slots on the oldest r10-green rows, alphabetical.
+    # Planner-warned spill (steady-state at 132 queries / 50 slots): 34
+    # queries keep their r10 evidence this round and become round 13's
+    # mandatory rotation (34 < 50 — they all fit).
     "salted_segment_revenue",
-    "session_window_stats",
-    "similarity_ivf_recall",
-    "similarity_topk_ivf",
-    "similarity_lsh_recall",
-    "similarity_topk_lsh",
-    "similarity_topk",
-    "stream_dedup_events",
-    "stream_incremental_dedup",
+    "daily_sales_bucketed",
+    "stream_upsert_user_latest",
     "stream_session_windows",
-    "supplier_performance",
-    "text_normalize_dedup",
-    "text_pii_redact",
-    "user_value_ewma",
-    "vocab_stats",
-    "churned_customers",
-    "clean_customer",
-    "clean_lineitem",
-    "connector_roundtrip_orc_json",
-    "curate_corpus",
-    "customer_metrics",
-    "customers_no_orders",
-    "daily_activity_reconciliation",
-    "doc_fingerprints",
+    "sql_segment_priority_revenue",
+    "revenue_grouping_sets",
+    "daily_users_hll",
+    "hll_error_floor",
+    "doc_repetition_stats",
+    "doc_top_terms",
+    "embedding_quantize",
+    "event_counts_cms",
+    "events_sliding_10x5",
+    "funnel_conversion",
+    "inverted_index",
+    "language_rebalance_sample",
+    "multimodal_features",
+    "nation_daily_revenue_ma",
+    "pack_concat_chunks",
+    "price_histogram",
+    "priority_revenue_share",
+    "profile_orders",
+    "props_variant_stats",
+    "pydatasource_docs",
+    "region_supplier_volume",
+    "repeat_buyers_intersect",
+    "revenue_rollup",
+    "rfm_segments",
+    "status_latest_order",
+    "status_priority_unpivot",
+    "stream_events_windowed",
+    "stream_static_enrich",
+    "stream_user_stats_stateful",
+    "stream_view_purchase_join",
+    "text_langid",
+    "text_quality",
+    "tfidf_search",
+    "user_event_profile",
+    "user_event_scd2",
+    "zorder_layout_keys",
+    "asof_events_orders",
+    "basket_pairs",
+    "clean_orders",
+    "cohort_retention",
+    "compact_table_roundtrip",
+    "contamination_check",
+    "corpus_boilerplate_removal",
+    "corpus_split",
+    "csv_quarantine_split",
+    "curate_corpus_hygiene",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

@@ -1,0 +1,148 @@
+"""Restart-path drill for the durable bucketed upsert at N× scale.
+
+The decade series (tools/scale3x_experiment.py) measures the upsert's
+STEADY streaming cost at 10×/100×; the round-11 restart drill measured the
+RESUME path at sf0.1 only. This tool completes the durability story
+(VERDICT r11 ask #6): full run → forced crash at the expensive replay
+point (newest checkpoint commit AND its manifest dropped — the
+crash-before-manifest case, where the replayed batch's merge recomputes
+from the prior manifest's pointers) → resume, at an N× events corpus.
+
+The claim under test: restart cost scales with the REPLAYED BATCH's
+touched state, not table size — the property the per-batch manifests
+exist to buy. Evidence shape: resume wall ≪ full wall at every scale, and
+the resumed state is element-for-element identical to the full run's.
+
+Events staging mirrors scale3x_experiment.build_nx's events section
+(single pyarrow file, copy-strided event_id/user_id → disjoint user
+populations replaying the identical timeline); only events is staged —
+the upsert reads nothing else.
+
+Usage:
+    python tools/upsert_restart_drill.py [sf_dir] [n_copies]
+    # defaults: /root/testdata/sf0.001 100
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_ecommerce_data_spark.session import get_spark  # noqa: E402
+from etl_ecommerce_data_spark.streaming.events import (  # noqa: E402
+    _upsert_live_snaps,
+    run_foreach_batch_upsert,
+)
+
+SCRATCH = os.path.join(tempfile.gettempdir(), "upsert_restart_drill")
+ID_STRIDE = 10_000_000  # same disjointness stride as scale3x_experiment
+
+
+def build_nx_events(sf_dir: str, n_copies: int) -> str:
+    """Stage an N× events corpus as ONE parquet file (stream reader matches
+    the literal leaf name events.parquet; one file keeps the micro-batch
+    structure identical across scales). pyarrow preserves the source ts
+    encoding — the runner's kind probe handles either."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = os.path.join(SCRATCH, f"{n_copies}x")
+    os.makedirs(out, exist_ok=True)
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    eparts = [ev]
+    for i in range(1, n_copies):
+        e2 = ev.set_column(
+            ev.schema.get_field_index("event_id"), "event_id",
+            pc.add(ev["event_id"], i * ID_STRIDE),
+        )
+        e2 = e2.set_column(
+            e2.schema.get_field_index("user_id"), "user_id",
+            pc.add(e2["user_id"], i * ID_STRIDE),
+        )
+        eparts.append(e2)
+    pq.write_table(pa.concat_tables(eparts), os.path.join(out, "events.parquet"))
+    return out
+
+
+def drop_newest_commit_and_manifest(root: str) -> None:
+    """Forced crash at the expensive replay point: the newest checkpoint
+    commit marker AND its manifest are gone, so the resume must recompute
+    the replayed batch's merge from the prior manifest's pointers (the
+    crash-before-manifest path — restart B of the pytest matrix)."""
+    commits = os.path.join(root, "ckpt", "commits")
+    latest = max((f for f in os.listdir(commits) if not f.startswith(".")), key=int)
+    os.remove(os.path.join(commits, latest))
+    crc = os.path.join(commits, f".{latest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    mdir = os.path.join(root, "manifests")
+    latest_m = sorted(os.listdir(mdir))[-1]
+    assert json.load(open(os.path.join(mdir, latest_m)))["batch_id"] == int(latest)
+    os.remove(os.path.join(mdir, latest_m))
+
+
+def drill(spark, events_dir: str, tag: str) -> dict:
+    root = os.path.join(SCRATCH, f"root_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = time.perf_counter()
+    full = {
+        tuple(r)
+        for r in run_foreach_batch_upsert(spark, events_dir, root=root).collect()
+    }
+    t_full = time.perf_counter() - t0
+    drop_newest_commit_and_manifest(root)
+    t0 = time.perf_counter()
+    resumed = {
+        tuple(r)
+        # num_buckets deliberately wrong: resume must take the manifest's
+        for r in run_foreach_batch_upsert(
+            spark, events_dir, num_buckets=999, root=root
+        ).collect()
+    }
+    t_resume = time.perf_counter() - t0
+    assert resumed == full, f"{tag}: resumed state != full-run state"
+    on_disk = {d for d in os.listdir(root) if d.startswith("snap_")}
+    assert on_disk == _upsert_live_snaps(root), f"{tag}: unreferenced snaps on disk"
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "full_s": round(t_full, 2),
+        "resume_s": round(t_resume, 2),
+        "resume_over_full": round(t_resume / t_full, 3),
+        "state_rows": len(full),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    n_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH, exist_ok=True)
+    spark = get_spark("upsert_restart_drill")
+    # untimed warmup (scratch mode): the first streaming query of a session
+    # pays JVM/stream-engine startup that would otherwise inflate the 1×
+    # full-run wall and flatter every ratio derived from it
+    run_foreach_batch_upsert(spark, sf_dir).collect()
+    base = drill(spark, sf_dir, "1x")
+    nx_dir = build_nx_events(sf_dir, n_copies)
+    nx = drill(spark, nx_dir, f"{n_copies}x")
+    print(json.dumps({
+        "drill": "upsert_restart",
+        "sf_dir": sf_dir,
+        "n_copies": n_copies,
+        "base": base,
+        "nx": nx,
+        "state_rows_ratio": round(nx["state_rows"] / base["state_rows"], 2),
+        "resume_wall_ratio_nx_over_1x": round(nx["resume_s"] / base["resume_s"], 2),
+    }))
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
