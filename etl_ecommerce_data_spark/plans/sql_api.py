@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_ecommerce_data_spark.sources.registry import SYNTHETIC_SCHEMAS, load_table
@@ -64,11 +65,32 @@ def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
         return spark.sql(query)
     try:
         return spark.sql(query)
-    except Exception as exc:  # noqa: BLE001 — narrow re-raise below
+    except AnalysisException as exc:
         # A table file that APPEARED in sf_dir after the first registration
         # (register_views skips absent files) has no view yet on a cache
-        # hit. Re-register once and retry; anything else re-raises.
-        if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc):
+        # hit. Heal ONLY when (a) the failure is a missing relation — by
+        # error class, with a message-substring fallback for builds that
+        # render the text without the class token — and (b) some engine
+        # table's parquet is present but unregistered (a typo'd name would
+        # otherwise pay the full 11-view re-registration, events ts-kind
+        # probe included, before failing identically). Anything else
+        # re-raises unchanged.
+        cond = ""
+        for attr in ("getCondition", "getErrorClass"):  # 4.x / older alias
+            getter = getattr(exc, attr, None)
+            if callable(getter):
+                cond = getter() or ""
+                if cond:
+                    break
+        missing_relation = cond.startswith("TABLE_OR_VIEW_NOT_FOUND") or (
+            "TABLE_OR_VIEW_NOT_FOUND" in str(exc)
+        )
+        unregistered = any(
+            os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
+            and not spark.catalog.tableExists(n)
+            for n in SYNTHETIC_SCHEMAS
+        )
+        if not (missing_relation and unregistered):
             raise
         register_views(spark, sf_dir)
         return spark.sql(query)

@@ -46,12 +46,19 @@ _SCRATCH_ROOTS: set[str] = set()
 _SCRATCH_ATEXIT_REGISTERED = False
 
 
-def _reclaim_scratch_roots() -> None:
+def _reclaim_rootset(rootset: set[str]) -> None:
+    """Shared rmtree-and-discard loop behind the two atexit reclaim hooks
+    (scratch roots here, ingest roots below) — one implementation so a
+    future fix to the reclaim semantics cannot silently apply to only one."""
     import shutil
 
-    for root in list(_SCRATCH_ROOTS):
+    for root in list(rootset):
         shutil.rmtree(root, ignore_errors=True)
-        _SCRATCH_ROOTS.discard(root)
+        rootset.discard(root)
+
+
+def _reclaim_scratch_roots() -> None:
+    _reclaim_rootset(_SCRATCH_ROOTS)
 
 
 def _pid_alive(pid: int) -> bool:
@@ -1047,8 +1054,11 @@ def run_foreach_batch_upsert(
     if root is None:
         # pid-suffixed scratch (concurrent processes on one sf_dir must not
         # rmtree each other's staged batches mid-stream), atexit-reclaimed
-        # and dead-sibling-swept via _scratch_root; successive calls within
-        # one process still reclaim their predecessor's scratch here
+        # and dead-sibling-swept via _scratch_root. This rmtree is
+        # LOAD-BEARING, not duplicate cleanup: scratch mode promises a
+        # rebuild, and without the wipe a repeat call in one process would
+        # find its predecessor's manifests at the same pid-derived path and
+        # take the RESUME branch instead.
         root = _scratch_root("upsert_stream", sf_dir)
         shutil.rmtree(root, ignore_errors=True)
         return _run_upsert_at_root(spark, sf_dir, num_buckets, root, explicit_root)
@@ -1067,26 +1077,54 @@ def _acquire_writer_lock(root: str) -> str:
     with the owner pid inside). A SIBLING of the root, not a child, so the
     fresh path's rmtree(root) cannot drop it mid-run. Fails fast with
     ValueError when a live process already holds it; a lock whose owner pid
-    is provably dead (crashed writer) is stale and taken over. An unreadable
-    or mid-write owner counts as live — err toward rejecting, never toward
-    two live streams sharing one checkpoint."""
+    is provably dead (crashed writer) is stale and taken over.
+
+    Two crash/race windows are closed structurally (self-review r12):
+
+    - The claim is ``os.link(pid-tmp, lock)`` — atomic, and the lock file
+      APPEARS with its owner pid already inside. An O_EXCL-create-then-
+      write protocol had a kill window between the two syscalls that left
+      an empty lock no acquirer would ever classify as stale (permanent
+      denial of service on the root).
+    - Stale takeover is ``os.rename(lock, <uniquely-suffixed>)`` — exactly
+      ONE contender's rename succeeds, so two processes that both observed
+      the same dead owner cannot interleave unlink/recreate such that one
+      deletes the other's freshly-claimed LIVE lock (the TOCTOU that would
+      admit two writers to one checkpoint). The rename loser simply
+      retries and loses the subsequent claim race too.
+
+    An unreadable or pid-less owner counts as live — err toward rejecting,
+    never toward two live streams sharing one checkpoint (this protocol
+    never produces a content-less lock, so such a file is foreign)."""
     import os
 
     lock = root.rstrip("/") + ".writer.lock"
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+    tmp = f"{lock}.{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(os.getpid()))
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        while True:
+            try:
+                os.link(tmp, lock)  # atomic claim, pid already inside
+                return lock
+            except FileExistsError:
+                pass
             try:
                 with open(lock) as fh:
                     owner = int(fh.read().strip() or "0")
+            except FileNotFoundError:
+                continue  # released/taken over between link and read: retry
             except (OSError, ValueError):
                 owner = 0
             if owner and owner != os.getpid() and not _pid_alive(owner):
+                grave = f"{lock}.stale.{os.getpid()}"
                 try:
-                    os.unlink(lock)  # stale: the owning writer crashed
+                    os.rename(lock, grave)  # atomic: one contender wins
                 except FileNotFoundError:
-                    pass
+                    continue  # another contender won the takeover: retry
+                os.unlink(grave)
                 continue
             raise ValueError(
                 f"upsert root {root!r} already has a live writer "
@@ -1094,11 +1132,11 @@ def _acquire_writer_lock(root: str) -> str:
                 "streams on one root would corrupt its checkpoint; wait "
                 "for it to finish or pass a different root"
             )
+    finally:
         try:
-            os.write(fd, str(os.getpid()).encode())
-        finally:
-            os.close(fd)
-        return lock
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _run_upsert_at_root(
@@ -1243,11 +1281,7 @@ _INGEST_ATEXIT_REGISTERED = False
 
 
 def _reclaim_ingest_roots() -> None:
-    import shutil
-
-    for root in list(_INGEST_ROOTS):
-        shutil.rmtree(root, ignore_errors=True)
-        _INGEST_ROOTS.discard(root)
+    _reclaim_rootset(_INGEST_ROOTS)
 
 
 class IngestSnapshot:

@@ -48,26 +48,37 @@ def normalize(df) -> list[tuple[str, ...]]:
     return sorted(tuple(_cell(v) for v in row) for row in pdf.itertuples(index=False, name=None))
 
 
+def diff_rows(
+    s: list[tuple], o: list[tuple], limit: int = 3
+) -> tuple[list, list]:
+    """Rows present on only one side of two NORMALIZED row lists, capped at
+    ``limit`` per side. Set-difference, not positional zip: two
+    independently-sorted lists misalign from the first divergent row
+    onward, so a zip shows up to ``limit`` unrelated pairs instead of the
+    one actual regression. Each side's set is built ONCE (an
+    in-comprehension ``set(o)`` is O(rows²) stringify work on sf0.1-sized
+    frames), and when the frames differ only in duplicate-row MULTIPLICITY
+    both set-differences are empty — a Counter fallback reports the rows
+    whose counts disagree as ``(row, 'xN vs xM')`` pairs so the diff is
+    never silently empty. Shared by assert_frames_match and
+    tools/verify_local._diff_rows (one contract, one implementation)."""
+    o_set, s_set = set(o), set(s)
+    only_s = [r for r in s if r not in o_set][:limit]
+    only_o = [r for r in o if r not in s_set][:limit]
+    if not only_s and not only_o:
+        from collections import Counter
+
+        cs, co = Counter(s), Counter(o)
+        only_s = [(r, f"x{cs[r]} vs x{co[r]}") for r in cs if cs[r] > co[r]][:limit]
+        only_o = [(r, f"x{co[r]} vs x{cs[r]}") for r in co if co[r] > cs[r]][:limit]
+    return only_s, only_o
+
+
 def assert_frames_match(spark_df, oracle_df, name: str = "query") -> None:
     s, o = normalize(spark_df), normalize(oracle_df)
     assert len(s) == len(o), f"{name}: rowcount spark={len(s)} oracle={len(o)}"
     if s != o:
-        # set-difference, not positional zip: two independently-sorted lists
-        # misalign from the first divergent row onward, so a zip shows up
-        # to three unrelated pairs instead of the one actual regression.
-        # Sets are built ONCE (an in-comprehension set(o) is O(rows²)
-        # stringify work on sf0.1-sized frames), and when the frames differ
-        # only in duplicate-row MULTIPLICITY both set-differences are empty
-        # — fall back to a Counter diff so the message still shows rows.
-        o_set, s_set = set(o), set(s)
-        only_s = [r for r in s if r not in o_set][:3]
-        only_o = [r for r in o if r not in s_set][:3]
-        if not only_s and not only_o:
-            from collections import Counter
-
-            cs, co = Counter(s), Counter(o)
-            only_s = [(r, f"x{cs[r]} vs x{co[r]}") for r in cs if cs[r] > co[r]][:3]
-            only_o = [(r, f"x{co[r]} vs x{cs[r]}") for r in co if co[r] > cs[r]][:3]
+        only_s, only_o = diff_rows(s, o)
         raise AssertionError(
             f"{name}: value mismatch; spark-only rows: {only_s}; "
             f"oracle-only rows: {only_o}"

@@ -1032,6 +1032,15 @@ def test_upsert_rejects_concurrent_writer_and_takes_over_stale_lock(spark, tmp_p
         run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=8, root=root)
     assert open(lock).read() == "1", "a rejected call must not touch the lock"
 
+    # a content-less lock is FOREIGN (the link-based claim writes the pid
+    # before the lock appears, so this protocol never produces one):
+    # reject, don't guess stale
+    with open(lock, "w") as fh:
+        pass
+    with pytest.raises(ValueError, match="pid unknown"):
+        run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=8, root=root)
+    os.unlink(lock)
+
     # stale writer (reaped child): take over and run to completion
     p = subprocess.Popen(["sleep", "0"])
     p.wait()
@@ -1040,3 +1049,4 @@ def test_upsert_rejects_concurrent_writer_and_takes_over_stale_lock(spark, tmp_p
     out = run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=8, root=root)
     assert out.count() > 0
     assert not os.path.exists(lock), "lock must be released after the run"
+    assert not os.path.exists(f"{lock}.{os.getpid()}.tmp"), "pid-tmp leaked"

@@ -33,26 +33,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from etl_ecommerce_data_spark.plans.queries import QUERIES  # noqa: E402
 from etl_ecommerce_data_spark.session import get_spark  # noqa: E402
 from etl_ecommerce_data_spark.testing import (  # noqa: E402
+    diff_rows,
     duckdb_connection,
     normalize,
 )
 
 
 def _diff_rows(s: list[tuple], o: list[tuple], limit: int = 3) -> list[str]:
-    """Set-difference diff: rows present on only one side. A positional zip
-    over two independently-sorted lists misaligns on the first divergence
-    and prints unrelated pairs, sending the debugger to the wrong rows."""
-    o_set, s_set = set(o), set(s)  # built once — not per comprehension row
-    only_s = [r for r in s if r not in o_set][:limit]
-    only_o = [r for r in o if r not in s_set][:limit]
-    if not only_s and not only_o:
-        # frames differing only in duplicate-row MULTIPLICITY have empty
-        # set-differences; show the rows whose counts disagree instead
-        from collections import Counter
-
-        cs, co = Counter(s), Counter(o)
-        only_s = [(r, f"x{cs[r]} vs x{co[r]}") for r in cs if cs[r] > co[r]][:limit]
-        only_o = [(r, f"x{co[r]} vs x{cs[r]}") for r in co if co[r] > cs[r]][:limit]
+    """Render testing.diff_rows (the one shared diff implementation —
+    set-difference with a duplicate-multiplicity Counter fallback) as
+    indented report lines."""
+    only_s, only_o = diff_rows(s, o, limit)
     out = [f"    spark only : {r}" for r in only_s]
     out += [f"    oracle only: {r}" for r in only_o]
     return out
