@@ -1040,12 +1040,13 @@ def run_foreach_batch_upsert(
     entry (the registry/oracle path, unchanged semantics).
 
     Concurrent writers are REJECTED fast: an explicit root is guarded by
-    an exclusive pid-owned writer lock (sibling file ``<root>.writer.lock``)
-    held for the whole run — a second stream pointed at the same root
-    raises instead of racing the first's checkpoint offsets and bucket
-    rewrites (on a real cluster the table format's commit protocol owns
-    this; the lock is the single-node mirror of that contract). A lock
-    whose owning pid is dead is stale and taken over.
+    an exclusive kernel flock (sibling file ``<root>.writer.lock``) held
+    for the whole run — a second stream pointed at the same root raises
+    instead of racing the first's checkpoint offsets and bucket rewrites
+    (on a real cluster the table format's commit protocol owns this; the
+    lock is the single-node mirror of that contract). A crashed writer's
+    lock is released by the kernel automatically — no staleness
+    heuristics, no permanent brick.
     """
     import os
     import shutil
@@ -1062,81 +1063,67 @@ def run_foreach_batch_upsert(
         root = _scratch_root("upsert_stream", sf_dir)
         shutil.rmtree(root, ignore_errors=True)
         return _run_upsert_at_root(spark, sf_dir, num_buckets, root, explicit_root)
-    lock = _acquire_writer_lock(root)
+    lock_fd = _acquire_writer_lock(root)
     try:
         return _run_upsert_at_root(spark, sf_dir, num_buckets, root, explicit_root)
     finally:
-        try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass
+        _release_writer_lock(lock_fd)
 
 
-def _acquire_writer_lock(root: str) -> str:
-    """Exclusive writer lock for a durable upsert root (``<root>.writer.lock``
-    with the owner pid inside). A SIBLING of the root, not a child, so the
-    fresh path's rmtree(root) cannot drop it mid-run. Fails fast with
-    ValueError when a live process already holds it; a lock whose owner pid
-    is provably dead (crashed writer) is stale and taken over.
+def _acquire_writer_lock(root: str) -> int:
+    """Exclusive writer lock for a durable upsert root: a kernel ``flock``
+    on ``<root>.writer.lock`` (a SIBLING of the root, so the fresh path's
+    rmtree(root) cannot drop it mid-run). Returns the open fd HOLDING the
+    lock; the caller releases by closing it (:func:`_release_writer_lock`).
 
-    Two crash/race windows are closed structurally (self-review r12):
+    The kernel lock is the whole protocol — two earlier pid-file designs
+    (O_EXCL create-then-write, then link-from-pid-tmp with rename-based
+    takeover) each left a race: the last one let a contender that had read
+    the OLD stale lock rename away a FRESHLY-CLAIMED live lock decided
+    between its read and its rename (caught by the multi-process race
+    test). ``flock`` has none of these windows: acquisition is a single
+    atomic syscall, a crashed holder's lock is released by the kernel
+    automatically (no staleness heuristics, no pid liveness guessing, no
+    permanent brick from a half-written file), and contenders never
+    modify each other's state. The file content (owner pid) is purely
+    diagnostic for the rejection message. The lock file itself is NEVER
+    unlinked — removing it while a waiter holds an fd to the old inode
+    would let two processes lock two different inodes at one path.
 
-    - The claim is ``os.link(pid-tmp, lock)`` — atomic, and the lock file
-      APPEARS with its owner pid already inside. An O_EXCL-create-then-
-      write protocol had a kill window between the two syscalls that left
-      an empty lock no acquirer would ever classify as stale (permanent
-      denial of service on the root).
-    - Stale takeover is ``os.rename(lock, <uniquely-suffixed>)`` — exactly
-      ONE contender's rename succeeds, so two processes that both observed
-      the same dead owner cannot interleave unlink/recreate such that one
-      deletes the other's freshly-claimed LIVE lock (the TOCTOU that would
-      admit two writers to one checkpoint). The rename loser simply
-      retries and loses the subsequent claim race too.
-
-    An unreadable or pid-less owner counts as live — err toward rejecting,
-    never toward two live streams sharing one checkpoint (this protocol
-    never produces a content-less lock, so such a file is foreign)."""
+    Advisory + single-node by design: every writer goes through this
+    function, and on a real cluster the table format's commit protocol
+    owns multi-writer coordination (module docstring scale note)."""
+    import fcntl
     import os
 
     lock = root.rstrip("/") + ".writer.lock"
-    tmp = f"{lock}.{os.getpid()}.tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(os.getpid()))
-        fh.flush()
-        os.fsync(fh.fileno())
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
     try:
-        while True:
-            try:
-                os.link(tmp, lock)  # atomic claim, pid already inside
-                return lock
-            except FileExistsError:
-                pass
-            try:
-                with open(lock) as fh:
-                    owner = int(fh.read().strip() or "0")
-            except FileNotFoundError:
-                continue  # released/taken over between link and read: retry
-            except (OSError, ValueError):
-                owner = 0
-            if owner and owner != os.getpid() and not _pid_alive(owner):
-                grave = f"{lock}.stale.{os.getpid()}"
-                try:
-                    os.rename(lock, grave)  # atomic: one contender wins
-                except FileNotFoundError:
-                    continue  # another contender won the takeover: retry
-                os.unlink(grave)
-                continue
-            raise ValueError(
-                f"upsert root {root!r} already has a live writer "
-                f"(pid {owner or 'unknown'}, lock {lock!r}) — concurrent "
-                "streams on one root would corrupt its checkpoint; wait "
-                "for it to finish or pass a different root"
-            )
-    finally:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
         try:
-            os.unlink(tmp)
-        except FileNotFoundError:
-            pass
+            owner = os.read(fd, 64).decode("ascii", "replace").strip() or "unknown"
+        except OSError:
+            owner = "unknown"
+        os.close(fd)
+        raise ValueError(
+            f"upsert root {root!r} already has a live writer "
+            f"(pid {owner}, lock {lock!r}) — concurrent streams on one "
+            "root would corrupt its checkpoint; wait for it to finish or "
+            "pass a different root"
+        ) from None
+    os.ftruncate(fd, 0)
+    os.write(fd, str(os.getpid()).encode())
+    return fd
+
+
+def _release_writer_lock(fd: int) -> None:
+    """Closing the fd drops the kernel flock (last close of the open file
+    description releases it; process death does the same — that is the
+    crash-safety story)."""
+    import os
+
+    os.close(fd)
 
 
 def _run_upsert_at_root(

@@ -1011,42 +1011,126 @@ def test_scratch_root_sweeps_dead_siblings_and_registers_atexit():
             shutil.rmtree(d, ignore_errors=True)
 
 
-def test_upsert_rejects_concurrent_writer_and_takes_over_stale_lock(spark, tmp_path):
+def test_upsert_rejects_concurrent_writer_and_recovers_after_crash(spark, tmp_path):
     """Two streams pointed at one durable root must not race the same
-    checkpoint: while a LIVE process holds the writer lock the second call
-    fails fast with ValueError (VERDICT r11 ask #6). A lock left by a DEAD
-    writer (crash) is stale — taken over, the run proceeds, and the lock is
-    released afterwards. Clean completion also removes the lock."""
+    checkpoint: while a LIVE writer holds the kernel flock the second call
+    fails fast with ValueError carrying the owner pid (VERDICT r11 ask
+    #6). A crashed writer's flock is released by the kernel (closing the
+    fd models it), so a leftover lock FILE with a dead writer's pid inside
+    is no obstacle — the run proceeds. The lock file itself is NEVER
+    unlinked (removing it while a waiter holds an fd to the old inode
+    would let two processes lock different inodes at one path)."""
+    import fcntl
     import os
-    import subprocess
 
     from etl_ecommerce_data_spark.streaming.events import run_foreach_batch_upsert
 
     root = str(tmp_path / "tbl")
     lock = root + ".writer.lock"
 
-    # live writer (pid 1 is always alive): reject, and leave the lock alone
-    with open(lock, "w") as fh:
-        fh.write("1")
-    with pytest.raises(ValueError, match="live writer"):
-        run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=8, root=root)
-    assert open(lock).read() == "1", "a rejected call must not touch the lock"
+    # live writer: hold the flock ourselves (different fd, same conflict
+    # domain) and stamp a recognizable pid for the diagnostic message
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    os.write(fd, b"424242")
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(ValueError, match="live writer.*424242"):
+            run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=8, root=root)
+    finally:
+        os.close(fd)  # "crash": kernel releases the lock with the fd
 
-    # a content-less lock is FOREIGN (the link-based claim writes the pid
-    # before the lock appears, so this protocol never produces one):
-    # reject, don't guess stale
-    with open(lock, "w") as fh:
-        pass
-    with pytest.raises(ValueError, match="pid unknown"):
-        run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=8, root=root)
-    os.unlink(lock)
-
-    # stale writer (reaped child): take over and run to completion
-    p = subprocess.Popen(["sleep", "0"])
-    p.wait()
-    with open(lock, "w") as fh:
-        fh.write(str(p.pid))
+    # crashed writer: the stale pid is still in the FILE, but no kernel
+    # lock is held — the new run acquires and completes
+    assert open(lock).read() == "424242"
     out = run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=8, root=root)
     assert out.count() > 0
-    assert not os.path.exists(lock), "lock must be released after the run"
-    assert not os.path.exists(f"{lock}.{os.getpid()}.tmp"), "pid-tmp leaked"
+    assert os.path.exists(lock), "the lock file is persistent by design"
+    assert open(lock).read() == str(os.getpid()), "owner stamp not updated"
+    # no scratch siblings from the lock protocol
+    leftovers = [f for f in os.listdir(tmp_path) if ".writer.lock." in f]
+    assert leftovers == []
+
+
+def _lock_race_worker(root, barrier, q):
+    """Module-level so multiprocessing can pickle it under the spawn start
+    method (spawn, not fork: forking a pytest process that holds capture/
+    py4j threads can deadlock the child on inherited locks — the flake
+    shows up as a silent worker and a queue timeout). Race to acquire the
+    writer lock, hold it briefly, report the held interval; ANY exception
+    is reported, never swallowed into a hang."""
+    import os
+    import time
+
+    try:
+        from etl_ecommerce_data_spark.streaming.events import (
+            _acquire_writer_lock,
+            _release_writer_lock,
+        )
+
+        barrier.wait(timeout=60)
+        try:
+            fd = _acquire_writer_lock(root)
+        except ValueError:
+            q.put(("rejected", None, None))
+            return
+        t0 = time.monotonic()
+        time.sleep(0.3)
+        t1 = time.monotonic()
+        _release_writer_lock(fd)
+        q.put(("acquired", t0, t1))
+    except BaseException as exc:  # noqa: BLE001 — diagnostic channel
+        q.put(("error", repr(exc), None))
+        raise
+
+
+def test_writer_lock_mutual_exclusion_under_stale_takeover_race(tmp_path):
+    """Four PROCESSES simultaneously contend for a root whose lock FILE was
+    left by a dead writer (stale pid inside, no kernel lock held). The
+    mutual-exclusion contract: acquires may happen SEQUENTIALLY (a worker
+    that tries after the holder released is legitimate), but no two held
+    intervals may ever overlap — overlap means two live streams on one
+    checkpoint. This very test caught the two pid-file protocols that
+    preceded the kernel flock (a contender that had read the old stale
+    lock could rename away a freshly-claimed LIVE lock); with flock the
+    exclusion is a kernel guarantee. monotonic clocks are system-wide on
+    Linux, so intervals compare across processes."""
+    import multiprocessing as mp
+    import os
+    import subprocess
+
+    root = str(tmp_path / "tbl")
+    p = subprocess.Popen(["sleep", "0"])
+    p.wait()
+    with open(root + ".writer.lock", "w") as fh:
+        fh.write(str(p.pid))  # stale: owner is dead — everyone may take over
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(4)
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_lock_race_worker, args=(root, barrier, q))
+        for _ in range(4)
+    ]
+    for pr in procs:
+        pr.start()
+    results = [q.get(timeout=120) for _ in procs]
+    for pr in procs:
+        pr.join(timeout=30)
+    errors = [r for r in results if r[0] == "error"]
+    assert not errors, f"workers crashed: {errors}"
+    acquired = sorted(
+        (t0, t1) for kind, t0, t1 in results if kind == "acquired"
+    )
+    assert acquired, f"nobody acquired a provably-stale lock: {results}"
+    for (a0, a1), (b0, b1) in zip(acquired, acquired[1:]):
+        assert a1 <= b0, (
+            f"two live writers held the lock concurrently: "
+            f"({a0},{a1}) overlaps ({b0},{b1})"
+        )
+    assert os.path.exists(root + ".writer.lock"), "lock file is persistent"
+    # the protocol creates no scratch siblings (no pid-tmps, no graves)
+    leftovers = [
+        f for f in os.listdir(tmp_path)
+        if ".writer.lock." in f
+    ]
+    assert leftovers == [], f"lock-protocol scratch files leaked: {leftovers}"
