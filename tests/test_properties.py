@@ -846,3 +846,38 @@ def test_linkage_blocked_pairs_match_python_model(spark, docs):
         ).collect()
     }
     assert got == expect
+
+
+@given(
+    s=st.lists(st.tuples(st.sampled_from("abcd")), max_size=30),
+    o=st.lists(st.tuples(st.sampled_from("abcd")), max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_diff_rows_reports_iff_multisets_differ(s, o):
+    """The shared mismatch diff (testing.diff_rows): some row is reported
+    IFF the two sides differ AS MULTISETS — equal multisets yield an empty
+    diff, a pure set-level difference is reported directly, and a
+    multiplicity-only difference reaches the Counter fallback instead of
+    silently reporting nothing (the ADVICE r11 hole)."""
+    from collections import Counter
+
+    from etl_ecommerce_data_spark.testing import diff_rows
+
+    s, o = sorted(s), sorted(o)  # callers pass normalize() output (sorted)
+    only_s, only_o = diff_rows(s, o)
+    if Counter(s) == Counter(o):
+        assert only_s == [] and only_o == []
+    else:
+        assert only_s or only_o
+        # every reported plain row really is one-sided; every Counter-pair
+        # row really differs in count
+        for r in only_s:
+            if isinstance(r, tuple) and len(r) == 2 and isinstance(r[1], str) and r[1].startswith("x"):
+                assert Counter(s)[r[0]] > Counter(o)[r[0]]
+            else:
+                assert r in s and r not in o
+        for r in only_o:
+            if isinstance(r, tuple) and len(r) == 2 and isinstance(r[1], str) and r[1].startswith("x"):
+                assert Counter(o)[r[0]] > Counter(s)[r[0]]
+            else:
+                assert r in o and r not in s
