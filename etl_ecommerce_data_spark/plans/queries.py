@@ -6099,76 +6099,73 @@ def q_linkage_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of window membership (tests/test_oracle_parity.py + the per-round
 # full-registry sf0.1 sweep recorded in SCALE.md).
 _SWEEP_FIRST = [
-    # Round-12 ordering (VERDICT r11 ask #1), planned with
-    # tools/window_planner.py --round 12 --changed salted_segment_revenue,
-    #   daily_sales_bucketed,stream_upsert_user_latest,
-    #   stream_session_windows,sql_segment_priority_revenue,
-    #   revenue_grouping_sets
+    # Round-13 ordering (VERDICT r12 ask #1), planned with
+    # tools/window_planner.py --round 13 --changed daily_sales_bucketed,
+    #   stream_upsert_user_latest,revenue_grouping_sets,
+    #   sql_segment_priority_revenue
     # and applied VERBATIM:
-    # (a) the six --changed queries first — their operators changed this
-    #     round (salted_join's semi/anti aliases; the bucketed-copy
-    #     superseded-tag prune; the upsert runner's writer lock + scratch
-    #     reclaim; the sessionize scratch root; sql_api's session-conf
-    #     view marker + absent-view drop) and changed code re-verifies
-    #     in-window, no exceptions (two of the six were r9-mandatory
-    #     anyway);
-    # (b) the ENTIRE round-9-stale set (the 36 planner-flagged queries
-    #     VERDICT r11 named as this round's mandatory rotation, with
-    #     CO_ROTATE pulling hll_error_floor alongside daily_users_hll);
-    # (c) residual slots on the oldest r10-green rows, alphabetical.
-    # Planner-warned spill (steady-state at 132 queries / 50 slots): 34
-    # queries keep their r10 evidence this round and become round 13's
-    # mandatory rotation (34 < 50 — they all fit).
-    "salted_segment_revenue",
+    # (a) the four --changed queries first — their operators changed this
+    #     round (the bucketed-copy prune's identity digest + live-catalog
+    #     guard; the writer-lock rejection message; sql_api's heal
+    #     narrowed to the relation the error names) and changed code
+    #     re-verifies in-window, no exceptions;
+    # (b) the ENTIRE round-10-stale set (the 35 planner-flagged queries
+    #     VERDICT r12 named as this round's mandatory rotation, CO_ROTATE
+    #     pulling the minhash/cross-corpus twins along);
+    # (c) residual slots on the oldest r11-green rows, alphabetical.
+    # Planner-warned spill (steady-state at 132 queries / 50 slots): 33
+    # queries keep their r11 evidence this round and become round 14's
+    # mandatory rotation (33 < 50 — they all fit).
     "daily_sales_bucketed",
     "stream_upsert_user_latest",
-    "stream_session_windows",
-    "sql_segment_priority_revenue",
     "revenue_grouping_sets",
-    "daily_users_hll",
-    "hll_error_floor",
-    "doc_repetition_stats",
-    "doc_top_terms",
-    "embedding_quantize",
-    "event_counts_cms",
-    "events_sliding_10x5",
-    "funnel_conversion",
-    "inverted_index",
-    "language_rebalance_sample",
-    "multimodal_features",
-    "nation_daily_revenue_ma",
-    "pack_concat_chunks",
-    "price_histogram",
-    "priority_revenue_share",
-    "profile_orders",
-    "props_variant_stats",
-    "pydatasource_docs",
-    "region_supplier_volume",
-    "repeat_buyers_intersect",
-    "revenue_rollup",
-    "rfm_segments",
-    "status_latest_order",
-    "status_priority_unpivot",
-    "stream_events_windowed",
-    "stream_static_enrich",
-    "stream_user_stats_stateful",
-    "stream_view_purchase_join",
-    "text_langid",
-    "text_quality",
-    "tfidf_search",
-    "user_event_profile",
-    "user_event_scd2",
-    "zorder_layout_keys",
-    "asof_events_orders",
-    "basket_pairs",
-    "clean_orders",
-    "cohort_retention",
-    "compact_table_roundtrip",
-    "contamination_check",
-    "corpus_boilerplate_removal",
-    "corpus_split",
-    "csv_quarantine_split",
-    "curate_corpus_hygiene",
+    "sql_segment_priority_revenue",
+    "curation_funnel",
+    "daily_distinct_users",
+    "daily_revenue_anomaly",
+    "daily_sales",
+    "daily_value_gapfilled",
+    "dedup_cross_corpus",
+    "dedup_cross_corpus_recall",
+    "dedup_cross_corpus_baseline",
+    "dedup_exact_docs",
+    "dedup_minhash_docs",
+    "dedup_minhash_recall",
+    "dedup_star_cap_floor",
+    "dedup_minhash_bucket_stats",
+    "dedup_ngram_jaccard_baseline",
+    "event_type_distinct_props",
+    "events_tumbling_5min",
+    "linkage_block_stats",
+    "linkage_fuzzy_docs",
+    "multimodal_meta",
+    "olist_customer_metrics",
+    "olist_daily_sales",
+    "olist_delivery_performance",
+    "olist_product_performance",
+    "olist_satisfaction_metrics",
+    "olist_seller_performance",
+    "one_time_buyers_except",
+    "part_brand_size_cube",
+    "pricing_summary",
+    "props_json_stats",
+    "sessionize_events",
+    "status_priority_pivot",
+    "suppliers_with_sales",
+    "text_stats",
+    "text_tokens_bpe",
+    "top_parts_per_brand",
+    "churned_customers",
+    "clean_customer",
+    "clean_lineitem",
+    "connector_roundtrip_orc_json",
+    "curate_corpus",
+    "customer_metrics",
+    "customers_no_orders",
+    "daily_activity_reconciliation",
+    "dedup_clusters",
+    "dedup_clusters_baseline",
+    "dedup_simhash_complete",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

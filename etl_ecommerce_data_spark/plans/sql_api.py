@@ -17,6 +17,7 @@ concurrent multi-dataset SQL.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
@@ -85,10 +86,22 @@ def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
         missing_relation = cond.startswith("TABLE_OR_VIEW_NOT_FOUND") or (
             "TABLE_OR_VIEW_NOT_FOUND" in str(exc)
         )
+        # Narrow the 'unregistered' probe to the relation the error NAMES
+        # (Spark renders it backtick-quoted, possibly qualified): a typo'd
+        # relation must not pay the full 11-view re-registration — events
+        # ts-kind probe included — only to fail identically (ADVICE r12).
+        # If no backticked name parses out (message shape drift), fall back
+        # to the broad any-table probe rather than refusing a real heal.
+        named = [
+            m.split(".")[-1].lower() for m in re.findall(r"`([^`]+)`", str(exc))
+        ]
+        candidates = [n for n in named if n in SYNTHETIC_SCHEMAS] or (
+            list(SYNTHETIC_SCHEMAS) if not named else []
+        )
         unregistered = any(
             os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
             and not spark.catalog.tableExists(n)
-            for n in SYNTHETIC_SCHEMAS
+            for n in candidates
         )
         if not (missing_relation and unregistered):
             raise

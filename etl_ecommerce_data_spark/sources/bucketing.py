@@ -112,7 +112,18 @@ def ensure_bucketed_copy(
     # reuse a copy sorted on the wrong column (same cache-identity class
     # as the IVF index's column-keyed table names)
     srt = f"_s{sort_col}" if sort_col else ""
-    prefix = f"bkt_{name}_{bucket_col}_{num_buckets}{srt}_"
+    # The identity digest closes the underscore-ambiguity hole in the
+    # human-readable part: '_' is legal inside name/bucket_col, so two
+    # DIFFERENT logical tables can share the readable prefix string
+    # (name='a', col='b_c', n=8 and name='a_b', col='c', n=8 both render
+    # 'bkt_a_b_c_8_') — a live sibling of the other table with a bare
+    # 8-hex tag would then be pruned below while its catalog entry
+    # survives (ADVICE r12). Hashing the identity TUPLE with a
+    # non-identifier delimiter makes prefix equality imply tuple equality.
+    ident = hashlib.md5(
+        "\x1f".join([name, bucket_col, str(num_buckets), sort_col or ""]).encode()
+    ).hexdigest()[:8]
+    prefix = f"bkt_{name}_{bucket_col}_{num_buckets}{srt}_{ident}_"
     table = f"{prefix}{tag}"
     if not spark.catalog.tableExists(table):
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
@@ -129,17 +140,23 @@ def ensure_bucketed_copy(
             shutil.rmtree(os.path.join(wh.path, table.lower()), ignore_errors=True)
             if os.path.isdir(wh.path):
                 for d in os.listdir(wh.path):
-                    # Exact-tag siblings only: the unsorted prefix
-                    # bkt_{name}_{col}_{n}_ is a strict string-prefix of
-                    # every sorted variant bkt_{name}_{col}_{n}_s{sort}_{tag},
-                    # so a bare startswith prune here would delete a LIVE
-                    # sorted copy's warehouse files while its catalog entry
-                    # survives. The remainder after the prefix must be a
-                    # bare 8-hex source tag — nothing else is superseded.
+                    # Exact-tag siblings only: the remainder after the
+                    # prefix must be a bare 8-hex source tag (a sorted
+                    # variant's name continues with _s{sort}_, not hex),
+                    # and the prefix itself embeds the identity digest, so
+                    # matching ⇒ same (name, bucket_col, n, sort) tuple —
+                    # never a live sibling of a DIFFERENT logical table
+                    # that happens to share the readable prefix. Dirs with
+                    # a live catalog entry are skipped outright: a
+                    # same-session regeneration's old copy may still back
+                    # an unevaluated DataFrame, and deleting files out
+                    # from under a live entry is the exact failure class
+                    # this prune exists to avoid.
                     if (
                         d.startswith(prefix.lower())
                         and d != table.lower()
                         and re.fullmatch(r"[0-9a-f]{8}", d[len(prefix):])
+                        and not spark.catalog.tableExists(d)
                     ):
                         shutil.rmtree(os.path.join(wh.path, d), ignore_errors=True)
         write_bucketed_table(df, table, bucket_col, num_buckets, sort_col=sort_col)

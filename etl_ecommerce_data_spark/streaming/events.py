@@ -1101,6 +1101,10 @@ def _acquire_writer_lock(root: str) -> int:
     try:
         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
     except OSError:
+        # Best-effort owner read, for the message only: the winner writes
+        # its pid AFTER acquiring, so a contender that loses inside that
+        # window reads an empty or stale pid — exclusion is unaffected
+        # (the kernel lock decided it), hence the '~' in the message.
         try:
             owner = os.read(fd, 64).decode("ascii", "replace").strip() or "unknown"
         except OSError:
@@ -1108,9 +1112,9 @@ def _acquire_writer_lock(root: str) -> int:
         os.close(fd)
         raise ValueError(
             f"upsert root {root!r} already has a live writer "
-            f"(pid {owner}, lock {lock!r}) — concurrent streams on one "
-            "root would corrupt its checkpoint; wait for it to finish or "
-            "pass a different root"
+            f"(pid ~{owner}, best-effort read; lock {lock!r}) — concurrent "
+            "streams on one root would corrupt its checkpoint; wait for it "
+            "to finish or pass a different root"
         ) from None
     os.ftruncate(fd, 0)
     os.write(fd, str(os.getpid()).encode())

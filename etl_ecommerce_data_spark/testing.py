@@ -59,8 +59,11 @@ def diff_rows(
     in-comprehension ``set(o)`` is O(rows²) stringify work on sf0.1-sized
     frames), and when the frames differ only in duplicate-row MULTIPLICITY
     both set-differences are empty — a Counter fallback reports the rows
-    whose counts disagree as ``(row, 'xN vs xM')`` pairs so the diff is
-    never silently empty. Shared by assert_frames_match and
+    whose counts disagree as pre-formatted ``'{row} xN vs xM'`` STRINGS so
+    the diff is never silently empty. Strings, not ``(row, 'xN vs xM')``
+    tuples: a genuine data row that happens to be a 2-tuple whose second
+    element starts with 'x' would be ambiguous with a multiplicity entry
+    in the rendered diff (ADVICE r12). Shared by assert_frames_match and
     tools/verify_local._diff_rows (one contract, one implementation)."""
     o_set, s_set = set(o), set(s)
     only_s = [r for r in s if r not in o_set][:limit]
@@ -69,8 +72,8 @@ def diff_rows(
         from collections import Counter
 
         cs, co = Counter(s), Counter(o)
-        only_s = [(r, f"x{cs[r]} vs x{co[r]}") for r in cs if cs[r] > co[r]][:limit]
-        only_o = [(r, f"x{co[r]} vs x{cs[r]}") for r in co if co[r] > cs[r]][:limit]
+        only_s = [f"{r} x{cs[r]} vs x{co[r]}" for r in cs if cs[r] > co[r]][:limit]
+        only_o = [f"{r} x{co[r]} vs x{cs[r]}" for r in co if co[r] > cs[r]][:limit]
     return only_s, only_o
 
 

@@ -856,9 +856,12 @@ def test_linkage_blocked_pairs_match_python_model(spark, docs):
 def test_diff_rows_reports_iff_multisets_differ(s, o):
     """The shared mismatch diff (testing.diff_rows): some row is reported
     IFF the two sides differ AS MULTISETS — equal multisets yield an empty
-    diff, a pure set-level difference is reported directly, and a
-    multiplicity-only difference reaches the Counter fallback instead of
-    silently reporting nothing (the ADVICE r11 hole)."""
+    diff, a pure set-level difference is reported directly (as the row
+    tuple itself), and a multiplicity-only difference reaches the Counter
+    fallback, which renders pre-formatted STRINGS (ADVICE r12: a string
+    can never collide with a data-row tuple, so no shape heuristic is
+    needed to tell the two apart — a plain isinstance check suffices)."""
+    import re
     from collections import Counter
 
     from etl_ecommerce_data_spark.testing import diff_rows
@@ -869,15 +872,20 @@ def test_diff_rows_reports_iff_multisets_differ(s, o):
         assert only_s == [] and only_o == []
     else:
         assert only_s or only_o
-        # every reported plain row really is one-sided; every Counter-pair
-        # row really differs in count
-        for r in only_s:
-            if isinstance(r, tuple) and len(r) == 2 and isinstance(r[1], str) and r[1].startswith("x"):
-                assert Counter(s)[r[0]] > Counter(o)[r[0]]
-            else:
-                assert r in s and r not in o
-        for r in only_o:
-            if isinstance(r, tuple) and len(r) == 2 and isinstance(r[1], str) and r[1].startswith("x"):
-                assert Counter(o)[r[0]] > Counter(s)[r[0]]
-            else:
-                assert r in o and r not in s
+        # every reported plain row really is one-sided; every Counter
+        # multiplicity entry is a rendered string whose counts agree with
+        # a real count disagreement in the declared direction
+        for reported, mine, theirs in ((only_s, s, o), (only_o, o, s)):
+            for r in reported:
+                if isinstance(r, str):
+                    m = re.fullmatch(r"(.*) x(\d+) vs x(\d+)", r)
+                    assert m, f"unparseable multiplicity entry: {r!r}"
+                    row = next(
+                        row for row in Counter(mine) if f"{row}" == m.group(1)
+                    )
+                    assert Counter(mine)[row] == int(m.group(2))
+                    assert Counter(theirs)[row] == int(m.group(3))
+                    assert int(m.group(2)) > int(m.group(3))
+                else:
+                    assert isinstance(r, tuple)
+                    assert r in mine and r not in theirs

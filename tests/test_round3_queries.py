@@ -433,11 +433,20 @@ def test_run_sql_marker_is_session_scoped_and_heals_missing_views(spark, tmp_pat
     with _pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
         run_sql(spark, str(d), "SELECT COUNT(*) c FROM orders").first()
 
-    # orders.parquet appears AFTER the marker was set for this sf_dir: the
-    # cache-hit path must re-register once and serve it
+    # orders.parquet appears AFTER the marker was set for this sf_dir. A
+    # TYPO'd relation must NOT trigger the heal just because orders is
+    # present-but-unregistered (ADVICE r12: the heal is keyed to the
+    # relation the error NAMES): after the typo fails, orders still has
+    # no view — the full 11-view re-registration was not paid.
     spark.range(2).selectExpr("id AS o_orderkey").write.parquet(
         str(d / "orders.parquet")
     )
+    with _pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        run_sql(spark, str(d), "SELECT * FROM definitely_absent_table")
+    assert not spark.catalog.tableExists("orders"), (
+        "typo'd relation paid the full re-registration"
+    )
+    # ...but a query NAMING the late-arriving table heals on the cache hit
     assert run_sql(spark, str(d), "SELECT COUNT(*) c FROM orders").first()["c"] == 2
     # a genuinely unknown table still fails loudly (no infinite retry)
     with _pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):

@@ -249,13 +249,22 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert back.count() == 100
 
 
+def _bkt_ident(name: str, col: str, n: int, sort_col: str | None = None) -> str:
+    """Mirror ensure_bucketed_copy's identity digest (the tests build
+    warehouse dirs by hand, so they must mint names the same way)."""
+    import hashlib
+
+    return hashlib.md5(
+        "\x1f".join([name, col, str(n), sort_col or ""]).encode()
+    ).hexdigest()[:8]
+
+
 def test_superseded_prune_spares_sorted_variants(spark, tmp_path):
     """ensure_bucketed_copy's superseded-tag prune must delete ONLY exact-tag
     siblings (stale 8-hex source tags of the same layout). The unsorted
-    prefix ``bkt_{name}_{col}_{n}_`` is a strict string-prefix of every
-    sorted variant's name ``bkt_{name}_{col}_{n}_s{sort}_{tag}``, so a bare
-    startswith prune silently deleted a LIVE sorted copy's warehouse files
-    while its catalog entry survived (ADVICE r11, medium)."""
+    prefix is a strict string-prefix of every sorted variant's name, so a
+    bare startswith prune silently deleted a LIVE sorted copy's warehouse
+    files while its catalog entry survived (ADVICE r11, medium)."""
     import os
     from urllib.parse import urlparse
 
@@ -266,11 +275,14 @@ def test_superseded_prune_spares_sorted_variants(spark, tmp_path):
     (src / "part.txt").write_text("v1")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     os.makedirs(wh, exist_ok=True)
+    ident = _bkt_ident("tbprune", "k", 8)
     # a live SORTED variant of the same logical table (different layout,
     # shares the unsorted name as a strict string-prefix) and a genuinely
-    # superseded unsorted tag (bare 8-hex remainder)
-    sorted_dir = os.path.join(wh, "bkt_tbprune_k_8_sk_deadbeef")
-    stale_dir = os.path.join(wh, "bkt_tbprune_k_8_deadbeef")
+    # superseded unsorted tag (bare 8-hex remainder after the identity)
+    sorted_dir = os.path.join(
+        wh, f"bkt_tbprune_k_8_sk_{_bkt_ident('tbprune', 'k', 8, 'k')}_deadbeef"
+    )
+    stale_dir = os.path.join(wh, f"bkt_tbprune_k_8_{ident}_deadbeef")
     os.makedirs(sorted_dir, exist_ok=True)
     os.makedirs(stale_dir, exist_ok=True)
     df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
@@ -288,6 +300,65 @@ def test_superseded_prune_spares_sorted_variants(spark, tmp_path):
         import shutil
 
         shutil.rmtree(sorted_dir, ignore_errors=True)
+
+
+def test_superseded_prune_spares_underscore_ambiguous_sibling(spark, tmp_path):
+    """Underscores are legal in name/bucket_col, so two DIFFERENT logical
+    tables can share the readable prefix string: name='amb', col='b_c', n=8
+    and name='amb_b', col='c', n=8 both render 'bkt_amb_b_c_8_'. Before the
+    identity digest, a live sibling of the OTHER table with a bare 8-hex tag
+    was rmtree'd while its catalog entry survived (ADVICE r12). With the
+    digest in the prefix, the prune must spare it — and a same-session live
+    catalog entry is spared even under an exact-identity prefix match."""
+    import os
+    from urllib.parse import urlparse
+
+    from etl_ecommerce_data_spark.sources.bucketing import ensure_bucketed_copy
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "part.txt").write_text("v1")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    os.makedirs(wh, exist_ok=True)
+    # the OTHER logical table's dir: same readable prefix, different
+    # identity tuple → different digest → must survive the prune
+    other_dir = os.path.join(
+        wh, f"bkt_amb_b_c_8_{_bkt_ident('amb_b', 'c', 8)}_deadbeef"
+    )
+    # a superseded tag of the SAME identity → must be pruned
+    stale_dir = os.path.join(
+        wh, f"bkt_amb_b_c_8_{_bkt_ident('amb', 'b_c', 8)}_deadbeef"
+    )
+    os.makedirs(other_dir, exist_ok=True)
+    os.makedirs(stale_dir, exist_ok=True)
+    df = spark.range(0, 50).selectExpr("id AS b_c", "id * 2 AS v")
+    try:
+        out = ensure_bucketed_copy(spark, df, str(src), "amb", "b_c", 8)
+        assert out.count() == 50
+        assert os.path.isdir(other_dir), "ambiguous OTHER-table sibling pruned"
+        assert not os.path.isdir(stale_dir), "superseded same-identity tag kept"
+        # live-catalog guard: regenerate the source so a NEW tag is minted
+        # while the old table's catalog entry is still live in this session
+        (src / "part.txt").write_text("v2-regenerated")
+        live_old = [
+            r.tableName for r in spark.sql("SHOW TABLES").collect()
+            if r.tableName.startswith("bkt_amb_b_c_8_")
+        ]
+        assert len(live_old) == 1
+        out2 = ensure_bucketed_copy(spark, df, str(src), "amb", "b_c", 8)
+        assert out2.count() == 50
+        assert os.path.isdir(os.path.join(wh, live_old[0])), (
+            "prune deleted warehouse files out from under a live catalog entry"
+        )
+    finally:
+        for t in [
+            r.tableName for r in spark.sql("SHOW TABLES").collect()
+            if r.tableName.startswith("bkt_amb_")
+        ]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        import shutil
+
+        shutil.rmtree(other_dir, ignore_errors=True)
 
 
 def test_python_datasource_partitions_and_determinism(spark):

@@ -1134,3 +1134,92 @@ def test_writer_lock_mutual_exclusion_under_stale_takeover_race(tmp_path):
         if ".writer.lock." in f
     ]
     assert leftovers == [], f"lock-protocol scratch files leaked: {leftovers}"
+
+
+def _midbatch_writer_worker(root, q):
+    """Module-level for spawn pickling (see _lock_race_worker). Models the
+    FIRST writer mid-batch: acquires the REAL writer lock through the
+    production code path, reports readiness, then blocks until SIGKILLed —
+    so no cleanup code of ours runs and only the kernel can release the
+    flock. ANY exception is reported, never swallowed into a hang."""
+    import time
+
+    try:
+        from etl_ecommerce_data_spark.streaming.events import _acquire_writer_lock
+
+        _acquire_writer_lock(root)
+        q.put(("locked", None))
+        time.sleep(600)  # SIGKILLed long before this expires
+    except BaseException as exc:  # noqa: BLE001 — diagnostic channel
+        q.put(("error", repr(exc)))
+        raise
+
+
+def test_upsert_crash_under_concurrency_releases_lock_and_resumes(spark, tmp_path):
+    """VERDICT r12 ask #7 — the COMPOSED failure the three individual drills
+    (crash/restart, restart-at-100x, concurrent-writer rejection) left
+    uncovered: a durable root sits in crash-before-manifest state while
+    its writer is still alive mid-batch; a second writer's acquisition is
+    rejected WHILE the first lives; the first is then SIGKILLed (no
+    Python cleanup runs — the kernel alone releases the flock); and the
+    second writer then acquires the SAME root and resumes it to exactly
+    the clean run's state, end-to-end through run_foreach_batch_upsert."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    from etl_ecommerce_data_spark.streaming.events import (
+        _upsert_live_snaps,
+        run_foreach_batch_upsert,
+    )
+
+    root = str(tmp_path / "tbl")
+    expected = {
+        tuple(r)
+        for r in run_foreach_batch_upsert(
+            spark, SF_SMOKE, num_buckets=8, root=root
+        ).collect()
+    }
+    assert expected
+
+    # Surgery: drop the newest commit AND its manifest — the on-disk state
+    # a writer killed mid-batch (before its manifest landed) leaves behind;
+    # the resume must recompute that batch from the prior manifest.
+    commits = os.path.join(root, "ckpt", "commits")
+    latest = max((f for f in os.listdir(commits) if not f.startswith(".")), key=int)
+    os.remove(os.path.join(commits, latest))
+    crc = os.path.join(commits, f".{latest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    mdir = os.path.join(root, "manifests")
+    latest_m = sorted(os.listdir(mdir))[-1]
+    assert json.load(open(os.path.join(mdir, latest_m)))["batch_id"] == int(latest)
+    os.remove(os.path.join(mdir, latest_m))
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    writer_a = ctx.Process(target=_midbatch_writer_worker, args=(root, q))
+    writer_a.start()
+    try:
+        kind, detail = q.get(timeout=120)
+        assert kind == "locked", f"writer A failed to acquire: {detail}"
+        # Second writer while A is live mid-batch: fail-fast rejection
+        # carrying A's (best-effort) pid — not a hang, not a takeover.
+        with pytest.raises(ValueError, match=f"live writer.*{writer_a.pid}"):
+            run_foreach_batch_upsert(spark, SF_SMOKE, num_buckets=8, root=root)
+    finally:
+        writer_a.kill()  # SIGKILL: the crash; only the kernel releases
+        writer_a.join(timeout=30)
+
+    # The kernel released A's flock on death; the second writer acquires
+    # the same root and resumes. num_buckets deliberately wrong: resume
+    # must take the manifest's layout, proving it's a real resume.
+    resumed = {
+        tuple(r)
+        for r in run_foreach_batch_upsert(
+            spark, SF_SMOKE, num_buckets=999, root=root
+        ).collect()
+    }
+    assert resumed == expected, "post-crash resume diverged from clean state"
+    on_disk = {d for d in os.listdir(root) if d.startswith("snap_")}
+    assert on_disk == _upsert_live_snaps(root), "unreferenced snaps on disk"

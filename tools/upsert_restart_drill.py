@@ -49,25 +49,27 @@ def build_nx_events(sf_dir: str, n_copies: int) -> str:
     the literal leaf name events.parquet; one file keeps the micro-batch
     structure identical across scales). pyarrow preserves the source ts
     encoding — the runner's kind probe handles either."""
-    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     out = os.path.join(SCRATCH, f"{n_copies}x")
     os.makedirs(out, exist_ok=True)
     ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    eparts = [ev]
-    for i in range(1, n_copies):
-        e2 = ev.set_column(
-            ev.schema.get_field_index("event_id"), "event_id",
-            pc.add(ev["event_id"], i * ID_STRIDE),
-        )
-        e2 = e2.set_column(
-            e2.schema.get_field_index("user_id"), "user_id",
-            pc.add(e2["user_id"], i * ID_STRIDE),
-        )
-        eparts.append(e2)
-    pq.write_table(pa.concat_tables(eparts), os.path.join(out, "events.parquet"))
+    # Stream one stride at a time into a single ParquetWriter: the tool
+    # accepts any sf_dir, and materializing all n_copies tables for one
+    # concat is a peak-RSS cliff at 100 copies of a larger base
+    # (ADVICE r12) — peak memory is now one copy, not n_copies.
+    with pq.ParquetWriter(os.path.join(out, "events.parquet"), ev.schema) as w:
+        for i in range(n_copies):
+            e2 = ev.set_column(
+                ev.schema.get_field_index("event_id"), "event_id",
+                pc.add(ev["event_id"], i * ID_STRIDE),
+            )
+            e2 = e2.set_column(
+                e2.schema.get_field_index("user_id"), "user_id",
+                pc.add(e2["user_id"], i * ID_STRIDE),
+            )
+            w.write_table(e2)
     return out
 
 
