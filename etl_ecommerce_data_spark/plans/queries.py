@@ -6099,73 +6099,72 @@ def q_linkage_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of window membership (tests/test_oracle_parity.py + the per-round
 # full-registry sf0.1 sweep recorded in SCALE.md).
 _SWEEP_FIRST = [
-    # Round-13 ordering (VERDICT r12 ask #1), planned with
-    # tools/window_planner.py --round 13 --changed daily_sales_bucketed,
-    #   stream_upsert_user_latest,revenue_grouping_sets,
-    #   sql_segment_priority_revenue
+    # Round-14 ordering (VERDICT r13 ask #1), planned with
+    # tools/window_planner.py --round 14 --changed daily_sales_bucketed,
+    #   revenue_grouping_sets,sql_segment_priority_revenue
     # and applied VERBATIM:
-    # (a) the four --changed queries first — their operators changed this
-    #     round (the bucketed-copy prune's identity digest + live-catalog
-    #     guard; the writer-lock rejection message; sql_api's heal
-    #     narrowed to the relation the error names) and changed code
-    #     re-verifies in-window, no exceptions;
-    # (b) the ENTIRE round-10-stale set (the 35 planner-flagged queries
-    #     VERDICT r12 named as this round's mandatory rotation, CO_ROTATE
-    #     pulling the minhash/cross-corpus twins along);
-    # (c) residual slots on the oldest r11-green rows, alphabetical.
-    # Planner-warned spill (steady-state at 132 queries / 50 slots): 33
-    # queries keep their r11 evidence this round and become round 14's
-    # mandatory rotation (33 < 50 — they all fit).
+    # (a) the three --changed queries first — their operators changed this
+    #     round (the bucketed-copy legacy prune gained an mtime age gate,
+    #     ADVICE r13 #1; run_sql's heal gained the decoration-only broad-
+    #     probe fallback via _heal_candidates, ADVICE r13 #2) and changed
+    #     code re-verifies in-window, no exceptions;
+    # (b) the ENTIRE round-11-stale set (the 33 planner-flagged queries
+    #     VERDICT r13 named as this round's mandatory rotation, CO_ROTATE
+    #     pulling the simhash/embedding/similarity/percentile twins along);
+    # (c) residual slots on the oldest r12-green rows, alphabetical.
+    # Planner-warned spill (steady-state at 132 queries / 50 slots): 36
+    # queries keep their r12 evidence this round and become round 15's
+    # mandatory rotation (36 < 50 — they all fit).
     "daily_sales_bucketed",
-    "stream_upsert_user_latest",
     "revenue_grouping_sets",
     "sql_segment_priority_revenue",
-    "curation_funnel",
-    "daily_distinct_users",
-    "daily_revenue_anomaly",
-    "daily_sales",
-    "daily_value_gapfilled",
-    "dedup_cross_corpus",
-    "dedup_cross_corpus_recall",
-    "dedup_cross_corpus_baseline",
-    "dedup_exact_docs",
-    "dedup_minhash_docs",
-    "dedup_minhash_recall",
-    "dedup_star_cap_floor",
-    "dedup_minhash_bucket_stats",
-    "dedup_ngram_jaccard_baseline",
-    "event_type_distinct_props",
-    "events_tumbling_5min",
-    "linkage_block_stats",
-    "linkage_fuzzy_docs",
-    "multimodal_meta",
-    "olist_customer_metrics",
-    "olist_daily_sales",
-    "olist_delivery_performance",
-    "olist_product_performance",
-    "olist_satisfaction_metrics",
-    "olist_seller_performance",
-    "one_time_buyers_except",
-    "part_brand_size_cube",
-    "pricing_summary",
-    "props_json_stats",
-    "sessionize_events",
-    "status_priority_pivot",
-    "suppliers_with_sales",
-    "text_stats",
-    "text_tokens_bpe",
-    "top_parts_per_brand",
-    "churned_customers",
-    "clean_customer",
-    "clean_lineitem",
-    "connector_roundtrip_orc_json",
-    "curate_corpus",
-    "customer_metrics",
-    "customers_no_orders",
-    "daily_activity_reconciliation",
-    "dedup_clusters",
-    "dedup_clusters_baseline",
+    "dedup_simhash_docs",
     "dedup_simhash_complete",
+    "doc_chunks",
+    "doc_chunks_udtf",
+    "doc_fingerprints",
+    "doc_rarity_score",
+    "embedding_gram_baseline",
+    "embedding_near_dup",
+    "embedding_near_dup_baseline",
+    "embedding_near_dup_recall",
+    "embedding_star_cap_floor",
+    "embedding_pca_variance",
+    "event_type_drift",
+    "events_by_type_day",
+    "gk_percentile_floor",
+    "linkage_block_cap_floor",
+    "merge_upsert_orders",
+    "nation_revenue",
+    "order_status_delivery",
+    "order_value_ranking_suite",
+    "product_performance",
+    "range_join_view_purchase",
+    "session_window_stats",
+    "similarity_ivf_recall",
+    "similarity_topk_ivf",
+    "similarity_lsh_recall",
+    "similarity_topk_lsh",
+    "similarity_topk",
+    "stream_dedup_events",
+    "stream_incremental_dedup",
+    "supplier_performance",
+    "text_normalize_dedup",
+    "text_pii_redact",
+    "user_value_ewma",
+    "value_percentiles",
+    "value_percentiles_approx",
+    "vocab_stats",
+    "asof_events_orders",
+    "basket_pairs",
+    "clean_orders",
+    "cohort_retention",
+    "compact_table_roundtrip",
+    "contamination_check",
+    "corpus_boilerplate_removal",
+    "corpus_split",
+    "csv_quarantine_split",
+    "curate_corpus_hygiene",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

@@ -60,6 +60,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     return registered
 
 
+def _heal_candidates(named: list[str], query: str) -> list[str]:
+    """Which engine tables the missing-relation heal should probe, given the
+    lowercased last-segment names parsed from the error's backticks.
+
+    - A parsed name that IS an engine table → probe exactly it (the narrow
+      r12 path: a cache-hit heal touches one name, not eleven).
+    - A parsed name that is NOT an engine table but DOES appear in the query
+      text → it is the typo'd relation itself; no engine table can satisfy
+      the query, so refuse the heal without paying any probe (ADVICE r12).
+    - No parsed name, or only names absent from the query (a future message
+      shape that backtick-quotes a suggestion or config identifier while
+      rendering the relation unquoted) → the parse told us nothing about the
+      relation; fall back to the broad all-tables probe rather than refusing
+      a legitimate heal (ADVICE r13). The broad probe is 11 cheap
+      exists/tableExists checks — re-registration is only paid when some
+      table really is present-but-unregistered.
+    """
+    schema_named = [n for n in named if n in SYNTHETIC_SCHEMAS]
+    if schema_named:
+        return schema_named
+    q = query.lower()
+    if any(n in q for n in named):
+        return []
+    return list(SYNTHETIC_SCHEMAS)
+
+
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     if spark.conf.get(_REGISTERED_KEY, None) != sf_dir:
         register_views(spark, sf_dir)
@@ -94,14 +120,10 @@ def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
         # (Spark renders it backtick-quoted, possibly qualified): a typo'd
         # relation must not pay the full 11-view re-registration — events
         # ts-kind probe included — only to fail identically (ADVICE r12).
-        # If no backticked name parses out (message shape drift), fall back
-        # to the broad any-table probe rather than refusing a real heal.
         named = [
             m.split(".")[-1].lower() for m in re.findall(r"`([^`]+)`", str(exc))
         ]
-        candidates = [n for n in named if n in SYNTHETIC_SCHEMAS] or (
-            list(SYNTHETIC_SCHEMAS) if not named else []
-        )
+        candidates = _heal_candidates(named, query)
         unregistered = any(
             os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
             and not spark.catalog.tableExists(n)

@@ -19,9 +19,30 @@ import hashlib
 import os
 import re
 import shutil
+import time
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Pre-digest legacy-layout dirs (bare 8-hex right after the readable prefix,
+# no identity digest) are pruned only once this old: the readable prefix is
+# underscore-ambiguous across logical tables and the live-catalog guard
+# below is SESSION-local, so a freshly-written legacy dir could in principle
+# belong to a concurrent session still running pre-digest code sharing the
+# warehouse (ADVICE r13). Legacy dirs stopped being CREATED when the digest
+# layout shipped, so anything older than this window is genuinely abandoned;
+# a younger one is spared until it ages past the window (the prune re-runs
+# on every cache miss, so sparing is a deferral, not a leak).
+_LEGACY_PRUNE_MIN_AGE_SEC = 3600.0
+
+
+def _dir_age_sec(path: str) -> float:
+    """Seconds since ``path``'s mtime; 0.0 (never old enough to prune) if the
+    stat races with a concurrent delete."""
+    try:
+        return max(0.0, time.time() - os.stat(path).st_mtime)
+    except OSError:
+        return 0.0
 
 
 def write_bucketed_table(
@@ -163,7 +184,16 @@ def ensure_bucketed_copy(
                     # same-session regeneration's old copy may still back
                     # an unevaluated DataFrame, and deleting files out
                     # from under a live entry is the exact failure class
-                    # this prune exists to avoid.
+                    # this prune exists to avoid. That skip bounds
+                    # in-session growth at one full table copy per
+                    # same-session source regeneration (ADVICE r13): the
+                    # skipped copies' catalog entries die with the
+                    # session, so the NEXT session's prune reclaims them
+                    # all — the warehouse never grows without bound
+                    # across sessions, only within one session's chain of
+                    # regenerations (rare outside tests; dropping the
+                    # superseded entry eagerly instead would break any
+                    # not-yet-evaluated DataFrame still pointing at it).
                     # Two superseded shapes: the current digest'd layout
                     # (remainder after prefix is a bare 8-hex source tag)
                     # and the PRE-DIGEST legacy layout (bare 8-hex right
@@ -172,15 +202,25 @@ def ensure_bucketed_copy(
                     # old regeneration forever, the exact growth this
                     # prune exists to prevent). The legacy match reopens
                     # the underscore ambiguity ONLY for dirs whose
-                    # catalog entry is already gone — any live sibling,
-                    # same table or ambiguous other, is spared by the
-                    # tableExists guard.
+                    # catalog entry is already gone in THIS session — the
+                    # tableExists guard is session-local, so an ambiguous
+                    # other table live in a DIFFERENT session sharing the
+                    # warehouse is invisible to it (ADVICE r13). Hence
+                    # the age gate: legacy-shape dirs are pruned only
+                    # past _LEGACY_PRUNE_MIN_AGE_SEC, old enough that no
+                    # concurrent pre-digest writer can have just minted
+                    # them. Digest'd-layout dirs need no age gate —
+                    # their prefix match already implies identity-tuple
+                    # equality, so only a stale tag of THIS exact table
+                    # can match.
                     superseded = (
                         d.startswith(prefix.lower())
                         and re.fullmatch(r"[0-9a-f]{8}", d[len(prefix):])
                     ) or (
                         d.startswith(legacy_prefix.lower())
                         and re.fullmatch(r"[0-9a-f]{8}", d[len(legacy_prefix):])
+                        and _dir_age_sec(os.path.join(wh.path, d))
+                        > _LEGACY_PRUNE_MIN_AGE_SEC
                     )
                     if (
                         superseded

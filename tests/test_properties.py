@@ -880,9 +880,22 @@ def test_diff_rows_reports_iff_multisets_differ(s, o):
                 if isinstance(r, str):
                     m = re.fullmatch(r"(.*) x(\d+) vs x(\d+)", r)
                     assert m, f"unparseable multiplicity entry: {r!r}"
-                    row = next(
+                    # recover the row from its rendering — and insist the
+                    # rendering is unambiguous first: two distinct rows with
+                    # equal str() (e.g. 1 vs True under a future strategy)
+                    # would otherwise let next() pick the WRONG row and
+                    # flake the count assertions (ADVICE r13). The current
+                    # strategy (tuples of single chars) renders injectively,
+                    # so this fails loudly only if the strategy changes.
+                    matches = [
                         row for row in Counter(mine) if f"{row}" == m.group(1)
+                    ]
+                    assert len(matches) == 1, (
+                        f"rendered row {m.group(1)!r} maps to {len(matches)} "
+                        "Counter keys — strategy generates str()-colliding "
+                        "rows; make the recovery repr-unique"
                     )
+                    row = matches[0]
                     assert Counter(mine)[row] == int(m.group(2))
                     assert Counter(theirs)[row] == int(m.group(3))
                     assert int(m.group(2)) > int(m.group(3))

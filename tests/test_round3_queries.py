@@ -459,6 +459,40 @@ def test_run_sql_marker_is_session_scoped_and_heals_missing_views(spark, tmp_pat
     run_sql(spark, SF_SMOKE, "SELECT 1")
 
 
+def test_heal_candidates_contract():
+    """The missing-relation heal's probe-set policy (ADVICE r12 + r13):
+    engine-table names probe narrowly; a non-engine name present in the
+    query text is the typo'd relation itself (refuse without probing); a
+    backtick parse that yields nothing usable about the query — no names,
+    or only message decoration like a suggestion/config identifier absent
+    from the query — falls back to the broad all-tables probe instead of
+    refusing a legitimate heal."""
+    from etl_ecommerce_data_spark.plans.sql_api import _heal_candidates
+    from etl_ecommerce_data_spark.sources.registry import SYNTHETIC_SCHEMAS
+
+    q = "SELECT COUNT(*) c FROM orders JOIN lineitem USING (o_orderkey)"
+    # engine-table name parsed → narrow probe, even alongside decoration
+    assert _heal_candidates(["orders"], q) == ["orders"]
+    assert _heal_candidates(["spark.sql.ansi.enabled", "orders"], q) == ["orders"]
+    # typo'd relation (non-engine, present in the query) → refuse outright
+    assert _heal_candidates(
+        ["definitely_absent_table"],
+        "SELECT * FROM definitely_absent_table",
+    ) == []
+    # nothing backticked → broad probe (pre-r12 fallback, unchanged)
+    assert _heal_candidates([], q) == list(SYNTHETIC_SCHEMAS)
+    # decoration-only backticks (identifier absent from the query): the
+    # parse says nothing about the relation → broad probe, not a refusal
+    assert _heal_candidates(["spark.sql.ansi.enabled"], q) == list(
+        SYNTHETIC_SCHEMAS
+    )
+    # qualified names are matched by their last segment, lowercased by the
+    # caller; the query match is case-insensitive
+    assert _heal_candidates(
+        ["mytypo"], "SELECT * FROM MyTypo"
+    ) == []
+
+
 def test_user_event_profile_sorts_by_type_not_rendered_string(spark, tmp_path):
     """The profile must order by event_type (the oracle's ORDER BY), not by
     the rendered 'type:count' strings — a type name with a character below

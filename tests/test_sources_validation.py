@@ -265,9 +265,13 @@ def test_superseded_prune_spares_sorted_variants(spark, tmp_path):
     bare startswith prune silently deleted a LIVE sorted copy's warehouse
     files while its catalog entry survived (ADVICE r11, medium)."""
     import os
+    import time
     from urllib.parse import urlparse
 
-    from etl_ecommerce_data_spark.sources.bucketing import ensure_bucketed_copy
+    from etl_ecommerce_data_spark.sources.bucketing import (
+        _LEGACY_PRUNE_MIN_AGE_SEC,
+        ensure_bucketed_copy,
+    )
 
     src = tmp_path / "src"
     src.mkdir()
@@ -283,13 +287,24 @@ def test_superseded_prune_spares_sorted_variants(spark, tmp_path):
     )
     stale_dir = os.path.join(wh, f"bkt_tbprune_k_8_{ident}_deadbeef")
     # PRE-DIGEST legacy shapes: a superseded unsorted legacy tag (must be
-    # pruned — otherwise pre-upgrade copies leak one table per old
-    # regeneration forever) and a legacy SORTED variant (must survive the
-    # unsorted call's prune, same as the digest'd sorted variant)
+    # pruned once PAST THE AGE GATE — otherwise pre-upgrade copies leak one
+    # table per old regeneration forever), a legacy SORTED variant (must
+    # survive the unsorted call's prune, same as the digest'd sorted
+    # variant), and a FRESH legacy-shape dir (must be spared: the legacy
+    # prefix is underscore-ambiguous and the live-catalog guard is
+    # session-local, so a young legacy dir could belong to a concurrent
+    # pre-digest session sharing the warehouse — ADVICE r13)
     legacy_stale = os.path.join(wh, "bkt_tbprune_k_8_deadbeef")
     legacy_sorted = os.path.join(wh, "bkt_tbprune_k_8_sk_deadbeef")
-    for d in (sorted_dir, stale_dir, legacy_stale, legacy_sorted):
+    legacy_fresh = os.path.join(wh, "bkt_tbprune_k_8_beefdead")
+    for d in (sorted_dir, stale_dir, legacy_stale, legacy_sorted, legacy_fresh):
         os.makedirs(d, exist_ok=True)
+    # age the prunable legacy dir past the gate; legacy_fresh keeps its
+    # just-created mtime (the digest'd stale_dir needs no aging — identity
+    # in the prefix means no cross-table ambiguity, so no age gate applies)
+    old = time.time() - 2 * _LEGACY_PRUNE_MIN_AGE_SEC
+    os.utime(legacy_stale, (old, old))
+    os.utime(legacy_sorted, (old, old))
     df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
     try:
         out = ensure_bucketed_copy(spark, df, str(src), "tbprune", "k", 8)
@@ -298,6 +313,10 @@ def test_superseded_prune_spares_sorted_variants(spark, tmp_path):
         assert not os.path.isdir(stale_dir), "superseded exact-tag sibling kept"
         assert not os.path.isdir(legacy_stale), "pre-digest legacy copy kept"
         assert os.path.isdir(legacy_sorted), "legacy sorted variant was pruned"
+        assert os.path.isdir(legacy_fresh), (
+            "fresh legacy-shape dir pruned inside the age window — it could "
+            "be a concurrent pre-digest session's live ambiguous sibling"
+        )
     finally:
         for t in [
             r.tableName for r in spark.sql("SHOW TABLES").collect()
@@ -308,6 +327,7 @@ def test_superseded_prune_spares_sorted_variants(spark, tmp_path):
 
         shutil.rmtree(sorted_dir, ignore_errors=True)
         shutil.rmtree(legacy_sorted, ignore_errors=True)
+        shutil.rmtree(legacy_fresh, ignore_errors=True)
 
 
 def test_superseded_prune_spares_underscore_ambiguous_sibling(spark, tmp_path):
