@@ -13,6 +13,17 @@ touched state, not table size — the property the per-batch manifests
 exist to buy. Evidence shape: resume wall ≪ full wall at every scale, and
 the resumed state is element-for-element identical to the full run's.
 
+Round 14 (VERDICT r13 ask #7) composes the last untested durability pair
+ON THE N×-SCALE ROOT: after the plain crash/resume, the root is put back
+into crash-before-manifest state while a LIVE writer holds the real
+flock mid-batch; a second writer's acquisition must fail fast while the
+first lives; the first is SIGKILLed (kernel-only lock release, no Python
+cleanup); and a SECOND resume then drives the same N× root back to the
+clean state. The pytest covers this cycle at test scale
+(tests/test_streaming_multimodal.py::
+test_upsert_crash_under_concurrency_releases_lock_and_resumes); the
+drill proves the cycle's resume cost stays batch-bounded at N×.
+
 Events staging mirrors scale3x_experiment.build_nx's events section
 (single pyarrow file, copy-strided event_id/user_id → disjoint user
 populations replaying the identical timeline); only events is staged —
@@ -99,6 +110,68 @@ def drop_newest_commit_and_manifest(root: str) -> None:
     os.remove(os.path.join(mdir, latest_m))
 
 
+def _midbatch_writer_worker(root: str, q) -> None:
+    """Writer A mid-batch (module-level for spawn pickling; the spawn child
+    re-imports this module, whose top-level sys.path insert makes the engine
+    importable): acquires the REAL writer lock through the production code
+    path, reports readiness, then blocks until SIGKILLed — no cleanup code
+    of ours runs, only the kernel can release the flock."""
+    try:
+        from etl_ecommerce_data_spark.streaming.events import _acquire_writer_lock
+
+        _acquire_writer_lock(root)
+        q.put(("locked", None))
+        time.sleep(600)  # SIGKILLed long before this expires
+    except BaseException as exc:  # noqa: BLE001 — diagnostic channel
+        q.put(("error", repr(exc)))
+        raise
+
+
+def crash_under_concurrency_cycle(spark, events_dir: str, root: str, full: set) -> dict:
+    """One composed failure cycle on an EXISTING upserted root: crash-before-
+    manifest surgery → live writer A holds the flock mid-batch → writer B
+    rejected fail-fast → A SIGKILLed → writer B resumes to exactly ``full``.
+    Returns the cycle's timings; asserts on any contract violation."""
+    import multiprocessing as mp
+
+    drop_newest_commit_and_manifest(root)
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    writer_a = ctx.Process(target=_midbatch_writer_worker, args=(root, q))
+    writer_a.start()
+    try:
+        kind, detail = q.get(timeout=120)
+        assert kind == "locked", f"writer A failed to acquire: {detail}"
+        t0 = time.perf_counter()
+        try:
+            run_foreach_batch_upsert(spark, events_dir, root=root)
+            raise AssertionError("second writer not rejected while A is live")
+        except ValueError as exc:
+            assert "live writer" in str(exc), f"wrong rejection: {exc}"
+        t_reject = time.perf_counter() - t0
+    finally:
+        writer_a.kill()  # the crash: only the kernel releases the flock
+        writer_a.join(timeout=30)
+    t0 = time.perf_counter()
+    resumed = {
+        # num_buckets deliberately wrong: the resume must take the
+        # manifest's layout, proving it's a real resume, not a rebuild
+        tuple(r)
+        for r in run_foreach_batch_upsert(
+            spark, events_dir, num_buckets=999, root=root
+        ).collect()
+    }
+    t_resume = time.perf_counter() - t0
+    assert resumed == full, "post-crash-under-concurrency resume diverged"
+    on_disk = {d for d in os.listdir(root) if d.startswith("snap_")}
+    assert on_disk == _upsert_live_snaps(root), "unreferenced snaps on disk"
+    return {
+        "reject_s": round(t_reject, 2),
+        "resume_s": round(t_resume, 2),
+        "rejected_while_live": True,
+    }
+
+
 def drill(spark, events_dir: str, tag: str) -> dict:
     root = os.path.join(SCRATCH, f"root_{tag}")
     shutil.rmtree(root, ignore_errors=True)
@@ -121,12 +194,16 @@ def drill(spark, events_dir: str, tag: str) -> dict:
     assert resumed == full, f"{tag}: resumed state != full-run state"
     on_disk = {d for d in os.listdir(root) if d.startswith("snap_")}
     assert on_disk == _upsert_live_snaps(root), f"{tag}: unreferenced snaps on disk"
+    # the composed cycle (VERDICT r13 ask #7): a SECOND resume after a
+    # crash-under-concurrency cycle, on this same (possibly N×) root
+    cycle = crash_under_concurrency_cycle(spark, events_dir, root, full)
     shutil.rmtree(root, ignore_errors=True)
     return {
         "full_s": round(t_full, 2),
         "resume_s": round(t_resume, 2),
         "resume_over_full": round(t_resume / t_full, 3),
         "state_rows": len(full),
+        "crash_under_concurrency": cycle,
     }
 
 
