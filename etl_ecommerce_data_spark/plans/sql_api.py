@@ -66,22 +66,34 @@ def _heal_candidates(named: list[str], query: str) -> list[str]:
 
     - A parsed name that IS an engine table → probe exactly it (the narrow
       r12 path: a cache-hit heal touches one name, not eleven).
-    - A parsed name that is NOT an engine table but DOES appear in the query
-      text → it is the typo'd relation itself; no engine table can satisfy
-      the query, so refuse the heal without paying any probe (ADVICE r12).
-    - No parsed name, or only names absent from the query (a future message
-      shape that backtick-quotes a suggestion or config identifier while
-      rendering the relation unquoted) → the parse told us nothing about the
-      relation; fall back to the broad all-tables probe rather than refusing
-      a legitimate heal (ADVICE r13). The broad probe is 11 cheap
-      exists/tableExists checks — re-registration is only paid when some
-      table really is present-but-unregistered.
+    - A parsed name that is NOT an engine table but appears in the query in
+      RELATION position (right after FROM or JOIN, optionally backticked) →
+      it is the typo'd relation itself; no engine table can satisfy the
+      query, so refuse the heal without paying any probe (ADVICE r12).
+      Relation position, not raw substring (ADVICE r14): the caller reduces
+      qualified backticked identifiers to their lowercased last segment, so
+      a decoration token with a generic tail ('spark.sql.ansi.enabled' →
+      'enabled') that coincidentally appears as an alias, column, or string
+      literal must NOT trigger the refusal — only a FROM/JOIN occurrence
+      proves the name is the relation. Comma-separated FROM lists and other
+      exotic relation spots fall through to the broad probe, which is safe:
+      refusal is purely an optimization, the broad probe fails identically
+      for a genuine typo after 11 cheap checks.
+    - No parsed name, or only names absent from relation position → the
+      parse told us nothing about the relation; fall back to the broad
+      all-tables probe rather than refusing a legitimate heal (ADVICE r13).
+      The broad probe is 11 cheap exists/tableExists checks —
+      re-registration is only paid when some table really is
+      present-but-unregistered.
     """
     schema_named = [n for n in named if n in SYNTHETIC_SCHEMAS]
     if schema_named:
         return schema_named
     q = query.lower()
-    if any(n in q for n in named):
+    if any(
+        re.search(rf"\b(?:from|join)\s+`?{re.escape(n)}(?:`|\b)", q)
+        for n in named
+    ):
         return []
     return list(SYNTHETIC_SCHEMAS)
 

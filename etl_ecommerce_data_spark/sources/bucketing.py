@@ -24,15 +24,21 @@ from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Pre-digest legacy-layout dirs (bare 8-hex right after the readable prefix,
-# no identity digest) are pruned only once this old: the readable prefix is
+# Superseded-copy dirs are pruned only once this old. For pre-digest
+# legacy-layout dirs (bare 8-hex right after the readable prefix, no
+# identity digest) the reason is prefix ambiguity: the readable prefix is
 # underscore-ambiguous across logical tables and the live-catalog guard
 # below is SESSION-local, so a freshly-written legacy dir could in principle
 # belong to a concurrent session still running pre-digest code sharing the
 # warehouse (ADVICE r13). Legacy dirs stopped being CREATED when the digest
-# layout shipped, so anything older than this window is genuinely abandoned;
-# a younger one is spared until it ages past the window (the prune re-runs
-# on every cache miss, so sparing is a deferral, not a leak).
+# layout shipped, so anything older than this window is genuinely abandoned.
+# For digest'd-layout dirs (identity digest in the prefix) the ambiguity is
+# gone but the session-local guard still is: a CONCURRENT session sharing
+# the warehouse may hold a live catalog entry over an old tag of the SAME
+# logical table, so fresh digest'd tags get the same grace window before a
+# sibling session may reclaim them (ADVICE r14). In both shapes a younger
+# dir is spared until it ages past the window (the prune re-runs on every
+# cache miss, so sparing is a deferral, not a leak).
 _LEGACY_PRUNE_MIN_AGE_SEC = 3600.0
 
 
@@ -209,13 +215,27 @@ def ensure_bucketed_copy(
                     # the age gate: legacy-shape dirs are pruned only
                     # past _LEGACY_PRUNE_MIN_AGE_SEC, old enough that no
                     # concurrent pre-digest writer can have just minted
-                    # them. Digest'd-layout dirs need no age gate —
-                    # their prefix match already implies identity-tuple
-                    # equality, so only a stale tag of THIS exact table
-                    # can match.
+                    # them. Digest'd-layout dirs get the SAME age gate
+                    # (ADVICE r14): their prefix match does imply
+                    # identity-tuple equality — only a stale tag of THIS
+                    # exact logical table can match — but the tableExists
+                    # guard is session-local, so a CONCURRENT session
+                    # sharing the warehouse could hold a live catalog
+                    # entry (and unevaluated DataFrames) over an old tag
+                    # of the same table; the gate keeps any dir minted in
+                    # the last hour safe from that race. Residual caveat,
+                    # stated honestly: a concurrent session still holding
+                    # a SUPERSEDED tag past the age gate remains exposed
+                    # — full cross-session safety needs a shared catalog
+                    # or a table format's commit protocol, neither of
+                    # which plain warehouse dirs provide; the gate bounds
+                    # the common case (sessions regenerate then read
+                    # promptly) without leaking storage forever.
                     superseded = (
                         d.startswith(prefix.lower())
                         and re.fullmatch(r"[0-9a-f]{8}", d[len(prefix):])
+                        and _dir_age_sec(os.path.join(wh.path, d))
+                        > _LEGACY_PRUNE_MIN_AGE_SEC
                     ) or (
                         d.startswith(legacy_prefix.lower())
                         and re.fullmatch(r"[0-9a-f]{8}", d[len(legacy_prefix):])

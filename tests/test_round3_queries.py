@@ -460,12 +460,14 @@ def test_run_sql_marker_is_session_scoped_and_heals_missing_views(spark, tmp_pat
 
 
 def test_heal_candidates_contract():
-    """The missing-relation heal's probe-set policy (ADVICE r12 + r13):
-    engine-table names probe narrowly; a non-engine name present in the
-    query text is the typo'd relation itself (refuse without probing); a
-    backtick parse that yields nothing usable about the query — no names,
-    or only message decoration like a suggestion/config identifier absent
-    from the query — falls back to the broad all-tables probe instead of
+    """The missing-relation heal's probe-set policy (ADVICE r12 + r13 + r14):
+    engine-table names probe narrowly; a non-engine name in FROM/JOIN
+    relation position is the typo'd relation itself (refuse without
+    probing); a backtick parse that yields nothing usable about the
+    relation — no names, or only message decoration whose lowercased last
+    segment ('spark.sql.ansi.enabled' → 'enabled', the shape run_sql
+    actually produces) happens to collide with an alias/column/literal in
+    the query — falls back to the broad all-tables probe instead of
     refusing a legitimate heal."""
     from etl_ecommerce_data_spark.plans.sql_api import _heal_candidates
     from etl_ecommerce_data_spark.sources.registry import SYNTHETIC_SCHEMAS
@@ -473,19 +475,37 @@ def test_heal_candidates_contract():
     q = "SELECT COUNT(*) c FROM orders JOIN lineitem USING (o_orderkey)"
     # engine-table name parsed → narrow probe, even alongside decoration
     assert _heal_candidates(["orders"], q) == ["orders"]
-    assert _heal_candidates(["spark.sql.ansi.enabled", "orders"], q) == ["orders"]
-    # typo'd relation (non-engine, present in the query) → refuse outright
+    assert _heal_candidates(["enabled", "orders"], q) == ["orders"]
+    # typo'd relation (non-engine, in FROM position) → refuse outright;
+    # backticked rendering in the query text refuses the same way
     assert _heal_candidates(
         ["definitely_absent_table"],
         "SELECT * FROM definitely_absent_table",
     ) == []
+    assert _heal_candidates(
+        ["definitely_absent_table"],
+        "SELECT * FROM `definitely_absent_table` WHERE 1=1",
+    ) == []
+    assert _heal_candidates(
+        ["mytypo"], "SELECT o_orderkey FROM orders JOIN MyTypo USING (k)"
+    ) == []
     # nothing backticked → broad probe (pre-r12 fallback, unchanged)
     assert _heal_candidates([], q) == list(SYNTHETIC_SCHEMAS)
-    # decoration-only backticks (identifier absent from the query): the
-    # parse says nothing about the relation → broad probe, not a refusal
-    assert _heal_candidates(["spark.sql.ansi.enabled"], q) == list(
-        SYNTHETIC_SCHEMAS
-    )
+    # decoration-only backticks whose last segment is absent from the
+    # query → broad probe, not a refusal
+    assert _heal_candidates(["enabled"], q) == list(SYNTHETIC_SCHEMAS)
+    # the ADVICE r14 case: the decoration's last segment collides with an
+    # alias/column/literal OUTSIDE relation position — still a broad
+    # probe; a raw-substring match would have wrongly refused the heal
+    assert _heal_candidates(
+        ["enabled"],
+        "SELECT o_flags AS enabled FROM orders WHERE note = 'enabled'",
+    ) == list(SYNTHETIC_SCHEMAS)
+    # substring-inside-identifier never refuses either ('enabled' inside
+    # 'ansi_enabled_flag' has no identifier boundary)
+    assert _heal_candidates(
+        ["enabled"], "SELECT ansi_enabled_flag FROM orders"
+    ) == list(SYNTHETIC_SCHEMAS)
     # qualified names are matched by their last segment, lowercased by the
     # caller; the query match is case-insensitive
     assert _heal_candidates(

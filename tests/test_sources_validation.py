@@ -286,6 +286,11 @@ def test_superseded_prune_spares_sorted_variants(spark, tmp_path):
         wh, f"bkt_tbprune_k_8_sk_{_bkt_ident('tbprune', 'k', 8, 'k')}_deadbeef"
     )
     stale_dir = os.path.join(wh, f"bkt_tbprune_k_8_{ident}_deadbeef")
+    # a FRESH digest'd stale tag: same identity, young mtime — must be
+    # spared by the age gate, since a concurrent session sharing the
+    # warehouse could hold a live (session-local, hence invisible) catalog
+    # entry over it (ADVICE r14)
+    fresh_dir = os.path.join(wh, f"bkt_tbprune_k_8_{ident}_beefdead")
     # PRE-DIGEST legacy shapes: a superseded unsorted legacy tag (must be
     # pruned once PAST THE AGE GATE — otherwise pre-upgrade copies leak one
     # table per old regeneration forever), a legacy SORTED variant (must
@@ -297,12 +302,17 @@ def test_superseded_prune_spares_sorted_variants(spark, tmp_path):
     legacy_stale = os.path.join(wh, "bkt_tbprune_k_8_deadbeef")
     legacy_sorted = os.path.join(wh, "bkt_tbprune_k_8_sk_deadbeef")
     legacy_fresh = os.path.join(wh, "bkt_tbprune_k_8_beefdead")
-    for d in (sorted_dir, stale_dir, legacy_stale, legacy_sorted, legacy_fresh):
+    for d in (
+        sorted_dir, stale_dir, fresh_dir, legacy_stale, legacy_sorted,
+        legacy_fresh,
+    ):
         os.makedirs(d, exist_ok=True)
-    # age the prunable legacy dir past the gate; legacy_fresh keeps its
-    # just-created mtime (the digest'd stale_dir needs no aging — identity
-    # in the prefix means no cross-table ambiguity, so no age gate applies)
+    # age the prunable dirs past the gate; legacy_fresh and fresh_dir keep
+    # their just-created mtimes (BOTH shapes are age-gated since ADVICE
+    # r14 — the session-local catalog guard can't see a concurrent
+    # session's live entry, so young dirs of either layout are spared)
     old = time.time() - 2 * _LEGACY_PRUNE_MIN_AGE_SEC
+    os.utime(stale_dir, (old, old))
     os.utime(legacy_stale, (old, old))
     os.utime(legacy_sorted, (old, old))
     df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
@@ -311,6 +321,10 @@ def test_superseded_prune_spares_sorted_variants(spark, tmp_path):
         assert out.count() == 100
         assert os.path.isdir(sorted_dir), "live sorted variant was pruned"
         assert not os.path.isdir(stale_dir), "superseded exact-tag sibling kept"
+        assert os.path.isdir(fresh_dir), (
+            "fresh digest'd stale tag pruned inside the age window — a "
+            "concurrent session could hold a live entry over it"
+        )
         assert not os.path.isdir(legacy_stale), "pre-digest legacy copy kept"
         assert os.path.isdir(legacy_sorted), "legacy sorted variant was pruned"
         assert os.path.isdir(legacy_fresh), (
@@ -326,6 +340,7 @@ def test_superseded_prune_spares_sorted_variants(spark, tmp_path):
         import shutil
 
         shutil.rmtree(sorted_dir, ignore_errors=True)
+        shutil.rmtree(fresh_dir, ignore_errors=True)
         shutil.rmtree(legacy_sorted, ignore_errors=True)
         shutil.rmtree(legacy_fresh, ignore_errors=True)
 

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import shutil
 import sys
 import tempfile
@@ -140,7 +141,17 @@ def crash_under_concurrency_cycle(spark, events_dir: str, root: str, full: set) 
     writer_a = ctx.Process(target=_midbatch_writer_worker, args=(root, q))
     writer_a.start()
     try:
-        kind, detail = q.get(timeout=120)
+        try:
+            kind, detail = q.get(timeout=120)
+        except queue.Empty:
+            # writer A died before reporting anything (e.g. an import
+            # failure in the spawn child) — name the failure instead of
+            # letting queue.Empty surface as an opaque traceback after the
+            # 2-minute hang (ADVICE r14)
+            raise AssertionError(
+                "writer A never reported from the spawn child within 120 s "
+                f"(startup failure; exitcode={writer_a.exitcode})"
+            ) from None
         assert kind == "locked", f"writer A failed to acquire: {detail}"
         t0 = time.perf_counter()
         try:
