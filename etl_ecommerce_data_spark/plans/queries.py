@@ -6099,72 +6099,72 @@ def q_linkage_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of window membership (tests/test_oracle_parity.py + the per-round
 # full-registry sf0.1 sweep recorded in SCALE.md).
 _SWEEP_FIRST = [
-    # Round-14 ordering (VERDICT r13 ask #1), planned with
-    # tools/window_planner.py --round 14 --changed daily_sales_bucketed,
+    # Round-15 ordering (VERDICT r14 ask #1), planned with
+    # tools/window_planner.py --round 15 --changed daily_sales_bucketed,
     #   revenue_grouping_sets,sql_segment_priority_revenue
     # and applied VERBATIM:
     # (a) the three --changed queries first — their operators changed this
-    #     round (the bucketed-copy legacy prune gained an mtime age gate,
-    #     ADVICE r13 #1; run_sql's heal gained the decoration-only broad-
-    #     probe fallback via _heal_candidates, ADVICE r13 #2) and changed
-    #     code re-verifies in-window, no exceptions;
-    # (b) the ENTIRE round-11-stale set (the 33 planner-flagged queries
-    #     VERDICT r13 named as this round's mandatory rotation, CO_ROTATE
-    #     pulling the simhash/embedding/similarity/percentile twins along);
-    # (c) residual slots on the oldest r12-green rows, alphabetical.
-    # Planner-warned spill (steady-state at 132 queries / 50 slots): 36
-    # queries keep their r12 evidence this round and become round 15's
-    # mandatory rotation (36 < 50 — they all fit).
+    #     round (the bucketed-copy superseded prune's age gate now covers
+    #     digest'd-layout dirs too, ADVICE r14 #3; run_sql's heal refusal
+    #     is now by FROM/JOIN relation position instead of raw substring,
+    #     ADVICE r14 #1) and changed code re-verifies in-window;
+    # (b) the ENTIRE round-12-stale set (the 36 planner-flagged queries
+    #     VERDICT r14 named as this round's mandatory rotation, CO_ROTATE
+    #     pairing hll_error_floor with daily_users_hll);
+    # (c) residual slots on the oldest r13-green rows, alphabetical.
+    # Planner-warned spill (steady-state at 132 queries / 50 slots): 34
+    # queries keep their r13 evidence this round and become round 16's
+    # mandatory rotation (34 < 50 — they all fit).
     "daily_sales_bucketed",
     "revenue_grouping_sets",
     "sql_segment_priority_revenue",
-    "dedup_simhash_docs",
-    "dedup_simhash_complete",
-    "doc_chunks",
-    "doc_chunks_udtf",
-    "doc_fingerprints",
-    "doc_rarity_score",
-    "embedding_gram_baseline",
-    "embedding_near_dup",
-    "embedding_near_dup_baseline",
-    "embedding_near_dup_recall",
-    "embedding_star_cap_floor",
-    "embedding_pca_variance",
-    "event_type_drift",
-    "events_by_type_day",
-    "gk_percentile_floor",
-    "linkage_block_cap_floor",
-    "merge_upsert_orders",
-    "nation_revenue",
-    "order_status_delivery",
-    "order_value_ranking_suite",
-    "product_performance",
-    "range_join_view_purchase",
-    "session_window_stats",
-    "similarity_ivf_recall",
-    "similarity_topk_ivf",
-    "similarity_lsh_recall",
-    "similarity_topk_lsh",
-    "similarity_topk",
-    "stream_dedup_events",
-    "stream_incremental_dedup",
-    "supplier_performance",
-    "text_normalize_dedup",
-    "text_pii_redact",
-    "user_value_ewma",
-    "value_percentiles",
-    "value_percentiles_approx",
-    "vocab_stats",
-    "asof_events_orders",
-    "basket_pairs",
-    "clean_orders",
-    "cohort_retention",
-    "compact_table_roundtrip",
-    "contamination_check",
-    "corpus_boilerplate_removal",
-    "corpus_split",
-    "csv_quarantine_split",
-    "curate_corpus_hygiene",
+    "daily_users_hll",
+    "hll_error_floor",
+    "doc_repetition_stats",
+    "doc_top_terms",
+    "embedding_quantize",
+    "event_counts_cms",
+    "events_sliding_10x5",
+    "funnel_conversion",
+    "inverted_index",
+    "language_rebalance_sample",
+    "multimodal_features",
+    "nation_daily_revenue_ma",
+    "pack_concat_chunks",
+    "price_histogram",
+    "priority_revenue_share",
+    "profile_orders",
+    "props_variant_stats",
+    "pydatasource_docs",
+    "region_supplier_volume",
+    "repeat_buyers_intersect",
+    "revenue_rollup",
+    "rfm_segments",
+    "salted_segment_revenue",
+    "status_latest_order",
+    "status_priority_unpivot",
+    "stream_events_windowed",
+    "stream_session_windows",
+    "stream_static_enrich",
+    "stream_user_stats_stateful",
+    "stream_view_purchase_join",
+    "text_langid",
+    "text_quality",
+    "tfidf_search",
+    "user_event_profile",
+    "user_event_scd2",
+    "zorder_layout_keys",
+    "churned_customers",
+    "clean_customer",
+    "clean_lineitem",
+    "connector_roundtrip_orc_json",
+    "curate_corpus",
+    "curation_funnel",
+    "customer_metrics",
+    "customers_no_orders",
+    "daily_activity_reconciliation",
+    "daily_distinct_users",
+    "daily_revenue_anomaly",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {
