@@ -368,12 +368,23 @@ def test_superseded_prune_spares_underscore_ambiguous_sibling(spark, tmp_path):
     other_dir = os.path.join(
         wh, f"bkt_amb_b_c_8_{_bkt_ident('amb_b', 'c', 8)}_deadbeef"
     )
-    # a superseded tag of the SAME identity → must be pruned
+    # a superseded tag of the SAME identity → must be pruned once past the
+    # age gate (since ADVICE r14 digest'd tags get the same grace window as
+    # legacy dirs — a young one could back a concurrent session's live
+    # entry — so the test backdates it)
     stale_dir = os.path.join(
         wh, f"bkt_amb_b_c_8_{_bkt_ident('amb', 'b_c', 8)}_deadbeef"
     )
     os.makedirs(other_dir, exist_ok=True)
     os.makedirs(stale_dir, exist_ok=True)
+    import time
+
+    from etl_ecommerce_data_spark.sources.bucketing import (
+        _LEGACY_PRUNE_MIN_AGE_SEC,
+    )
+
+    old = time.time() - 2 * _LEGACY_PRUNE_MIN_AGE_SEC
+    os.utime(stale_dir, (old, old))
     df = spark.range(0, 50).selectExpr("id AS b_c", "id * 2 AS v")
     try:
         out = ensure_bucketed_copy(spark, df, str(src), "amb", "b_c", 8)
