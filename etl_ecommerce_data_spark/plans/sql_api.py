@@ -60,6 +60,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     return registered
 
 
+# Line comments, block comments, and quoted string literals ('' and ""
+# doubled-quote escapes respected), blanked before relation-position
+# matching in _heal_candidates. DOTALL so block comments span lines.
+_SQL_NOISE = re.compile(
+    r"--[^\n]*"
+    r"|/\*.*?\*/"
+    r"|'(?:[^']|'')*'"
+    r'|"(?:[^"]|"")*"',
+    re.DOTALL,
+)
+
+
 def _heal_candidates(named: list[str], query: str) -> list[str]:
     """Which engine tables the missing-relation heal should probe, given the
     lowercased last-segment names parsed from the error's backticks.
@@ -75,8 +87,13 @@ def _heal_candidates(named: list[str], query: str) -> list[str]:
       a decoration token with a generic tail ('spark.sql.ansi.enabled' →
       'enabled') that coincidentally appears as an alias, column, or string
       literal must NOT trigger the refusal — only a FROM/JOIN occurrence
-      proves the name is the relation. Comma-separated FROM lists and other
-      exotic relation spots fall through to the broad probe, which is safe:
+      proves the name is the relation. Position is judged on the query with
+      string literals and comments blanked out, and a FROM/JOIN match that
+      is also DEFINED in the query as a CTE ('WITH enabled AS (...)') never
+      refuses (ADVICE r15): 'FROM enabled' inside a literal, behind '--',
+      or naming a CTE is not the missing relation — those shapes fall
+      through to the broad probe. Comma-separated FROM lists and other
+      exotic relation spots fall through the same way, which is safe:
       refusal is purely an optimization, the broad probe fails identically
       for a genuine typo after 11 cheap checks.
     - No parsed name, or only names absent from relation position → the
@@ -89,11 +106,22 @@ def _heal_candidates(named: list[str], query: str) -> list[str]:
     schema_named = [n for n in named if n in SYNTHETIC_SCHEMAS]
     if schema_named:
         return schema_named
-    q = query.lower()
-    if any(
-        re.search(rf"\b(?:from|join)\s+`?{re.escape(n)}(?:`|\b)", q)
-        for n in named
-    ):
+    # Blank out string literals and comments BEFORE judging relation
+    # position: 'FROM x' inside a quoted literal or behind -- / /* */ is
+    # text, not a relation (ADVICE r15). Blanking (not deleting) with a
+    # space keeps \b boundaries honest for the surviving tokens. Spark's
+    # default dialect reads "..." as a string literal too; in ANSI mode it
+    # is an identifier — blanking it merely demotes a refusal to the broad
+    # probe, never the reverse.
+    q = _SQL_NOISE.sub(" ", query.lower())
+    for n in named:
+        if not re.search(rf"\b(?:from|join)\s+`?{re.escape(n)}(?:`|\b)", q):
+            continue
+        # FROM/JOIN hit — but a name the query itself DEFINES as a CTE
+        # ('WITH enabled AS (...) ... FROM enabled') is resolvable and
+        # cannot be the missing relation; don't refuse on it.
+        if re.search(rf"\b{re.escape(n)}\s*(?:\([^)]*\))?\s+as\s*\(", q):
+            continue
         return []
     return list(SYNTHETIC_SCHEMAS)
 

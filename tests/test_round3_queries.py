@@ -511,6 +511,37 @@ def test_heal_candidates_contract():
     assert _heal_candidates(
         ["mytypo"], "SELECT * FROM MyTypo"
     ) == []
+    # the ADVICE r15 cases: a FROM/JOIN occurrence inside a string literal
+    # or comment is text, not a relation — broad probe, not refusal
+    assert _heal_candidates(
+        ["enabled"],
+        "SELECT * FROM orders WHERE note = 'copied FROM enabled source'",
+    ) == list(SYNTHETIC_SCHEMAS)
+    assert _heal_candidates(
+        ["enabled"],
+        "SELECT * FROM orders WHERE note = 'it''s FROM enabled'",
+    ) == list(SYNTHETIC_SCHEMAS)
+    assert _heal_candidates(
+        ["enabled"], "SELECT * FROM orders -- legacy: FROM enabled"
+    ) == list(SYNTHETIC_SCHEMAS)
+    assert _heal_candidates(
+        ["enabled"], "SELECT * /* was: JOIN enabled\n   ON 1=1 */ FROM orders"
+    ) == list(SYNTHETIC_SCHEMAS)
+    # ...and a FROM that names a CTE the query itself defines is resolvable,
+    # so it cannot be the missing relation — broad probe, not refusal
+    assert _heal_candidates(
+        ["enabled"],
+        "WITH enabled AS (SELECT 1 AS x) SELECT * FROM enabled JOIN orders",
+    ) == list(SYNTHETIC_SCHEMAS)
+    assert _heal_candidates(
+        ["enabled"],
+        "WITH enabled (x) AS (SELECT 1) SELECT * FROM enabled",
+    ) == list(SYNTHETIC_SCHEMAS)
+    # blanking literals must not blind the genuine-typo refusal
+    assert _heal_candidates(
+        ["mytypo"],
+        "SELECT * FROM mytypo WHERE note = 'FROM orders'",
+    ) == []
 
 
 def test_user_event_profile_sorts_by_type_not_rendered_string(spark, tmp_path):

@@ -144,13 +144,19 @@ def crash_under_concurrency_cycle(spark, events_dir: str, root: str, full: set) 
         try:
             kind, detail = q.get(timeout=120)
         except queue.Empty:
-            # writer A died before reporting anything (e.g. an import
-            # failure in the spawn child) — name the failure instead of
-            # letting queue.Empty surface as an opaque traceback after the
-            # 2-minute hang (ADVICE r14)
+            # writer A never reported — name WHICH failure (ADVICE r15):
+            # a child that is still alive is hung (exitcode=None would
+            # mislabel it a startup death), and it must be reaped HERE so
+            # the raise doesn't hand the finally block an anonymous live
+            # lock-holder.
+            if writer_a.is_alive():
+                writer_a.kill()
+                writer_a.join(timeout=30)
+                state = "hung: child still alive at timeout; killed"
+            else:
+                state = f"startup failure: child died, exitcode={writer_a.exitcode}"
             raise AssertionError(
-                "writer A never reported from the spawn child within 120 s "
-                f"(startup failure; exitcode={writer_a.exitcode})"
+                f"writer A never reported from the spawn child within 120 s ({state})"
             ) from None
         assert kind == "locked", f"writer A failed to acquire: {detail}"
         t0 = time.perf_counter()
