@@ -6099,72 +6099,71 @@ def q_linkage_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of window membership (tests/test_oracle_parity.py + the per-round
 # full-registry sf0.1 sweep recorded in SCALE.md).
 _SWEEP_FIRST = [
-    # Round-15 ordering (VERDICT r14 ask #1), planned with
-    # tools/window_planner.py --round 15 --changed daily_sales_bucketed,
-    #   revenue_grouping_sets,sql_segment_priority_revenue
+    # Round-16 ordering (VERDICT r15 ask #1), planned with
+    # tools/window_planner.py --round 16 --changed sql_segment_priority_revenue
     # and applied VERBATIM:
-    # (a) the three --changed queries first — their operators changed this
-    #     round (the bucketed-copy superseded prune's age gate now covers
-    #     digest'd-layout dirs too, ADVICE r14 #3; run_sql's heal refusal
-    #     is now by FROM/JOIN relation position instead of raw substring,
-    #     ADVICE r14 #1) and changed code re-verifies in-window;
-    # (b) the ENTIRE round-12-stale set (the 36 planner-flagged queries
-    #     VERDICT r14 named as this round's mandatory rotation, CO_ROTATE
-    #     pairing hll_error_floor with daily_users_hll);
-    # (c) residual slots on the oldest r13-green rows, alphabetical.
-    # Planner-warned spill (steady-state at 132 queries / 50 slots): 34
-    # queries keep their r13 evidence this round and become round 16's
-    # mandatory rotation (34 < 50 — they all fit).
-    "daily_sales_bucketed",
-    "revenue_grouping_sets",
+    # (a) the one --changed query first — run_sql's heal refusal now blanks
+    #     string literals/comments and exempts CTE-defined names before the
+    #     FROM/JOIN relation-position match (ADVICE r15 #1), and changed
+    #     code re-verifies in-window;
+    # (b) the ENTIRE round-13-stale set (the 34 planner-flagged queries
+    #     VERDICT r15 named as this round's mandatory rotation, CO_ROTATE
+    #     pulling dedup_minhash_bucket_stats in with the minhash family and
+    #     the clusters/cross-corpus twins with their oracled partners);
+    # (c) residual slots on the oldest r14-green rows, alphabetical.
+    # Planner-warned spill (steady-state at 132 queries / 50 slots): 30
+    # queries keep their r14 evidence this round and become round 17's
+    # mandatory rotation (30 < 50 — they all fit).
     "sql_segment_priority_revenue",
-    "daily_users_hll",
-    "hll_error_floor",
-    "doc_repetition_stats",
-    "doc_top_terms",
-    "embedding_quantize",
-    "event_counts_cms",
-    "events_sliding_10x5",
-    "funnel_conversion",
-    "inverted_index",
-    "language_rebalance_sample",
-    "multimodal_features",
-    "nation_daily_revenue_ma",
-    "pack_concat_chunks",
-    "price_histogram",
-    "priority_revenue_share",
-    "profile_orders",
-    "props_variant_stats",
-    "pydatasource_docs",
-    "region_supplier_volume",
-    "repeat_buyers_intersect",
-    "revenue_rollup",
-    "rfm_segments",
-    "salted_segment_revenue",
-    "status_latest_order",
-    "status_priority_unpivot",
-    "stream_events_windowed",
-    "stream_session_windows",
-    "stream_static_enrich",
-    "stream_user_stats_stateful",
-    "stream_view_purchase_join",
-    "text_langid",
-    "text_quality",
-    "tfidf_search",
-    "user_event_profile",
-    "user_event_scd2",
-    "zorder_layout_keys",
-    "churned_customers",
-    "clean_customer",
-    "clean_lineitem",
-    "connector_roundtrip_orc_json",
-    "curate_corpus",
-    "curation_funnel",
-    "customer_metrics",
-    "customers_no_orders",
-    "daily_activity_reconciliation",
-    "daily_distinct_users",
-    "daily_revenue_anomaly",
+    "daily_sales",
+    "daily_value_gapfilled",
+    "dedup_clusters",
+    "dedup_clusters_baseline",
+    "dedup_cross_corpus",
+    "dedup_cross_corpus_recall",
+    "dedup_cross_corpus_baseline",
+    "dedup_exact_docs",
+    "dedup_minhash_docs",
+    "dedup_minhash_recall",
+    "dedup_star_cap_floor",
+    "dedup_minhash_bucket_stats",
+    "dedup_ngram_jaccard_baseline",
+    "event_type_distinct_props",
+    "events_tumbling_5min",
+    "linkage_block_stats",
+    "linkage_fuzzy_docs",
+    "multimodal_meta",
+    "olist_customer_metrics",
+    "olist_daily_sales",
+    "olist_delivery_performance",
+    "olist_product_performance",
+    "olist_satisfaction_metrics",
+    "olist_seller_performance",
+    "one_time_buyers_except",
+    "part_brand_size_cube",
+    "pricing_summary",
+    "props_json_stats",
+    "sessionize_events",
+    "status_priority_pivot",
+    "stream_upsert_user_latest",
+    "suppliers_with_sales",
+    "text_stats",
+    "text_tokens_bpe",
+    "top_parts_per_brand",
+    "asof_events_orders",
+    "basket_pairs",
+    "clean_orders",
+    "cohort_retention",
+    "compact_table_roundtrip",
+    "contamination_check",
+    "corpus_boilerplate_removal",
+    "corpus_split",
+    "csv_quarantine_split",
+    "curate_corpus_hygiene",
+    "dedup_simhash_complete",
+    "dedup_simhash_docs",
+    "doc_chunks",
+    "doc_chunks_udtf",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {
