@@ -6099,71 +6099,73 @@ def q_linkage_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of window membership (tests/test_oracle_parity.py + the per-round
 # full-registry sf0.1 sweep recorded in SCALE.md).
 _SWEEP_FIRST = [
-    # Round-16 ordering (VERDICT r15 ask #1), planned with
-    # tools/window_planner.py --round 16 --changed sql_segment_priority_revenue
-    # and applied VERBATIM:
-    # (a) the one --changed query first — run_sql's heal refusal now blanks
-    #     string literals/comments and exempts CTE-defined names before the
-    #     FROM/JOIN relation-position match (ADVICE r15 #1), and changed
-    #     code re-verifies in-window;
-    # (b) the ENTIRE round-13-stale set (the 34 planner-flagged queries
-    #     VERDICT r15 named as this round's mandatory rotation, CO_ROTATE
-    #     pulling dedup_minhash_bucket_stats in with the minhash family and
-    #     the clusters/cross-corpus twins with their oracled partners);
-    # (c) residual slots on the oldest r14-green rows, alphabetical.
-    # Planner-warned spill (steady-state at 132 queries / 50 slots): 30
-    # queries keep their r14 evidence this round and become round 17's
-    # mandatory rotation (30 < 50 — they all fit).
+    # Round-17 ordering, planned with tools/window_planner.py --round 17
+    # --changed revenue_grouping_sets,sql_segment_priority_revenue and
+    # applied VERBATIM:
+    # (a) the two --changed queries first — both route through run_sql,
+    #     whose heal path changed this round (ADVICE r16: backslash-escape
+    #     handling in the literal blanker, backtick-tolerant CTE
+    #     exemption), and changed code re-verifies in-window;
+    # (b) the ENTIRE round-14-stale set (the 30 planner-flagged names the
+    #     r16 SCALE.md handoff projected as this round's mandatory
+    #     rotation), CO_ROTATE pulling the similarity_topk_lsh/ivf and
+    #     value_percentiles_approx rows-only twins in with their oracled
+    #     partners;
+    # (c) residual slots on the oldest r15-green rows, alphabetical,
+    #     hll_error_floor co-rotating with daily_users_hll.
+    # Planner-warned spill (steady-state at 132 queries / 50 slots): 33
+    # queries keep their r15 evidence this round and become round 18's
+    # mandatory rotation (33 < 50 — they all fit).
+    "revenue_grouping_sets",
     "sql_segment_priority_revenue",
-    "daily_sales",
-    "daily_value_gapfilled",
-    "dedup_clusters",
-    "dedup_clusters_baseline",
-    "dedup_cross_corpus",
-    "dedup_cross_corpus_recall",
-    "dedup_cross_corpus_baseline",
-    "dedup_exact_docs",
-    "dedup_minhash_docs",
-    "dedup_minhash_recall",
-    "dedup_star_cap_floor",
-    "dedup_minhash_bucket_stats",
-    "dedup_ngram_jaccard_baseline",
-    "event_type_distinct_props",
-    "events_tumbling_5min",
-    "linkage_block_stats",
-    "linkage_fuzzy_docs",
-    "multimodal_meta",
-    "olist_customer_metrics",
-    "olist_daily_sales",
-    "olist_delivery_performance",
-    "olist_product_performance",
-    "olist_satisfaction_metrics",
-    "olist_seller_performance",
-    "one_time_buyers_except",
-    "part_brand_size_cube",
-    "pricing_summary",
-    "props_json_stats",
-    "sessionize_events",
-    "status_priority_pivot",
-    "stream_upsert_user_latest",
-    "suppliers_with_sales",
-    "text_stats",
-    "text_tokens_bpe",
-    "top_parts_per_brand",
-    "asof_events_orders",
-    "basket_pairs",
-    "clean_orders",
-    "cohort_retention",
-    "compact_table_roundtrip",
-    "contamination_check",
-    "corpus_boilerplate_removal",
-    "corpus_split",
-    "csv_quarantine_split",
-    "curate_corpus_hygiene",
-    "dedup_simhash_complete",
-    "dedup_simhash_docs",
-    "doc_chunks",
-    "doc_chunks_udtf",
+    "doc_fingerprints",
+    "doc_rarity_score",
+    "embedding_gram_baseline",
+    "embedding_near_dup",
+    "embedding_near_dup_baseline",
+    "embedding_near_dup_recall",
+    "embedding_star_cap_floor",
+    "embedding_pca_variance",
+    "event_type_drift",
+    "events_by_type_day",
+    "gk_percentile_floor",
+    "linkage_block_cap_floor",
+    "merge_upsert_orders",
+    "nation_revenue",
+    "order_status_delivery",
+    "order_value_ranking_suite",
+    "product_performance",
+    "range_join_view_purchase",
+    "session_window_stats",
+    "similarity_ivf_recall",
+    "similarity_topk_ivf",
+    "similarity_lsh_recall",
+    "similarity_topk_lsh",
+    "similarity_topk",
+    "stream_dedup_events",
+    "stream_incremental_dedup",
+    "supplier_performance",
+    "text_normalize_dedup",
+    "text_pii_redact",
+    "user_value_ewma",
+    "value_percentiles",
+    "value_percentiles_approx",
+    "vocab_stats",
+    "churned_customers",
+    "clean_customer",
+    "clean_lineitem",
+    "connector_roundtrip_orc_json",
+    "curate_corpus",
+    "curation_funnel",
+    "customer_metrics",
+    "customers_no_orders",
+    "daily_activity_reconciliation",
+    "daily_distinct_users",
+    "daily_revenue_anomaly",
+    "daily_sales_bucketed",
+    "daily_users_hll",
+    "hll_error_floor",
+    "doc_repetition_stats",
 ]
 assert set(_SWEEP_FIRST) <= set(QUERIES), sorted(set(_SWEEP_FIRST) - set(QUERIES))
 QUERIES = {

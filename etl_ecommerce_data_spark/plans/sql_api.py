@@ -60,14 +60,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     return registered
 
 
-# Line comments, block comments, and quoted string literals ('' and ""
-# doubled-quote escapes respected), blanked before relation-position
-# matching in _heal_candidates. DOTALL so block comments span lines.
+# Line comments, block comments, and quoted string literals (doubled-quote
+# '' / "" AND backslash escapes respected — Spark's default dialect accepts
+# both, so a literal like 'it\'s ... FROM x' must not terminate the blank
+# early and leak "FROM x" into the scanned text; ADVICE r16), blanked
+# before relation-position matching in _heal_candidates. DOTALL so block
+# comments span lines.
 _SQL_NOISE = re.compile(
     r"--[^\n]*"
     r"|/\*.*?\*/"
-    r"|'(?:[^']|'')*'"
-    r'|"(?:[^"]|"")*"',
+    r"|'(?:[^'\\]|''|\\.)*'"
+    r'|"(?:[^"\\]|""|\\.)*"',
     re.DOTALL,
 )
 
@@ -118,9 +121,15 @@ def _heal_candidates(named: list[str], query: str) -> list[str]:
         if not re.search(rf"\b(?:from|join)\s+`?{re.escape(n)}(?:`|\b)", q):
             continue
         # FROM/JOIN hit — but a name the query itself DEFINES as a CTE
-        # ('WITH enabled AS (...) ... FROM enabled') is resolvable and
-        # cannot be the missing relation; don't refuse on it.
-        if re.search(rf"\b{re.escape(n)}\s*(?:\([^)]*\))?\s+as\s*\(", q):
+        # ('WITH enabled AS (...) ... FROM enabled'), backticked or not
+        # (ADVICE r16), is resolvable and cannot be the missing relation;
+        # don't refuse on it. The '<name> AS (' shape is matched anywhere,
+        # not only right after WITH, so a named-WINDOW clause ('WINDOW w AS
+        # (PARTITION BY ...)') also exempts a coincidentally-typo'd 'FROM
+        # w' — safe direction (the refusal is purely an optimization; the
+        # broad probe fails identically), it just pays the 11 cheap checks
+        # the refusal would have saved (ADVICE r16).
+        if re.search(rf"\b`?{re.escape(n)}`?\s*(?:\([^)]*\))?\s+as\s*\(", q):
             continue
         return []
     return list(SYNTHETIC_SCHEMAS)

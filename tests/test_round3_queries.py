@@ -542,6 +542,36 @@ def test_heal_candidates_contract():
         ["mytypo"],
         "SELECT * FROM mytypo WHERE note = 'FROM orders'",
     ) == []
+    # the ADVICE r16 cases: backslash-escaped quote inside a literal must
+    # not terminate the blank early and leak the tail ('FROM enabled')
+    # into relation-position matching — broad probe, not refusal
+    assert _heal_candidates(
+        ["enabled"],
+        r"SELECT * FROM orders WHERE note = 'it\'s FROM enabled'",
+    ) == list(SYNTHETIC_SCHEMAS)
+    assert _heal_candidates(
+        ["enabled"],
+        'SELECT * FROM orders WHERE note = "x\\" FROM enabled"',
+    ) == list(SYNTHETIC_SCHEMAS)
+    # ...and backslash handling must not blind the refusal when the typo'd
+    # relation follows a backslash-escaped literal
+    assert _heal_candidates(
+        ["mytypo"],
+        r"SELECT * FROM mytypo WHERE note = 'a\'b'",
+    ) == []
+    # backtick-quoted CTE definition exempts the same as a bare one
+    assert _heal_candidates(
+        ["enabled"],
+        "WITH `enabled` AS (SELECT 1 AS x) SELECT * FROM enabled",
+    ) == list(SYNTHETIC_SCHEMAS)
+    # documented WINDOW-clause false positive (safe direction): a named
+    # window 'enabled AS (...)' exempts a typo'd 'FROM enabled' into the
+    # broad probe — the probe then fails identically, nothing silently
+    # succeeds
+    assert _heal_candidates(
+        ["enabled"],
+        "SELECT x FROM enabled WINDOW enabled AS (PARTITION BY x)",
+    ) == list(SYNTHETIC_SCHEMAS)
 
 
 def test_user_event_profile_sorts_by_type_not_rendered_string(spark, tmp_path):
