@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_ecommerce_data_spark.functions.text import tokens
+from etl_ecommerce_data_spark.partitioning import spread_if_narrow
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -269,6 +270,12 @@ def minhash_lsh_pairs(
     base = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     ).filter(F.col("__text").isNotNull())
+    # A narrow scan (one row group ⇒ one task) would serialize the md5 pass,
+    # the tokenize+hash scan AND — because localCheckpoint freezes partition
+    # count — every checkpointed consumer below, including the banded
+    # candidate join. One adaptive shuffle here parallelizes the whole plan;
+    # no-op at real scale (see partitioning.spread_if_narrow).
+    base = spread_if_narrow(base)
     # Materialize the hashed corpus once: groups and mapping both consume
     # it with DIFFERENT downstream projections (no exchange reuse), so
     # without the checkpoint the full text scan + md5 runs once per
@@ -387,6 +394,15 @@ def minhash_lsh_pairs(
         gsz.select(F.col("rep_id").alias("doc_b"), F.col("grp_n").alias("__gb")),
         "doc_b",
     )
+    # The expansion reads `sized` from the small-group branch AND (twice)
+    # from the big-group branch, and the physical planner cannot share one
+    # subtree across union branches — without this checkpoint the ENTIRE
+    # candidate-dedup + hash-attach + array_intersect verification pipeline
+    # re-executes per branch (measured at sf0.1: the 1.9M-candidate verify
+    # chain appeared twice in the executed plan, ~2× the query's dominant
+    # stage). Narrow rows (two ids, two counts, two numbers) — same
+    # executor-storage tradeoff as the banded checkpoint above.
+    sized = sized.localCheckpoint(eager=False)
     pair_cols = lambda x, y: [  # noqa: E731 — normalized output columns
         F.least(x, y).alias("doc_a"),
         F.greatest(x, y).alias("doc_b"),
@@ -499,6 +515,11 @@ def minhash_lsh_pairs_cross(
     old_base = df_corpus.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     ).filter(F.col("__text").isNotNull())
+    # same adaptive widening as minhash_lsh_pairs: the checkpointed hash/band
+    # tables inherit the scan's partition count, so a one-task scan would
+    # serialize banding AND the band-bucket candidate join
+    new_base = spread_if_narrow(new_base)
+    old_base = spread_if_narrow(old_base)
 
     # one tokenize+hash scan per side, reused by banding AND verification
     # (see minhash_lsh_pairs)
@@ -692,7 +713,12 @@ def simhash_pairs(
             "raise bands to widen the radius (listing would be silently "
             "incomplete otherwise)"
         )
-    h = df.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("simhash"))
+    # adaptive widening (see minhash_lsh_pairs): the checkpointed chunk table
+    # freezes the scan's partition count, so a one-row-group scan would
+    # serialize tokenize+hash+vote AND the chunk-collision join
+    h = spread_if_narrow(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))).select(
+        "doc_id", simhash64(F.col("__text")).alias("simhash")
+    )
     width = 64 // bands
     chunks = h.select(
         "doc_id",

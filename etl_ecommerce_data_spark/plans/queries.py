@@ -273,19 +273,36 @@ def q_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
         customer, orders.o_custkey == customer.c_custkey
     )
-    w = Window.partitionBy("c_custkey")
-    j = j.withColumn(
-        "first_purchase_date", F.date_format(F.min("o_orderdate").over(w), "yyyy-MM-dd")
-    ).withColumn(
-        "last_purchase_date", F.date_format(F.max("o_orderdate").over(w), "yyyy-MM-dd")
-    )
+    # The reference computes first/last purchase via min/max().over(
+    # partitionBy customer) and groups on them (W1/W2; kept verbatim in
+    # pipeline.gold_customer_metrics, driver-pinned by
+    # olist_customer_metrics). Here those window values are CONSTANT within
+    # each (c_custkey, c_mktsegment) group — c_mktsegment is a dimension
+    # attribute of c_custkey — so grouping by customer alone yields the
+    # identical row set with first/last derived from the group's own
+    # min/max. Dropping the Window removes the pre-window Sort AND lets the
+    # aggregate do map-side partial aggregation: the exchange carries one
+    # partial row per customer instead of every joined order-item row
+    # (~40× fewer shuffle rows at sf0.1; the factor grows with fan-out at
+    # scale). Result equivalence is oracle-pinned (same DuckDB SQL).
     return (
-        j.groupBy("c_custkey", "c_mktsegment", "first_purchase_date", "last_purchase_date")
+        j.groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("total_items"),
             money_sum("l_extendedprice").alias("total_spent"),
             exact_avg(F.sum(dec("l_extendedprice")), F.count("o_orderkey")).alias("avg_item_value"),
-            F.datediff(F.to_date(F.max("o_orderdate")), F.to_date(F.min("o_orderdate")))
+            F.min("o_orderdate").alias("__mn"),
+            F.max("o_orderdate").alias("__mx"),
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.date_format("__mn", "yyyy-MM-dd").alias("first_purchase_date"),
+            F.date_format("__mx", "yyyy-MM-dd").alias("last_purchase_date"),
+            "total_items",
+            "total_spent",
+            "avg_item_value",
+            F.datediff(F.to_date("__mx"), F.to_date("__mn"))
             .cast("long")
             .alias("customer_lifetime_days"),
         )
@@ -3322,18 +3339,21 @@ def q_curate_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clean_text",
         TX.token_count(F.col("clean_text")).alias("n_tokens_clean"),
     ).filter(F.col("n_tokens_clean") >= 10)
-    w = Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
-    wc = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # The oracle's row_number/count windows over md5(clean_text) reduce to
+    # ONE aggregate: rn=1 under ORDER BY doc_id is exactly min(doc_id), and
+    # n_tokens_clean is a function of clean_text so it is constant within a
+    # hash group. The window pair cost two Exchange+Sort passes shipping
+    # every surviving row; the aggregate does map-side partial aggregation
+    # and ships one partial row per distinct content hash (guide §2.3/2.4).
+    # Result equivalence is oracle-pinned (same DuckDB SQL).
     return (
-        gated.withColumn("rn", F.row_number().over(w))
-        .withColumn("dup_count", F.count(F.lit(1)).over(wc).cast("long"))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            "n_tokens_clean",
-            F.md5("clean_text").alias("content_hash"),
-            "dup_count",
+        gated.groupBy(F.md5("clean_text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_tokens_clean").alias("n_tokens_clean"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
         )
+        .select("doc_id", "n_tokens_clean", "content_hash", "dup_count")
     )
 
 
@@ -4679,11 +4699,13 @@ FROM n_sh n LEFT JOIN cont c USING (doc_id)
     tags=("extension", "text", "training", "dedup"),
 )
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .withColumn("split", TX.hash_split(F.col("text")))
-    )
+    # shingling is row-MULTIPLYING (×~40 at 5-token shingles) and the explode
+    # feeds a checkpoint that freezes partition count — spread the one-task
+    # fixture scan so the shingle pass parallelizes (see _spread_if_narrow)
+    docs = _spread_if_narrow(
+        spark,
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+    ).withColumn("split", TX.hash_split(F.col("text")))
     sh = docs.select(
         "doc_id", "split", F.explode(TX.shingle_set(F.col("text"), 5)).alias("shingle")
     )
