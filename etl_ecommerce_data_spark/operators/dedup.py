@@ -713,12 +713,7 @@ def simhash_pairs(
             "raise bands to widen the radius (listing would be silently "
             "incomplete otherwise)"
         )
-    # adaptive widening (see minhash_lsh_pairs): the checkpointed chunk table
-    # freezes the scan's partition count, so a one-row-group scan would
-    # serialize tokenize+hash+vote AND the chunk-collision join
-    h = spread_if_narrow(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))).select(
-        "doc_id", simhash64(F.col("__text")).alias("simhash")
-    )
+    h = df.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("simhash"))
     width = 64 // bands
     chunks = h.select(
         "doc_id",
@@ -738,8 +733,15 @@ def simhash_pairs(
         ).alias("c"),
     ).select("doc_id", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
     # one SimHash computation shared by both self-join sides (see
-    # minhash_lsh_pairs for the tradeoff notes)
-    chunks = chunks.localCheckpoint(eager=False)
+    # minhash_lsh_pairs for the tradeoff notes). Widening happens AFTER the
+    # Arrow vote UDF, not before: the vote on a narrow scan is one warm
+    # Python worker doing a trivial vectorized pass, whereas widening first
+    # would fan the stage into defaultParallelism concurrent Python workers
+    # whose cold fork+import cost dwarfs the kernel (Spark reaps idle
+    # workers after a hardcoded minute, so mid-session Python stages fork
+    # cold). The narrow post-UDF shuffle still parallelizes the
+    # checkpointed chunk table for the collision join below.
+    chunks = spread_if_narrow(chunks).localCheckpoint(eager=False)
     a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk")
     b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk")
     return (

@@ -4585,12 +4585,29 @@ HAVING COUNT(*) >= 2
 )
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    left = items.withColumnRenamed("l_partkey", "part_a")
-    right = items.withColumnRenamed("l_partkey", "part_b")
-    pairs = left.join(right, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
+    # One shuffle by order instead of distinct-then-self-join: collect each
+    # basket's distinct parts (map-side partial collect), expand sorted pairs
+    # JVM-side, then aggregate by pair. The join formulation costs
+    # distinct-Exchange + join-Exchange per side + pair-Exchange at scale
+    # (the broadcast the self-join gets at sf0.1 is not available at 100 TB);
+    # this shape is two Exchanges at any scale with identical pair expansion
+    # bounds (per-basket quadratic, inherent to the query). Oracle unchanged.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("__parts")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(__parts, (x, i) -> transform("
+                "slice(__parts, i + 2, size(__parts) - i - 1), "
+                "y -> struct(x AS part_a, y AS part_b)))"
+            )
+        )
+    ).alias("p")
     return (
-        pairs.groupBy("part_a", "part_b")
+        baskets.select(pair)
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
@@ -6050,15 +6067,26 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _spread_if_narrow(
         spark, load_table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
     )
-    aggs = []
+    # Two aggregates instead of one wide one: min/max over STRING columns
+    # cannot use a hash aggregate (variable-width buffer), and in the wide
+    # form they dragged the whole multi-distinct Expand into SortAggregate —
+    # sorting ×(distincts+1) expanded copies of the table by five keys. Split
+    # out, the distinct-count Expand runs as a pure HashAggregate and the
+    # min/max pass is a keyless global SortAggregate, which needs NO sort at
+    # all. The two 1-row results recombine via the repo's broadcast-1-row
+    # crossJoin idiom; the spread exchange is shared by both consumers
+    # (ReuseExchange), so the table is still read once.
+    dist_aggs, mm_aggs = [], []
     for c in _PROFILE_COLS:
-        aggs += [
+        dist_aggs += [
             (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).cast("long").alias(f"{c}__distinct"),
+        ]
+        mm_aggs += [
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    wide = o.agg(*aggs)
+    wide = o.agg(*dist_aggs).crossJoin(F.broadcast(o.agg(*mm_aggs)))
     per_col = [
         F.struct(
             F.lit(c).alias("column_name"),
