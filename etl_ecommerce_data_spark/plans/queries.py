@@ -1857,7 +1857,13 @@ def q_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
     )
+    # tok feeds dfreq AND the scoring join; dfreq feeds the scalar AND the
+    # join — unchecked, each consumer replays the scan+split+explode chain
+    # (6 parquet scans in the executed plan at sf0.1). Both are narrow
+    # (id+token / token+count).
+    tok = tok.localCheckpoint(eager=False)
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dfreq = dfreq.localCheckpoint(eager=False)
     scal = dfreq.agg(
         (F.sum("n_docs").cast("double") / F.count(F.lit(1))).alias("mean_df")
     )
@@ -3403,6 +3409,11 @@ def q_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_second"),
         )
     )
+    # c is consumed by totals AND the final projection; without this
+    # checkpoint each consumer replays the full events scan + pivot + counts
+    # (8 parquet scans in the executed plan at sf0.1 — 4 full re-reads at
+    # scale). The checkpoint is |event_types| rows.
+    c = c.localCheckpoint(eager=False)
     totals = c.agg(
         F.sum("n_first").cast("double").alias("tf"),
         F.sum("n_second").cast("double").alias("ts2"),
@@ -5784,9 +5795,12 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # df_t derived from tfw (tf_t > 0 ⇔ doc contains t) rather than from
-    # `per`: the dfs branch then shares tfw's whole aggregation subtree, so
-    # Spark plans it as a ReusedExchange — one scan+shuffle chain feeds both
-    # the per-doc scores and the 1-row df scalars.
+    # `per`, and tfw checkpointed: exchange reuse alone does not stop the
+    # final aggregate above the shared exchange from re-running per consumer
+    # (the executed plan showed the scan+explode chain 6×: dfs branch,
+    # scored branch, and n each replayed it). Narrow rows (doc_id + one
+    # long per term).
+    tfw = tfw.localCheckpoint(eager=False)
     dfs = tfw.groupBy().agg(
         *[
             F.count(F.when(F.col(f"tf_{t}") > 0, F.lit(1)))
@@ -5912,6 +5926,10 @@ def q_daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dropped after. Identical to the global window whenever each year has
     # ≥ 29 active days (guaranteed for daily aggregates of retail orders).
     d = d.withColumn("__yr", F.substring("order_date", 1, 4).cast("int"))
+    # d (one row per day) feeds both the carry branch and the own branch;
+    # checkpoint so the orders scan + daily aggregate run once, not per
+    # branch (2 full scans at any scale otherwise)
+    d = d.localCheckpoint(eager=False)
     rn_desc = F.row_number().over(
         Window.partitionBy("__yr").orderBy(F.col("order_date").desc())
     )

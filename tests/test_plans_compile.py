@@ -50,6 +50,12 @@ _BNLJ_OK = {"priority_revenue_share", "similarity_topk", "similarity_topk_ivf",
             "funnel_conversion", "rfm_segments", "tfidf_search",
             "doc_rarity_score", "embedding_gram_baseline",
             "embedding_pca_variance", "event_type_drift",
+            # r17: min/max split into a keyless 1-row aggregate (string
+            # min/max cannot hash-aggregate; keeping them in the wide agg
+            # dragged the multi-distinct Expand into SortAggregate) —
+            # recombined with the distinct-count row by the same
+            # broadcast-1-row cross
+            "profile_orders",
             # recall-floor queries: capped exact ground-truth side is a
             # broadcast all-pairs scorer by design
             "dedup_minhash_recall", "dedup_simhash_complete",
@@ -114,9 +120,15 @@ _SHUFFLE_BUDGETS = {
     "similarity_topk": 1,       # broadcast queries; one top-k window
     "asof_events_orders": 1,    # union co-partition trick: one shuffle
     "corpus_boilerplate_removal": 3,  # explode agg + membership join + regroup
-    "doc_rarity_score": 4,
-    "event_type_drift": 5,      # tiny SinglePartition pivots over 1-row aggs
-    "curate_corpus_hygiene": 5,  # four composed stages, 5 exchanges measured
+    # r17 tightened: checkpointed multi-consumer intermediates stop each
+    # branch replaying the scan+agg chain, and window-over-group-key shapes
+    # collapsed into single aggregates (OPTIMIZATION_r17.md)
+    "doc_rarity_score": 2,
+    "event_type_drift": 1,
+    "curate_corpus_hygiene": 4,
+    "basket_pairs": 2,          # basket collect + pair agg; no self-join
+    "tfidf_search": 2,
+    "daily_revenue_anomaly": 2,
 }
 
 
