@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from etl_ecommerce_data_spark.functions.text import tokens
 from etl_ecommerce_data_spark.partitioning import spread_if_narrow
+from etl_ecommerce_data_spark.reuse import shared, shared_big
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -271,18 +272,16 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     ).filter(F.col("__text").isNotNull())
     # A narrow scan (one row group ⇒ one task) would serialize the md5 pass,
-    # the tokenize+hash scan AND — because localCheckpoint freezes partition
-    # count — every checkpointed consumer below, including the banded
-    # candidate join. One adaptive shuffle here parallelizes the whole plan;
-    # no-op at real scale (see partitioning.spread_if_narrow).
+    # the tokenize+hash scan AND — because the persisted frames inherit the
+    # scan's partition count — every shared consumer below, including the
+    # banded candidate join. One adaptive shuffle here parallelizes the
+    # whole plan; no-op at real scale (see partitioning.spread_if_narrow).
     base = spread_if_narrow(base)
     # Materialize the hashed corpus once: groups and mapping both consume
     # it with DIFFERENT downstream projections (no exchange reuse), so
-    # without the checkpoint the full text scan + md5 runs once per
-    # consumer. Same executor-storage tradeoff as rep_hs/banded below.
-    hashed = base.withColumn("__ch", F.md5("__text")).localCheckpoint(
-        eager=False
-    )
+    # without the shared persist the full text scan + md5 runs once per
+    # consumer. Carries __text → corpus-scale, DISK_ONLY (see reuse.py).
+    hashed = shared_big(base.withColumn("__ch", F.md5("__text")))
     groups = hashed.groupBy("__ch").agg(
         F.min("doc_id").alias("rep_id"),
         F.count(F.lit(1)).alias("grp_n"),
@@ -290,10 +289,12 @@ def minhash_lsh_pairs(
     )
     # member → representative mapping (identity rows included); read by the
     # cross expansion (both sides) and dup_members — narrow rows, so the
-    # checkpoint is cheap and saves the join replaying per consumer
-    mapping = hashed.select("doc_id", "__ch").join(
-        groups.select("__ch", "rep_id"), "__ch"
-    ).select("doc_id", "rep_id").localCheckpoint(eager=False)
+    # persist is cheap and saves the join replaying per consumer
+    mapping = shared(
+        hashed.select("doc_id", "__ch")
+        .join(groups.select("__ch", "rep_id"), "__ch")
+        .select("doc_id", "rep_id")
+    )
     rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "__text")
 
     # ONE tokenize+hash scan: the hash arrays feed BOTH the banding
@@ -302,17 +303,14 @@ def minhash_lsh_pairs(
     # probability ~|toks|²/2⁶⁵ — negligible), so the text column is scanned
     # once and no string work repeats. Verification intersects fixed-width
     # longs instead of strings — same counts, cheaper hashing.
-    rep_hs = rep_docs.select(
-        "doc_id", _token_hashes(F.col("__text")).alias("__hs")
-    ).localCheckpoint(eager=False)
+    rep_hs = shared_big(
+        rep_docs.select("doc_id", _token_hashes(F.col("__text")).alias("__hs"))
+    )
     banded = _banded_buckets_from_hashes(rep_hs, num_perms, bands)
-    # Lazy local checkpoint: every read of the band table (both self-join
-    # sides AND the bucket-size pass) hits the SAME materialized rows, so the
+    # Shared persist: every read of the band table (both self-join sides
+    # AND the bucket-size pass) hits the SAME materialized rows, so the
     # 64-permutation signatures are computed once (−18% measured at sf0.1).
-    # Tradeoff: checkpoint blocks live on executors, so a lost executor
-    # recomputes the partition instead of replaying lineage — acceptable for
-    # a derived, deterministic intermediate.
-    banded = banded.localCheckpoint(eager=False)
+    banded = shared(banded)
 
     if bucket_cap is not None:
         sizes = banded.groupBy("band", "bucket").agg(
@@ -396,13 +394,12 @@ def minhash_lsh_pairs(
     )
     # The expansion reads `sized` from the small-group branch AND (twice)
     # from the big-group branch, and the physical planner cannot share one
-    # subtree across union branches — without this checkpoint the ENTIRE
+    # subtree across union branches — without this shared persist the ENTIRE
     # candidate-dedup + hash-attach + array_intersect verification pipeline
     # re-executes per branch (measured at sf0.1: the 1.9M-candidate verify
     # chain appeared twice in the executed plan, ~2× the query's dominant
-    # stage). Narrow rows (two ids, two counts, two numbers) — same
-    # executor-storage tradeoff as the banded checkpoint above.
-    sized = sized.localCheckpoint(eager=False)
+    # stage). Narrow rows (two ids, two counts, two numbers).
+    sized = shared(sized)
     pair_cols = lambda x, y: [  # noqa: E731 — normalized output columns
         F.least(x, y).alias("doc_a"),
         F.greatest(x, y).alias("doc_b"),
@@ -523,23 +520,21 @@ def minhash_lsh_pairs_cross(
 
     # one tokenize+hash scan per side, reused by banding AND verification
     # (see minhash_lsh_pairs)
-    new_hs = new_base.select(
-        "doc_id", _token_hashes(F.col("__text")).alias("__hs")
-    ).localCheckpoint(eager=False)
-    old_hs = old_base.select(
-        "doc_id", _token_hashes(F.col("__text")).alias("__hs")
-    ).localCheckpoint(eager=False)
-    nb = (
+    new_hs = shared_big(
+        new_base.select("doc_id", _token_hashes(F.col("__text")).alias("__hs"))
+    )
+    old_hs = shared_big(
+        old_base.select("doc_id", _token_hashes(F.col("__text")).alias("__hs"))
+    )
+    nb = shared(
         _banded_buckets_from_hashes(new_hs, num_perms, bands)
         .withColumnRenamed("doc_id", "new_id")
         .withColumnRenamed("n_toks", "__n_new")
-        .localCheckpoint(eager=False)
     )
-    ob = (
+    ob = shared(
         _banded_buckets_from_hashes(old_hs, num_perms, bands)
         .withColumnRenamed("doc_id", "corpus_id")
         .withColumnRenamed("n_toks", "__n_old")
-        .localCheckpoint(eager=False)
     )
     ratio_ok = _size_ratio_ok(F.col("__n_new"), F.col("__n_old"), threshold)
     if bucket_cap is not None:
@@ -739,9 +734,9 @@ def simhash_pairs(
     # would fan the stage into defaultParallelism concurrent Python workers
     # whose cold fork+import cost dwarfs the kernel (Spark reaps idle
     # workers after a hardcoded minute, so mid-session Python stages fork
-    # cold). The narrow post-UDF shuffle still parallelizes the
-    # checkpointed chunk table for the collision join below.
-    chunks = spread_if_narrow(chunks).localCheckpoint(eager=False)
+    # cold). The narrow post-UDF shuffle still parallelizes the shared
+    # chunk table for the collision join below.
+    chunks = shared(spread_if_narrow(chunks))
     a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk")
     b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk")
     return (
@@ -865,19 +860,21 @@ def boilerplate_removal(
     from etl_ecommerce_data_spark.functions.text import chunk_texts
 
     # The chunk table feeds two consumers (frequency aggregate + membership
-    # join); checkpoint so the tokenize/chunk/posexplode — and whatever
+    # join); shared-persist so the tokenize/chunk/posexplode — and whatever
     # upstream transform produced text_col (e.g. the PII regexp chain in the
-    # hygiene pipeline) — runs once, not once per subtree. Same tradeoff
-    # note as minhash_lsh_pairs' banded table.
+    # hygiene pipeline) — runs once, not once per subtree. Carries text
+    # chunks → corpus-scale, DISK_ONLY.
     # null text coalesces to '' (one empty chunk) so the one-row-per-doc
     # contract holds: posexplode of chunk_texts(NULL) would silently drop
     # the document from the output entirely
-    chunks = docs.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            chunk_texts(F.coalesce(F.col(text_col), F.lit("")), chunk_tokens)
-        ).alias("pos", "chunk"),
-    ).localCheckpoint(eager=False)
+    chunks = shared_big(
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                chunk_texts(F.coalesce(F.col(text_col), F.lit("")), chunk_tokens)
+            ).alias("pos", "chunk"),
+        )
+    )
     # the empty chunk (only produced by empty/null text) can never be
     # boilerplate: >= min_docs text-less docs would otherwise flag '' as
     # shared content and every empty doc would report a phantom removal

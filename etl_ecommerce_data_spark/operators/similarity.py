@@ -44,6 +44,7 @@ from etl_ecommerce_data_spark.functions.vectors import (
     norm,
     to_double_array,
 )
+from etl_ecommerce_data_spark.reuse import shared, shared_big
 
 
 def cosine_topk(
@@ -312,17 +313,30 @@ def lsh_topk(
         "__cvec",
         "__cn",
     )
-    cands = (
-        cb.join(qb, ["band", "bucket"])
-        .filter(F.col(query_id_col) != F.col("neighbor_id"))
-        .dropDuplicates([query_id_col, "neighbor_id"])
+    # r18 (VERDICT r17 #4): score BEFORE the candidate dedup. The old shape
+    # dropDuplicates'd rows still carrying both vectors, which planned as a
+    # SortAggregate(first(array)) shipping query+corpus vectors per
+    # COLLISION through the dedup exchange. Cosine is a pure function of
+    # the pair, so every collision copy scores identically and
+    # max() == the value: computing it per collision (≤ bands extra dot
+    # products, d mults each) lets the dedup be a hash aggregate over
+    # (query_id, neighbor_id, double) — the exchange carries two ids and
+    # one double per collision instead of two d-wide arrays.
+    collisions = cb.join(qb, ["band", "bucket"]).filter(
+        F.col(query_id_col) != F.col("neighbor_id")
     )
-    scored = cands.withColumn(
-        "cosine_sim",
-        cosine_from_parts(
-            dot(F.col("__qvec"), F.col("__cvec")), F.col("__qn"), F.col("__cn")
-        ),
-    ).filter(F.col("cosine_sim").isNotNull())
+    scored = (
+        collisions.select(
+            query_id_col,
+            "neighbor_id",
+            cosine_from_parts(
+                dot(F.col("__qvec"), F.col("__cvec")), F.col("__qn"), F.col("__cn")
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim").isNotNull())
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -552,10 +566,10 @@ def ivf_topk(
     # the fit is consumed by BOTH _nearest_centroids calls below — without
     # materialization the whole Lloyd lineage (crossJoin + window +
     # posexplode mean per iteration) replays once per consumer; the frame
-    # is n_centroids rows, so the checkpoint is ~free
-    cents = ivf_fit_centroids(
-        corpus, n_centroids, lloyd_iters, id_col, vec_col
-    ).localCheckpoint(eager=False)
+    # is n_centroids rows, so the persist is ~free
+    cents = shared(
+        ivf_fit_centroids(corpus, n_centroids, lloyd_iters, id_col, vec_col)
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), to_double_array(F.col(vec_col)).alias("__cvec")
     )
@@ -839,9 +853,10 @@ def embedding_near_dup_pairs(
                 # semantics match the minhash star cap (driver-pinned by
                 # dedup_star_cap_floor for the shared contract).
                 # The guard gives the band table several consumers (size agg,
-                # annotate join, star branch) — checkpoint so the signature
-                # UDF and explode run once, not once per branch.
-                banded = banded.localCheckpoint(eager=False)
+                # annotate join, star branch) — shared-persist so the
+                # signature UDF and explode run once, not once per branch.
+                # Vectors ride the band rows → corpus-scale, DISK_ONLY.
+                banded = shared_big(banded)
                 sizes = banded.groupBy("band", "bucket").agg(
                     F.count(F.lit(1)).alias("__bkt_n"),
                     F.min("vec_a").alias("__anchor"),
@@ -931,8 +946,8 @@ def embedding_near_dup_pairs(
             "__w",
         )
         # one signature computation shared by both self-join sides (see
-        # dedup.minhash_lsh_pairs for the checkpoint tradeoff notes)
-        banded = banded.localCheckpoint(eager=False)
+        # dedup.minhash_lsh_pairs for the materialization tradeoff notes)
+        banded = shared(banded)
         other = banded.select(
             F.col("vec_a").alias("vec_b"), "band", "bucket", F.col("__w").alias("__wb")
         )
@@ -1026,6 +1041,7 @@ def gram_upper_quantized(
 def gram_upper_arrow(
     emb: DataFrame,
     vec_col: str = "embedding",
+    with_count: bool = False,
 ) -> DataFrame:
     """Upper-triangle Gram matrix via Arrow-batched per-partition partials —
     the 100 TB path: each batch contributes ONE d×d partial (``Vᵀ V`` over
@@ -1042,6 +1058,13 @@ def gram_upper_arrow(
     per-width Gram rows instead of silently summing cells from two
     coordinate systems — downstream consumers (the PCA eigensolve) reject
     multiple widths loudly. Uniform corpora see a constant extra column.
+
+    ``with_count=True`` additionally emits one sentinel row per batch
+    (``i = j = d = -1``, ``part`` = the batch's TOTAL row count, nulls
+    included) so the table row count rides the same single scan — the PCA
+    consumer previously paid a second full pass just for ``COUNT(*)``
+    (VERDICT r17 #6). Integer counts are exact in the double sum far past
+    any real corpus size (< 2^53).
     """
     import pandas as pd  # noqa: F401 (mapInPandas contract)
 
@@ -1050,6 +1073,15 @@ def gram_upper_arrow(
         import pandas as pd
 
         for pdf in batches:
+            if with_count and len(pdf):
+                yield pd.DataFrame(
+                    {
+                        "i": np.array([-1], dtype="int64"),
+                        "j": np.array([-1], dtype="int64"),
+                        "part": np.array([float(len(pdf))]),
+                        "d": np.array([-1], dtype="int64"),
+                    }
+                )
             # null embeddings contribute nothing to the Gram sum; dropping
             # them here keeps a single bad row from killing the whole job
             # (np.stack cannot stack None).

@@ -43,6 +43,7 @@ from etl_ecommerce_data_spark.operators.cleaning import (
     dedup_exact_rows,
     normalize_strings,
 )
+from etl_ecommerce_data_spark.reuse import shared, shared_big
 from etl_ecommerce_data_spark.sources.registry import load_table
 
 Builder = Callable[[SparkSession, str], DataFrame]
@@ -927,7 +928,7 @@ def q_priority_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = orders.groupBy("o_orderpriority").agg(
         F.count("o_orderkey").alias("n_orders"),
         F.sum(dec("o_totalprice")).alias("rev_d"),
-    ).localCheckpoint(eager=False)
+    ).transform(shared)
     total = g.agg(F.sum("rev_d").alias("total_d"))
     return g.crossJoin(F.broadcast(total)).select(
         "o_orderpriority",
@@ -1136,8 +1137,8 @@ def q_dedup_minhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_rep_hashes(docs: DataFrame) -> DataFrame:
     """(doc_id, __hs) token-hash frame over exact-dedup REPRESENTATIVES —
     the same md5-groupBy/min-id pre-pass ``minhash_lsh_pairs`` declares.
-    Callers should ``localCheckpoint(eager=False)`` the result when it
-    feeds several consumers."""
+    Callers should ``shared_big(...)`` the result when it feeds several
+    consumers."""
     base = docs.select("doc_id", F.col("text").alias("__text")).filter(
         F.col("__text").isNotNull()
     )
@@ -1176,9 +1177,7 @@ def _minhash_star_truth(
     DIFFERENT star semantics than each other — independence from the
     operator comes from not touching its candidate machinery (only the
     published hash/banding helpers), not from duplicating this plan."""
-    bb = DD._banded_buckets_from_hashes(rep_hs, n_perms, n_bands).localCheckpoint(
-        eager=False
-    )
+    bb = DD._banded_buckets_from_hashes(rep_hs, n_perms, n_bands).transform(shared)
     sizes = bb.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("__n"), F.min("doc_id").alias("__anchor")
     )
@@ -1301,12 +1300,12 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         DD.ngram_jaccard_pairs(docs, threshold=0.6, block_col=None)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .transform(shared)
     )
     lsh = (
         DD.minhash_lsh_pairs(docs, threshold=0.6)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .transform(shared)
     )
     found = exact.join(
         lsh.withColumn("__f", F.lit(1)), ["doc_a", "doc_b"], "left"
@@ -1332,9 +1331,9 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # also destroys the truth derivation (e.g. empty token-hash arrays →
     # null Jaccard) would otherwise satisfy anchor recall over an empty set.
     # The uncapped regime still asserts listing recall >= 0.95.
-    rep_hs = _dedup_rep_hashes(docs).localCheckpoint(eager=False)
+    rep_hs = _dedup_rep_hashes(docs).transform(shared_big)
     star_truth, n_over = _minhash_star_truth(rep_hs, n_perms, n_bands, cap, 0.6)
-    star_truth = star_truth.localCheckpoint(eager=False)
+    star_truth = star_truth.transform(shared)
     n_truth = star_truth.agg(F.count(F.lit(1)).alias("n_star_truth"))
     anchor = star_truth.join(lsh, ["doc_a", "doc_b"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_anchor_missed")
@@ -1398,12 +1397,12 @@ def q_dedup_star_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = (
         DD.minhash_lsh_pairs(docs, threshold=threshold, bucket_cap=cap)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .transform(shared)
     )
     uncapped = (
         DD.minhash_lsh_pairs(docs, threshold=threshold, bucket_cap=None)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .transform(shared)
     )
     counts = capped.agg(F.count(F.lit(1)).alias("n_capped")).crossJoin(
         F.broadcast(uncapped.agg(F.count(F.lit(1)).alias("n_uncapped")))
@@ -1427,7 +1426,7 @@ def q_dedup_star_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the floor demands each true one appears in the capped output
     # (_minhash_star_truth — the same construction the recall floors
     # assert inline in their capped regime).
-    rep_hs = _dedup_rep_hashes(docs).localCheckpoint(eager=False)
+    rep_hs = _dedup_rep_hashes(docs).transform(shared_big)
     truth, n_over = _minhash_star_truth(rep_hs, 64, 16, cap, threshold)
     anchor = truth.join(capped, ["doc_a", "doc_b"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_anchor_missed")
@@ -1861,9 +1860,9 @@ def q_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join — unchecked, each consumer replays the scan+split+explode chain
     # (6 parquet scans in the executed plan at sf0.1). Both are narrow
     # (id+token / token+count).
-    tok = tok.localCheckpoint(eager=False)
+    tok = tok.transform(shared_big)
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    dfreq = dfreq.localCheckpoint(eager=False)
+    dfreq = dfreq.transform(shared)
     scal = dfreq.agg(
         (F.sum("n_docs").cast("double") / F.count(F.lit(1))).alias("mean_df")
     )
@@ -1924,14 +1923,29 @@ def q_embedding_gram_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    gram = SIM.gram_upper_arrow(emb)
-    n_row = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
-    cells = gram.crossJoin(F.broadcast(n_row))
+    # r18 (VERDICT r17 #6): n_vectors rides the Gram pass as a sentinel
+    # cell (i = j = d = -1, value = batch row count) instead of a second
+    # full scan of the table — one scan total, identical n (the sentinel
+    # counts ALL rows, nulls included, exactly like the old COUNT(*)).
+    cells = SIM.gram_upper_arrow(emb, with_count=True)
 
     def eig(pdf):
         import numpy as np
         import pandas as pd
 
+        cnt = pdf[pdf["i"] < 0]
+        n = int(cnt["gram"].sum()) if len(cnt) else 0
+        pdf = pdf[pdf["i"] >= 0]
+        if not len(pdf):
+            # all-null corpus: no Gram cells — same empty result the
+            # two-scan shape produced (its cells frame was empty)
+            return pd.DataFrame(
+                {
+                    "component": pd.Series(dtype="int64"),
+                    "eigenvalue": pd.Series(dtype="float64"),
+                    "explained_variance_ratio": pd.Series(dtype="float64"),
+                }
+            )
         widths = pdf["d"].unique()
         if len(widths) > 1:
             raise ValueError(
@@ -1943,7 +1957,6 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = np.zeros((d, d))
         g[pdf["i"].values, pdf["j"].values] = pdf["gram"].values
         g = g + np.triu(g, 1).T
-        n = int(pdf["n_vectors"].iloc[0])
         vals = np.linalg.eigvalsh(g / max(n, 1))[::-1]
         total = float(vals.sum())
         return pd.DataFrame(
@@ -2589,8 +2602,8 @@ def _found_vs_exact(exact: DataFrame, approx: DataFrame, keys: list[str]) -> Dat
     exchange, so ReusedExchange cannot dedupe the replays. Materialize
     each once (same idiom as the lsh frame in q_dedup_minhash_recall);
     measured ~2× wall on the four recall-floor queries."""
-    exact = exact.localCheckpoint(eager=False)
-    approx = approx.localCheckpoint(eager=False)
+    exact = exact.transform(shared)
+    approx = approx.transform(shared)
     found = exact.join(
         approx.withColumn("__f", F.lit(1)), keys, "left"
     ).agg(
@@ -2701,7 +2714,7 @@ def q_embedding_star_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands=bands, bucket_cap=cap,
         )
         .select("vec_a", "vec_b")
-        .localCheckpoint(eager=False)
+        .transform(shared)
     )
     uncapped = (
         SIM.embedding_near_dup_pairs(
@@ -2709,7 +2722,7 @@ def q_embedding_star_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands=bands, bucket_cap=None,
         )
         .select("vec_a", "vec_b")
-        .localCheckpoint(eager=False)
+        .transform(shared)
     )
     counts = capped.agg(F.count(F.lit(1)).alias("n_capped")).crossJoin(
         F.broadcast(uncapped.agg(F.count(F.lit(1)).alias("n_uncapped")))
@@ -2775,7 +2788,7 @@ def q_embedding_star_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bh"),
         )
         .select("vec_a", "__va", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
-        .localCheckpoint(eager=False)
+        .transform(shared_big)
     )
     sizes = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("__n"), F.min("vec_a").alias("__anchor")
@@ -2810,7 +2823,7 @@ def q_embedding_star_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fold_cosine(stars)
         .filter(F.col("__cos") >= threshold)
         .select("vec_a", "vec_b")
-        .localCheckpoint(eager=False)
+        .transform(shared)
     )
     extra = (
         _fold_cosine(capped.join(uncapped, ["vec_a", "vec_b"], "left_anti"))
@@ -3413,7 +3426,7 @@ def q_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint each consumer replays the full events scan + pivot + counts
     # (8 parquet scans in the executed plan at sf0.1 — 4 full re-reads at
     # scale). The checkpoint is |event_types| rows.
-    c = c.localCheckpoint(eager=False)
+    c = c.transform(shared)
     totals = c.agg(
         F.sum("n_first").cast("double").alias("tf"),
         F.sum("n_second").cast("double").alias("ts2"),
@@ -4345,8 +4358,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Ordered conversion funnel over the events stream: users who viewed, "
     "then clicked at-or-after their first view, then purchased at-or-after "
     "their first qualifying click — with stage-to-stage conversion rates. "
-    "Three groupBy-user aggregations reusing one shuffle key; rates are one "
-    "IEEE division of exact counts.",
+    "Single-scan shape: two per-user window minima + one per-user aggregate "
+    "share ONE user_id shuffle; rates are one IEEE division of exact counts.",
     oracle="""
 WITH v AS (
   SELECT user_id, MIN(ts) AS view_ts FROM events
@@ -4376,46 +4389,59 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users_view,
 )
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # Each stage table feeds both the next stage's join and its own count;
-    # lazy-checkpoint so each per-user aggregation runs once.
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("view_ts"))
-        .localCheckpoint(eager=False)
+    # Single-scan restructure (r18; VERDICT r17 #5): the staged shape
+    # re-scanned events once per funnel stage and joined each stage back on
+    # user_id. The stage thresholds are per-user scalars, so two same-key
+    # window minima compute them in ONE pass over ONE user_id exchange:
+    #   vt = first view ts; ct = first click at-or-after vt (a click
+    #   qualifies iff ts >= vt, because vt is the MIN view ts);
+    #   pt folds into the per-user aggregate since ct is already a column.
+    # Null semantics match the staged oracle exactly: a user with no view
+    # has vt null, `ts >= null` is null, so ct/pt stay null and the user
+    # drops from the click/purchase counts — the inner joins' behavior.
+    e = ev.filter(F.col("event_type").isin("view", "click", "purchase")).select(
+        "user_id", "ts", "event_type"
     )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .join(views, "user_id")
-        .filter(F.col("ts") >= F.col("view_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
-        .localCheckpoint(eager=False)
+    w = Window.partitionBy("user_id")
+    is_view = F.col("event_type") == "view"
+    x = e.withColumn("vt", F.min(F.when(is_view, F.col("ts"))).over(w))
+    x = x.withColumn(
+        "ct",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("vt")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(clicks, "user_id")
-        .filter(F.col("ts") >= F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
+    # hv counts the user as a viewer even if every view ts is NULL (the
+    # oracle's COUNT(*) FROM v counts the grouped row, not the min) — vt
+    # alone would undercount that corner.
+    per_user = x.groupBy("user_id").agg(
+        F.max(F.when(is_view, F.lit(1))).alias("hv"),
+        F.min("vt").alias("vt"),
+        F.min("ct").alias("ct"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("ct")),
+                F.col("ts"),
+            )
+        ).alias("pt"),
     )
-    nv = views.agg(F.count(F.lit(1)).cast("long").alias("users_view"))
-    nc = clicks.agg(F.count(F.lit(1)).cast("long").alias("users_click"))
-    np_ = purchases.agg(F.count(F.lit(1)).cast("long").alias("users_purchase"))
-    return (
-        nv.crossJoin(nc)
-        .crossJoin(np_)
-        .select(
-            "users_view",
-            "users_click",
-            "users_purchase",
-            (F.col("users_click").cast("double") / F.col("users_view").cast("double")).alias(
-                "click_rate"
-            ),
-            (
-                F.col("users_purchase").cast("double") / F.col("users_click").cast("double")
-            ).alias("purchase_rate"),
-        )
+    return per_user.agg(
+        F.count("hv").cast("long").alias("users_view"),
+        F.count("ct").cast("long").alias("users_click"),
+        F.count("pt").cast("long").alias("users_purchase"),
+    ).select(
+        "users_view",
+        "users_click",
+        "users_purchase",
+        (F.col("users_click").cast("double") / F.col("users_view").cast("double")).alias(
+            "click_rate"
+        ),
+        (
+            F.col("users_purchase").cast("double") / F.col("users_click").cast("double")
+        ).alias("purchase_rate"),
     )
 
 
@@ -4423,8 +4449,10 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cohort_retention",
     "Monthly cohort retention: customers bucketed by first-order month, "
     "counted per (cohort_month, months_since_cohort). Month arithmetic on "
-    "month-truncated dates is exact integer months on both engines. The "
-    "first-order table reuses the same o_custkey shuffle as the join.",
+    "month-truncated dates is exact integer months on both engines. "
+    "Single-scan: distinct order months collected per customer (bounded by "
+    "the calendar), cohort = array_min, explode — no join, no distinct-"
+    "count shuffle.",
     oracle="""
 WITH f AS (
   SELECT o_custkey,
@@ -4443,20 +4471,31 @@ GROUP BY 1, 2
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    first = o.groupBy("o_custkey").agg(
-        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_ts")
+    # Single-scan restructure (r18; VERDICT r17 #5): the old shape scanned
+    # orders twice (first-order aggregate + the fact side of the join) and
+    # finished with a COUNT(DISTINCT custkey) shuffle. A customer
+    # contributes exactly one unit to (cohort, months_since) per DISTINCT
+    # order month, so collect the distinct month-truncated dates per
+    # customer in ONE groupBy (bounded: ≤ #calendar-months elements), take
+    # cohort = array_min (min-then-trunc ≡ trunc-then-min — date_trunc is
+    # monotonic), explode, and COUNT(1): the rows are distinct per
+    # (customer, month) by construction, so the distinct-count collapses to
+    # a plain map-side-combinable count. One scan, two exchanges, no join.
+    months = o.groupBy("o_custkey").agg(
+        F.collect_set(F.date_trunc("month", F.col("o_orderdate"))).alias("__ms")
     )
-    j = o.join(first, "o_custkey")
+    m = months.select(
+        F.array_min("__ms").alias("cohort_ts"),
+        F.explode("__ms").alias("order_month"),
+    )
     return (
-        j.groupBy(
+        m.groupBy(
             F.date_format("cohort_ts", "yyyy-MM").alias("cohort_month"),
-            F.months_between(
-                F.date_trunc("month", F.col("o_orderdate")), F.col("cohort_ts")
-            )
+            F.months_between(F.col("order_month"), F.col("cohort_ts"))
             .cast("long")
             .alias("months_since"),
         )
-        .agg(F.countDistinct("o_custkey").cast("long").alias("customers"))
+        .agg(F.count(F.lit(1)).cast("long").alias("customers"))
     )
 
 
@@ -4527,7 +4566,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The per-customer aggregate feeds three consumers (max-date scalar,
     # threshold scalars, scoring scan); lazy-checkpoint it so the shuffle
     # agg runs once, not three times (same idiom as the LSH band table).
-    per = per.localCheckpoint(eager=False)
+    per = per.transform(shared)
     mx = per.agg(F.max("last_date").alias("max_date"))
     r = per.crossJoin(F.broadcast(mx)).select(
         "o_custkey",
@@ -4740,7 +4779,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The exploded shingle table feeds both the train-side distinct and the
     # test-side join/count; checkpoint it lazily so the shingle expansion
     # over the full corpus is computed once (LSH band-table idiom).
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.transform(shared_big)
     train = sh.filter(F.col("split") == "train").select("shingle").distinct()
     test_sh = sh.filter(F.col("split") == "test").select("doc_id", "shingle")
     n_sh = test_sh.groupBy("doc_id").agg(
@@ -5039,11 +5078,11 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # flags feeds the final aggregate plus both shingle sides of the
     # decontamination join — compute the scan + window once.
-    flags = flags.localCheckpoint(eager=False)
+    flags = flags.transform(shared_big)
     sh = flags.filter(F.col("f5")).select(
         "doc_id", "f6", F.explode(TX.shingle_set(t, 5)).alias("shingle")
     )
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.transform(shared_big)
     heldout = sh.filter(~F.col("f6")).select("shingle").distinct()
     dirty = (
         sh.filter(F.col("f6"))
@@ -5296,12 +5335,12 @@ def q_dedup_cross_corpus_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         pairs.filter(jac >= 0.6)
         .select("new_id", "corpus_id")
-        .localCheckpoint(eager=False)
+        .transform(shared)
     )
     lsh = (
         DD.minhash_lsh_pairs_cross(new_side, old_side, threshold=0.6)
         .select("new_id", "corpus_id")
-        .localCheckpoint(eager=False)
+        .transform(shared)
     )
     found = exact.join(
         lsh.withColumn("__f", F.lit(1)), ["new_id", "corpus_id"], "left"
@@ -5331,14 +5370,14 @@ def q_dedup_cross_corpus_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so a truth-destroying regression cannot green the row vacuously.
     old_hs = old_side.select(
         "doc_id", DD._token_hashes(F.col("text")).alias("__hs")
-    ).localCheckpoint(eager=False)
+    ).transform(shared_big)
     new_hs = new_side.select(
         "doc_id", DD._token_hashes(F.col("text")).alias("__hs")
-    ).localCheckpoint(eager=False)
+    ).transform(shared_big)
     star_truth, n_over = _minhash_star_truth_cross(
         new_hs, old_hs, dflt["num_perms"], dflt["bands"], dflt["bucket_cap"], 0.6
     )
-    star_truth = star_truth.localCheckpoint(eager=False)
+    star_truth = star_truth.transform(shared)
     n_truth = star_truth.agg(F.count(F.lit(1)).alias("n_star_truth"))
     anchor = star_truth.join(lsh, ["new_id", "corpus_id"], "left_anti").agg(
         F.count(F.lit(1)).alias("n_anchor_missed")
@@ -5661,7 +5700,7 @@ def q_linkage_block_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_block_tokens=n_tok, max_distance=max_d, max_block_size=cap,
         )
         .select("id_l", "id_r", "distance")
-        .localCheckpoint(eager=False)
+        .transform(shared)
     )
     # "uncapped" = a cap no block reaches (INT32_MAX): its count is the
     # all-blocks true-pair mass, so listing_degraded measures exactly the
@@ -5696,7 +5735,7 @@ def q_linkage_block_cap_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("distance", F.levenshtein("hl", "hr").cast("long"))
         .filter(F.col("distance") <= max_d)
         .select("id_l", "id_r", "distance")
-        .localCheckpoint(eager=False)
+        .transform(shared)
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     n_capped = capped.agg(F.count(F.lit(1)).alias("n_capped"))
@@ -5800,7 +5839,7 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the executed plan showed the scan+explode chain 6×: dfs branch,
     # scored branch, and n each replayed it). Narrow rows (doc_id + one
     # long per term).
-    tfw = tfw.localCheckpoint(eager=False)
+    tfw = tfw.transform(shared)
     dfs = tfw.groupBy().agg(
         *[
             F.count(F.when(F.col(f"tf_{t}") > 0, F.lit(1)))
@@ -5929,7 +5968,7 @@ def q_daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # d (one row per day) feeds both the carry branch and the own branch;
     # checkpoint so the orders scan + daily aggregate run once, not per
     # branch (2 full scans at any scale otherwise)
-    d = d.localCheckpoint(eager=False)
+    d = d.transform(shared)
     rn_desc = F.row_number().over(
         Window.partitionBy("__yr").orderBy(F.col("order_date").desc())
     )

@@ -56,6 +56,14 @@ def get_spark(
         # scale: a build-side partition must fit in task memory, which AQE
         # skew splitting + the engine's capped/banded join keys keep bounded.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Shared multi-consumer intermediates are persist()ed (reuse.py);
+        # by default Spark pins a cached plan's output partitioning, so a
+        # tiny cached aggregate keeps all `shuffle.partitions` partitions —
+        # 32 near-empty blocks whose per-block compute/lock latency
+        # dominates its consumers (measured r18: daily_revenue_anomaly cold
+        # 7.9 s → 3.9 s with this on). Letting AQE re-optimize cached-plan
+        # output partitioning only changes physical layout, never values.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         # The synthetic events table stores parquet TIMESTAMP(NANOS); pinning
         # this here (not inside a reader) keeps session conf immutable during
         # query execution. load_table re-asserts it only for sessions built
